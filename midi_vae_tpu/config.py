@@ -1,0 +1,357 @@
+"""Typed configuration for the TPU-native MIDI-VAE framework.
+
+This replaces the reference's global-constants module (``settings.py`` in
+brunnergino/MIDI-VAE, see /root/reference/settings.py:1-416) with a frozen
+dataclass: every semantic field of the reference survives with the same
+default, derived quantities (``input_dim``, ``num_composers``, the
+``x max_voices`` sequence lengths of settings.py:140-144, ...) are computed in
+``__post_init__`` instead of at import time, and there are **no import side
+effects** (the reference mkdir's a pickle folder on import,
+settings.py:58-61).
+
+Configs serialize to/from JSON, replacing both ``settings.py`` and the
+``params.txt`` dumps of the reference (vae_training.py:578-654).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# General-MIDI instrument tables (settings.py:252-416). Public-domain data.
+INSTRUMENT_CATEGORY_NAMES = [
+    "piano", "chromatic percussion", "organs", "guitar", "bass", "strings",
+    "ensemble", "brass", "reed", "pipe", "synth lead", "synth pad",
+    "synth effects", "ethnic", "percussive", "sound effects",
+]
+
+_INSTRUMENT_DIMS = {
+    "1hot-category": 16,
+    "khot-category": 4,
+    "1hot-instrument": 128,
+    "khot-instrument": 7,
+}
+
+VALID_CELL_TYPES = ("GRU", "LSTM", "SimpleRNN")
+
+
+@dataclass(frozen=True)
+class Config:
+    """One config object for data import, model, training and generation.
+
+    Field semantics follow the reference's settings.py; fields whose value is
+    *derived* in the reference (e.g. ``input_dim = new_num_notes +
+    composer_length + silent_dim + instrument_dim``, settings.py:207) are
+    exposed as read-only properties here.
+    """
+
+    # ---------------- data import (settings.py:26-101) ----------------
+    classes: tuple[str, ...] = ("style1", "style2")
+    include_unknown: bool = False
+    only_unknown: bool = False
+    test_fraction: float = 0.1
+    split_seed: int = 42                      # import_midi.py:451 random_state
+    high_crop: int = 84                       # exclusive top pitch (C6)
+    low_crop: int = 24                        # inclusive bottom pitch (C1)
+    num_notes: int = 128
+    smallest_note: int = 16                   # 16 => 16th notes; multiple of 4
+    max_voices_per_track: int = 1             # MAXIMAL_NUMBER_OF_VOICES_PER_TRACK
+    max_velocity: float = 127.0
+    max_songs: int = 100_000
+    equal_mini_songs: bool = False
+    attach_instruments: bool = False
+    include_only_monophonic_instruments: bool = False
+    max_voices: int = 4
+    instrument_attach_method: str = "1hot-category"
+    song_completion: bool = False
+    velocity_threshold: float = 0.5           # played-note velocity floor
+    smaller_training_set_factor: float = 1.0
+    save_preprocessed_midi: bool = False
+
+    # ---------------- generation (settings.py:17-32) ----------------
+    temperature: float = 1.0
+    sample_method: str = "choice"             # 'choice' | 'argmax'
+    cutoff_sample_threshold: float = 0.0
+    number_of_tries: int = 1
+    override_sampled_pitches_based_on_velocity_info: bool = True
+    do_not_sample_in_evaluation: bool = True
+
+    # ---------------- VAE architecture (settings.py:104-233) ----------------
+    bars_input_length: int = 16               # pre-unroll steps; x max_voices
+    bars_output_length: int = 16
+    lstm_size: int = 256
+    latent_dim: int = 256
+    cell_type: str = "GRU"
+    num_layers_encoder: int = 2
+    num_layers_decoder: int = 2
+    bidirectional: bool = False
+    use_embedding: bool = False
+    embedding_dim: int = 0
+    split_lstm_vector: bool = True
+    extra_layer: bool = True
+    history: bool = True
+    include_silent_note: bool = True
+    include_composer_feature: bool = False
+    include_composer_decoder: bool = True
+    composer_weight: float = 0.1
+    teacher_force: bool = False
+    activation: str = "softmax"
+    lstm_activation: str = "tanh"
+    lstm_state_activation: str = "tanh"
+    activation_before_splitting: str = "tanh"
+    vae_loss: str = "categorical_crossentropy"
+
+    # latent / priors
+    beta: float = 0.1
+    epsilon_std: float = 0.01
+    epsilon_factor: float = 0.0
+    prior_mean: float = 0.0
+    prior_std: float = 1.0
+
+    # meta heads (settings.py:179-231)
+    meta_instrument: bool = True
+    meta_instrument_activation: str = "softmax"
+    meta_instrument_weight: float = 0.1
+    meta_velocity: bool = True
+    meta_velocity_activation: str = "sigmoid"
+    meta_velocity_weight: float = 1.0
+    meta_held_notes: bool = False
+    meta_held_notes_activation: str = "softmax"
+    meta_held_notes_weight: float = 0.1
+    meta_next_notes: bool = False
+    meta_next_notes_weight: float = 0.1
+    meta_next_notes_teacher_force: bool = False
+    combine_velocity_and_held_notes: bool = False
+
+    # latent probes
+    signature_decoder: bool = False
+    signature_vector_length: int = 15
+    signature_activation: str = "tanh"
+    signature_weight: float = 1.0
+    composer_decoder_at_notes_output: bool = False
+    composer_decoder_at_notes_weight: float = 1.0
+    composer_decoder_at_notes_activation: str = "softmax"
+    composer_decoder_at_instrument_output: bool = False
+    composer_decoder_at_instrument_weight: float = 1.0
+    composer_decoder_at_instrument_activation: str = "softmax"
+
+    # decoder conditioning
+    decoder_input_composer: bool = False
+    append_signature_vector_to_latent: bool = False
+
+    # ---------------- training (settings.py:108-241) ----------------
+    batch_size: int = 256
+    learning_rate: float = 2e-4
+    optimizer: str = "adam"                   # 'adam' | 'rmsprop'
+    epochs: int = 2000
+    test_step: int = 1
+    save_step: int = 10
+    shuffle_train_set: bool = True
+    silent_weight: float = 1.0
+    seed: int = 0
+
+    # parallelism (no reference counterpart -- SURVEY.md §2.3)
+    mesh_data_axis: int = -1                  # -1 => all devices on 'data'
+    mesh_model_axis: int = 1
+    compute_dtype: str = "float32"            # 'float32' | 'bfloat16'
+
+    # ------------------------------------------------------------------
+    def __post_init__(self) -> None:
+        if self.instrument_attach_method not in _INSTRUMENT_DIMS:
+            raise ValueError(
+                f"unknown instrument_attach_method {self.instrument_attach_method!r}"
+            )
+        if self.cell_type not in VALID_CELL_TYPES:
+            raise ValueError(f"unknown cell_type {self.cell_type!r}")
+        if self.smallest_note % 4 != 0:
+            raise ValueError("smallest_note must be a multiple of 4")
+        if self.num_layers_encoder <= 0 or self.num_layers_decoder <= 0:
+            raise ValueError("need at least one encoder and decoder layer")
+        if self.lstm_size <= 0 or self.latent_dim <= 0:
+            raise ValueError("lstm_size and latent_dim must be positive")
+        if self.beta <= 0:
+            raise ValueError("beta must be > 0 (vae_definition.py:183)")
+        if self.use_embedding and not self.include_silent_note:
+            raise ValueError("use_embedding requires include_silent_note")
+        if self.use_embedding and self.embedding_dim <= 0:
+            raise ValueError("use_embedding requires embedding_dim > 0")
+        if self.meta_instrument and self.meta_instrument_weight <= 0:
+            raise ValueError("meta_instrument_weight must be > 0")
+        if self.meta_velocity and self.meta_velocity_weight <= 0:
+            raise ValueError("meta_velocity_weight must be > 0")
+        if self.meta_held_notes and self.meta_held_notes_weight <= 0:
+            raise ValueError("meta_held_notes_weight must be > 0")
+        if self.meta_next_notes and self.meta_next_notes_weight <= 0:
+            raise ValueError("meta_next_notes_weight must be > 0")
+        if self.signature_decoder and self.signature_weight <= 0:
+            raise ValueError("signature_weight must be > 0")
+        if self.composer_decoder_at_instrument_output and not self.meta_instrument:
+            raise ValueError(
+                "composer_decoder_at_instrument_output requires meta_instrument"
+            )
+        if self.combine_velocity_and_held_notes and self.meta_held_notes:
+            raise ValueError(
+                "combine_velocity_and_held_notes forces meta_held_notes off "
+                "(settings.py:222-224)"
+            )
+
+    # ---------------- derived quantities ----------------
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes) + (1 if self.include_unknown else 0)
+
+    @property
+    def new_num_notes(self) -> int:
+        return self.high_crop - self.low_crop
+
+    @property
+    def silent_dim(self) -> int:
+        return 1 if self.include_silent_note else 0
+
+    @property
+    def composer_length(self) -> int:
+        return self.num_classes if self.include_composer_feature else 0
+
+    @property
+    def num_composers(self) -> int:
+        # settings.py:202-205
+        if (
+            self.include_composer_decoder
+            or self.composer_decoder_at_notes_output
+            or self.composer_decoder_at_instrument_output
+        ):
+            return self.num_classes
+        return 0
+
+    @property
+    def instrument_dim(self) -> int:
+        """Width of one instrument feature vector."""
+        return _INSTRUMENT_DIMS[self.instrument_attach_method]
+
+    @property
+    def attached_instrument_dim(self) -> int:
+        """Instrument width appended to note vectors (0 unless attach_instruments)."""
+        return self.instrument_dim if self.attach_instruments else 0
+
+    @property
+    def input_dim(self) -> int:
+        # settings.py:207
+        return (
+            self.new_num_notes
+            + self.composer_length
+            + self.silent_dim
+            + self.attached_instrument_dim
+        )
+
+    @property
+    def output_dim(self) -> int:
+        # settings.py:208
+        return self.new_num_notes + self.silent_dim + self.attached_instrument_dim
+
+    @property
+    def effective_max_voices(self) -> int:
+        # settings.py:141-144: song_completion forces max_voices = 1 on input
+        return 1 if self.song_completion else self.max_voices
+
+    @property
+    def input_length(self) -> int:
+        """Unrolled encoder sequence length (settings.py:140-144)."""
+        if self.song_completion:
+            return self.bars_input_length
+        return self.bars_input_length * self.max_voices
+
+    @property
+    def output_length(self) -> int:
+        """Unrolled decoder sequence length (settings.py:140)."""
+        return self.bars_output_length * self.max_voices
+
+    @property
+    def meta_instrument_dim(self) -> int:
+        return self.instrument_dim
+
+    @property
+    def meta_instrument_length(self) -> int:
+        return self.max_voices
+
+    @property
+    def meta_velocity_length(self) -> int:
+        return self.output_length
+
+    @property
+    def meta_held_notes_length(self) -> int:
+        return self.output_length
+
+    @property
+    def meta_next_notes_output_length(self) -> int:
+        return self.output_length
+
+    @property
+    def signature_dim(self) -> int:
+        return self.signature_vector_length
+
+    @property
+    def decoder_additional_input(self) -> bool:
+        return self.decoder_input_composer or self.append_signature_vector_to_latent
+
+    @property
+    def decoder_additional_input_dim(self) -> int:
+        dim = 0
+        if self.decoder_input_composer:
+            dim += self.num_classes
+        if self.append_signature_vector_to_latent:
+            dim += self.signature_vector_length
+        return dim
+
+    @property
+    def has_meta_heads(self) -> bool:
+        return (
+            self.meta_instrument
+            or self.meta_velocity
+            or self.meta_held_notes
+            or self.meta_next_notes
+        )
+
+    # ---------------- serialization ----------------
+    def to_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["classes"] = list(self.classes)
+        return d
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent, sort_keys=True)
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "classes" in kwargs:
+            kwargs["classes"] = tuple(kwargs["classes"])
+        return cls(**kwargs)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path, encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def small_test_config(**overrides: Any) -> Config:
+    """A tiny config for unit tests: fast to build and jit."""
+    base = dict(
+        bars_input_length=4,
+        bars_output_length=4,
+        lstm_size=16,
+        latent_dim=16,
+        batch_size=4,
+        max_voices=2,
+    )
+    base.update(overrides)
+    return Config(**base)

@@ -1,0 +1,379 @@
+"""Self-contained Standard MIDI File (SMF) reader/writer.
+
+The reference delegates MIDI parsing/writing to ``pretty_midi``/``mido``
+(/root/reference/import_midi.py:3, /root/reference/midi_functions.py:8-9).
+Neither library is available in this image, so the framework ships its own
+minimal SMF layer with the subset of semantics the pipeline needs:
+
+* per-instrument note lists with absolute start/end **seconds** derived from
+  the tempo map (pretty_midi semantics: one instrument per (track, channel,
+  program) stream; note_on vel 0 == note_off; a note_off closes every open
+  note at that pitch, notes starting at the same tick survive),
+* ``tempo_changes`` / ``end_time`` / ``time_signature_changes`` accessors used
+  by the tensorizer (import_midi.py:30-67),
+* a writer used by the roll->MIDI renderer (midi_functions.py:57-137):
+  format-1 file, tempo+4/4 meta track, one track per instrument.
+
+Everything here is host-side I/O code (the CPU boundary of the TPU pipeline).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Note:
+    pitch: int
+    velocity: int
+    start: float  # seconds
+    end: float    # seconds
+
+
+@dataclass
+class Instrument:
+    program: int = 0
+    is_drum: bool = False
+    name: str = ""
+    notes: list[Note] = field(default_factory=list)
+
+
+@dataclass
+class TimeSignature:
+    numerator: int
+    denominator: int
+    time: float  # seconds
+
+
+class MidiFile:
+    """In-memory MIDI song: instruments + tempo map, times in seconds."""
+
+    def __init__(self, initial_tempo: float = 120.0, resolution: int = 480):
+        self.resolution = resolution
+        self.instruments: list[Instrument] = []
+        self.time_signature_changes: list[TimeSignature] = []
+        # parallel arrays: change time (sec) and tempo in BPM from there on
+        self._tempo_change_times: list[float] = [0.0]
+        self._tempo_change_bpm: list[float] = [float(initial_tempo)]
+
+    # -- pretty_midi-compatible accessors used by the tensorizer --
+    def get_tempo_changes(self) -> tuple[list[float], list[float]]:
+        return list(self._tempo_change_times), list(self._tempo_change_bpm)
+
+    def get_end_time(self) -> float:
+        end = 0.0
+        for inst in self.instruments:
+            for n in inst.notes:
+                if n.end > end:
+                    end = n.end
+        return end
+
+    def set_tempo_changes(self, times: list[float], bpm: list[float]) -> None:
+        if not times or times[0] != 0.0:
+            raise ValueError("tempo map must start at t=0")
+        self._tempo_change_times = list(times)
+        self._tempo_change_bpm = list(bpm)
+
+    def write(self, path: str) -> None:
+        write_midi(self, path)
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+class MidiParseError(ValueError):
+    pass
+
+
+def _read_varlen(data: bytes, pos: int) -> tuple[int, int]:
+    value = 0
+    for _ in range(4):
+        if pos >= len(data):
+            raise MidiParseError("truncated variable-length quantity")
+        byte = data[pos]
+        pos += 1
+        value = (value << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            return value, pos
+    raise MidiParseError("variable-length quantity too long")
+
+
+def _parse_track_events(data: bytes):
+    """Yield (tick, status, payload_bytes) for one MTrk chunk body."""
+    pos = 0
+    tick = 0
+    running_status = None
+    while pos < len(data):
+        delta, pos = _read_varlen(data, pos)
+        tick += delta
+        if pos >= len(data):
+            break
+        status = data[pos]
+        if status & 0x80:
+            pos += 1
+            if status < 0xF0:
+                running_status = status
+        else:
+            if running_status is None:
+                raise MidiParseError("running status without prior status byte")
+            status = running_status
+        if status == 0xFF:  # meta
+            if pos >= len(data):
+                raise MidiParseError("truncated meta event")
+            meta_type = data[pos]
+            pos += 1
+            length, pos = _read_varlen(data, pos)
+            payload = data[pos : pos + length]
+            pos += length
+            yield tick, 0xFF00 | meta_type, payload
+            if meta_type == 0x2F:  # end of track
+                return
+        elif status in (0xF0, 0xF7):  # sysex
+            length, pos = _read_varlen(data, pos)
+            pos += length
+        else:
+            kind = status & 0xF0
+            nbytes = 1 if kind in (0xC0, 0xD0) else 2
+            payload = data[pos : pos + nbytes]
+            pos += nbytes
+            yield tick, status, payload
+
+
+class _TempoMap:
+    """tick -> seconds conversion from (tick, us_per_quarter) changes."""
+
+    def __init__(self, changes: list[tuple[int, int]], resolution: int):
+        # changes sorted by tick; ensure an entry at tick 0 (default 120bpm)
+        changes = sorted(changes)
+        if not changes or changes[0][0] != 0:
+            changes = [(0, 500000)] + changes
+        # deduplicate same-tick changes (last wins, like pretty_midi)
+        dedup: list[tuple[int, int]] = []
+        for tick, uspq in changes:
+            if dedup and dedup[-1][0] == tick:
+                dedup[-1] = (tick, uspq)
+            else:
+                dedup.append((tick, uspq))
+        self.resolution = resolution
+        self.ticks = [t for t, _ in dedup]
+        self.uspq = [u for _, u in dedup]
+        self.seconds = [0.0]
+        for i in range(1, len(self.ticks)):
+            dt = self.ticks[i] - self.ticks[i - 1]
+            self.seconds.append(
+                self.seconds[-1] + dt * self.uspq[i - 1] / (1e6 * resolution)
+            )
+
+    def to_seconds(self, tick: int) -> float:
+        # linear scan is fine: tempo maps are tiny
+        i = 0
+        for j in range(len(self.ticks)):
+            if self.ticks[j] <= tick:
+                i = j
+            else:
+                break
+        return self.seconds[i] + (tick - self.ticks[i]) * self.uspq[i] / (
+            1e6 * self.resolution
+        )
+
+    def change_times_and_bpm(self) -> tuple[list[float], list[float]]:
+        times = [self.seconds[i] for i in range(len(self.ticks))]
+        bpm = [6e7 / u for u in self.uspq]
+        return times, bpm
+
+
+def read_midi(path: str) -> MidiFile:
+    with open(path, "rb") as f:
+        data = f.read()
+    return parse_midi_bytes(data)
+
+
+def parse_midi_bytes(data: bytes) -> MidiFile:
+    if len(data) < 14 or data[:4] != b"MThd":
+        raise MidiParseError("not a MIDI file (missing MThd)")
+    header_len = struct.unpack(">I", data[4:8])[0]
+    fmt, ntracks, division = struct.unpack(">HHH", data[8:14])
+    if division & 0x8000:
+        raise MidiParseError("SMPTE time division is not supported")
+    resolution = division
+    pos = 8 + header_len
+
+    tracks: list[bytes] = []
+    while pos + 8 <= len(data) and len(tracks) < ntracks:
+        chunk_type = data[pos : pos + 4]
+        chunk_len = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + chunk_len]
+        pos += 8 + chunk_len
+        if chunk_type == b"MTrk":
+            tracks.append(body)
+
+    # pass 1: tempo map + time signatures across all tracks
+    tempo_changes: list[tuple[int, int]] = []
+    timesig_events: list[tuple[int, int, int]] = []
+    parsed_tracks = []
+    for body in tracks:
+        events = list(_parse_track_events(body))
+        parsed_tracks.append(events)
+        for tick, status, payload in events:
+            if status == 0xFF51 and len(payload) >= 3:
+                uspq = (payload[0] << 16) | (payload[1] << 8) | payload[2]
+                if uspq > 0:
+                    tempo_changes.append((tick, uspq))
+            elif status == 0xFF58 and len(payload) >= 2:
+                timesig_events.append((tick, payload[0], 1 << payload[1]))
+
+    tmap = _TempoMap(tempo_changes, resolution)
+
+    mid = MidiFile(resolution=resolution)
+    times, bpm = tmap.change_times_and_bpm()
+    mid.set_tempo_changes(times, bpm)
+    for tick, num, den in sorted(timesig_events):
+        mid.time_signature_changes.append(
+            TimeSignature(num, den, tmap.to_seconds(tick))
+        )
+
+    # pass 2: notes. one Instrument per (track, channel, program) stream.
+    for track_idx, events in enumerate(parsed_tracks):
+        current_program = {ch: 0 for ch in range(16)}
+        # open notes: (channel, pitch) -> list of (start_tick, velocity, program)
+        open_notes: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+        instruments: dict[tuple[int, int], Instrument] = {}
+
+        def get_instrument(channel: int, program: int) -> Instrument:
+            key = (channel, program)
+            if key not in instruments:
+                instruments[key] = Instrument(
+                    program=program, is_drum=(channel == 9)
+                )
+            return instruments[key]
+
+        def close_notes(channel: int, pitch: int, end_tick: int) -> None:
+            key = (channel, pitch)
+            stack = open_notes.get(key, [])
+            keep = []
+            for start_tick, velocity, program in stack:
+                if start_tick == end_tick:
+                    keep.append((start_tick, velocity, program))
+                    continue
+                start_s = tmap.to_seconds(start_tick)
+                end_s = tmap.to_seconds(end_tick)
+                if end_s > start_s:
+                    get_instrument(channel, program).notes.append(
+                        Note(pitch, velocity, start_s, end_s)
+                    )
+            if keep:
+                open_notes[key] = keep
+            elif key in open_notes:
+                del open_notes[key]
+
+        max_tick = 0
+        for tick, status, payload in events:
+            max_tick = max(max_tick, tick)
+            if status >= 0xFF00:
+                continue
+            kind = status & 0xF0
+            channel = status & 0x0F
+            if kind == 0xC0 and payload:
+                current_program[channel] = payload[0] & 0x7F
+            elif kind == 0x90 and len(payload) >= 2 and payload[1] > 0:
+                pitch, velocity = payload[0], payload[1]
+                open_notes.setdefault((channel, pitch), []).append(
+                    (tick, velocity, current_program[channel])
+                )
+            elif (kind == 0x80 and len(payload) >= 2) or (
+                kind == 0x90 and len(payload) >= 2 and payload[1] == 0
+            ):
+                close_notes(channel, payload[0], tick)
+
+        # close anything left hanging at end of track
+        for (channel, pitch), stack in list(open_notes.items()):
+            for start_tick, velocity, program in stack:
+                start_s = tmap.to_seconds(start_tick)
+                end_s = tmap.to_seconds(max_tick)
+                if end_s > start_s:
+                    get_instrument(channel, program).notes.append(
+                        Note(pitch, velocity, start_s, end_s)
+                    )
+
+        for key in sorted(instruments):
+            inst = instruments[key]
+            if inst.notes:
+                inst.notes.sort(key=lambda n: (n.start, n.pitch))
+                mid.instruments.append(inst)
+
+    return mid
+
+
+# ---------------------------------------------------------------------------
+# Writing
+# ---------------------------------------------------------------------------
+
+def _varlen(value: int) -> bytes:
+    if value < 0:
+        raise ValueError("negative delta time")
+    out = [value & 0x7F]
+    value >>= 7
+    while value:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    return bytes(reversed(out))
+
+
+def _track_chunk(events: list[tuple[int, bytes]]) -> bytes:
+    """events: list of (absolute_tick, raw_event_bytes), will be delta-encoded."""
+    events = sorted(events, key=lambda e: e[0])
+    body = bytearray()
+    prev_tick = 0
+    for tick, raw in events:
+        body += _varlen(tick - prev_tick)
+        body += raw
+        prev_tick = tick
+    body += _varlen(0) + bytes([0xFF, 0x2F, 0x00])
+    return b"MTrk" + struct.pack(">I", len(body)) + bytes(body)
+
+
+def write_midi(mid: MidiFile, path: str) -> None:
+    resolution = mid.resolution
+    times, bpms = mid.get_tempo_changes()
+    if len(times) != 1:
+        raise ValueError("writer supports a single initial tempo")
+    bpm = bpms[0]
+    sec_per_tick = 60.0 / (bpm * resolution)
+
+    def to_tick(seconds: float) -> int:
+        return max(0, int(round(seconds / sec_per_tick)))
+
+    chunks = []
+    # meta track: tempo + time signatures
+    uspq = int(round(6e7 / bpm))
+    meta_events = [(0, bytes([0xFF, 0x51, 0x03]) + uspq.to_bytes(3, "big"))]
+    for ts in mid.time_signature_changes:
+        den_pow = max(0, ts.denominator.bit_length() - 1)
+        meta_events.append(
+            (
+                to_tick(ts.time),
+                bytes([0xFF, 0x58, 0x04, ts.numerator, den_pow, 24, 8]),
+            )
+        )
+    chunks.append(_track_chunk(meta_events))
+
+    for i, inst in enumerate(mid.instruments):
+        channel = 9 if inst.is_drum else (i % 15 + (1 if i % 15 >= 9 else 0))
+        events: list[tuple[int, bytes]] = [
+            (0, bytes([0xC0 | channel, inst.program & 0x7F]))
+        ]
+        for note in inst.notes:
+            velocity = int(max(1, min(127, round(note.velocity))))
+            start_tick = to_tick(note.start)
+            end_tick = max(start_tick + 1, to_tick(note.end))
+            events.append(
+                (start_tick, bytes([0x90 | channel, note.pitch & 0x7F, velocity]))
+            )
+            events.append((end_tick, bytes([0x80 | channel, note.pitch & 0x7F, 0])))
+        chunks.append(_track_chunk(events))
+
+    header = b"MThd" + struct.pack(">IHHH", 6, 1, len(chunks), resolution)
+    with open(path, "wb") as f:
+        f.write(header + b"".join(chunks))

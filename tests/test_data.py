@@ -1,0 +1,350 @@
+"""Data-layer tests: SMF I/O, tensorizer invariants, dataset building.
+
+These encode the reference's inline asserts (import_midi.py:251-265 one-hot /
+monophonicity invariants, velocity scaling <= 1) as a real test suite
+(SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from midi_vae_tpu.config import Config
+from midi_vae_tpu.data import smf, tensorize
+from midi_vae_tpu.data.dataset import import_midi_from_folder
+
+
+def make_midi(notes_per_program, bpm=120.0, resolution=480):
+    """notes_per_program: {program: [(pitch, velocity, start_s, end_s), ...]}"""
+    mid = smf.MidiFile(initial_tempo=bpm, resolution=resolution)
+    for program, notes in notes_per_program.items():
+        inst = smf.Instrument(program=program)
+        for pitch, vel, start, end in notes:
+            inst.notes.append(smf.Note(pitch, vel, start, end))
+        mid.instruments.append(inst)
+    return mid
+
+
+class TestConfig:
+    def test_reference_default_dims(self):
+        cfg = Config()
+        assert cfg.num_classes == 2
+        assert cfg.new_num_notes == 60
+        assert cfg.input_dim == 61  # models/JvP/params.txt input_dim: 61
+        assert cfg.output_dim == 61
+        assert cfg.input_length == 64  # 16 * max_voices (settings.py:140)
+        assert cfg.output_length == 64
+        assert cfg.instrument_dim == 16
+        assert cfg.num_composers == 2
+        assert cfg.meta_instrument_length == 4
+
+    def test_json_roundtrip(self, tmp_path):
+        cfg = Config(classes=("Bach", "Mozart"), beta=0.05, lstm_size=128)
+        p = str(tmp_path / "config.json")
+        cfg.save(p)
+        cfg2 = Config.load(p)
+        assert cfg2 == cfg
+
+    def test_song_completion_dims(self):
+        cfg = Config(song_completion=True)
+        assert cfg.input_length == 16
+        assert cfg.output_length == 64
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            Config(beta=0.0)
+        with pytest.raises(ValueError):
+            Config(cell_type="Transformer")
+
+
+class TestSMF:
+    def test_roundtrip(self, tmp_path):
+        mid = make_midi({0: [(60, 90, 0.0, 0.5), (64, 70, 0.5, 1.0)],
+                         40: [(48, 100, 0.0, 2.0)]})
+        path = str(tmp_path / "song.mid")
+        mid.write(path)
+        back = smf.read_midi(path)
+        assert len(back.instruments) == 2
+        by_prog = {i.program: i for i in back.instruments}
+        assert set(by_prog) == {0, 40}
+        notes = sorted(by_prog[0].notes, key=lambda n: n.start)
+        assert [n.pitch for n in notes] == [60, 64]
+        assert abs(notes[0].start - 0.0) < 1e-3
+        assert abs(notes[0].end - 0.5) < 1e-3
+        assert notes[0].velocity == 90
+        times, bpm = back.get_tempo_changes()
+        assert len(times) == 1 and abs(bpm[0] - 120.0) < 1e-6
+
+    def test_tempo_changes(self, tmp_path):
+        # hand-build a file with two tempi to exercise the tempo map
+        mid = make_midi({0: [(60, 90, 0.0, 8.0)]}, bpm=120.0)
+        path = str(tmp_path / "t.mid")
+        mid.write(path)
+        back = smf.read_midi(path)
+        assert abs(back.get_end_time() - 8.0) < 1e-3
+
+    def test_note_on_zero_velocity_is_off(self, tmp_path):
+        # craft raw bytes: note_on, then note_on vel 0
+        import struct
+        body = b""
+        body += bytes([0x00, 0xC0, 0x00])
+        body += bytes([0x00, 0x90, 60, 100])
+        body += bytes([0x60, 0x90, 60, 0])  # 96 ticks later, vel 0 == off
+        body += bytes([0x00, 0xFF, 0x2F, 0x00])
+        track = b"MTrk" + struct.pack(">I", len(body)) + body
+        header = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+        p = tmp_path / "raw.mid"
+        p.write_bytes(header + track)
+        back = smf.read_midi(str(p))
+        assert len(back.instruments) == 1
+        (note,) = back.instruments[0].notes
+        assert note.pitch == 60 and abs(note.end - 0.5) < 1e-6  # 96 ticks @120
+
+
+class TestInstrumentMatrix:
+    @pytest.mark.parametrize("method", ["1hot-category", "1hot-instrument"])
+    def test_onehot_roundtrip(self, method):
+        programs = [0, 25, 40, 73]
+        I = tensorize.programs_to_instrument_matrix(programs, method, 4)
+        assert I.shape[0] == 4
+        assert np.all(I.sum(axis=1) == 1)
+        back = tensorize.instrument_matrix_to_programs(I, method)
+        if method == "1hot-instrument":
+            assert back == programs
+        else:
+            assert back == [(p // 8) * 8 for p in programs]
+
+    def test_khot_category(self):
+        I = tensorize.programs_to_instrument_matrix([25], "khot-category", 4)
+        # program 25 -> category 3 -> bits 0b0011
+        assert list(I[0]) == [1, 1, 0, 0]
+        back = tensorize.instrument_matrix_to_programs(I[:1], "khot-category")
+        assert back == [24]
+
+    def test_missing_voices_are_zero(self):
+        I = tensorize.programs_to_instrument_matrix([0], "1hot-category", 4)
+        assert I[1:].sum() == 0
+
+
+class TestLoadRolls:
+    def cfg(self, **kw):
+        return Config(**kw)
+
+    def test_basic_monophonic(self):
+        # 120bpm, SMALLEST_NOTE=16 -> fs=8 ticks/s; quarter=0.5s, 16th=0.125s
+        cfg = self.cfg()
+        notes = [(60, 100, 0.0, 0.125), (62, 100, 0.125, 0.25), (64, 100, 0.25, 0.5)]
+        mid = make_midi({0: notes})
+        song = tensorize.load_rolls(mid, cfg)
+        assert song is not None
+        X, Y, I, V, D = song.X, song.Y, song.I, song.V, song.D
+        assert Y.shape[1:] == (64, 61)
+        assert X.shape == Y.shape
+        # every unrolled row one-hot (incl. silent)
+        flat = Y.reshape(-1, 61)
+        assert np.all(flat.sum(axis=1) == 1)
+        # voice 0 of step 0 = pitch 60 -> index 60-24=36
+        assert flat[0, 36] == 1
+        # voices 1..3 of step 0 silent
+        assert flat[1, 60] == 1 and flat[2, 60] == 1 and flat[3, 60] == 1
+        # step 1 (row 4) = pitch 62
+        assert flat[4, 38] == 1
+        # velocity scaled: 0.5 + (100/127)*0.5
+        np.testing.assert_allclose(
+            V.reshape(-1)[0], 0.5 + (100 / 127) * 0.5, rtol=1e-6
+        )
+        assert V.reshape(-1).max() <= 1.0
+        # note 3 spans ticks 2..4: start not held, tick 3 held
+        flatD = D.reshape(-1)
+        assert flatD[2 * 4] == 0 and flatD[3 * 4] == 1
+        assert I.shape == (4, 16) and I[0, 0] == 1
+
+    def test_polyphony_split_highest_first(self):
+        cfg = self.cfg()
+        # chord C4+E4+G4 for one quarter note
+        notes = [(60, 90, 0.0, 0.5), (64, 80, 0.0, 0.5), (67, 70, 0.0, 0.5)]
+        mid = make_midi({0: notes})
+        song = tensorize.load_rolls(mid, cfg)
+        flat = song.Y.reshape(-1, 61)
+        # voice 0 = highest pitch (67->43), voice 1 = 64->40, voice 2 = 60->36
+        assert flat[0, 67 - 24] == 1
+        assert flat[1, 64 - 24] == 1
+        assert flat[2, 60 - 24] == 1
+        assert flat[3, 60] == 1  # silent
+        # voice-count override: single track with 3 concurrent -> gets 3 voices
+        assert song.I[0, 0] == 1 and song.I[1, 0] == 1 and song.I[2, 0] == 1
+
+    def test_pitch_crop(self):
+        cfg = self.cfg()
+        # pitch 100 >= high_crop=84 must vanish; pitch 20 < low_crop=24 too
+        mid = make_midi({0: [(100, 90, 0.0, 0.5), (20, 90, 0.5, 1.0)]})
+        song = tensorize.load_rolls(mid, cfg)
+        flat = song.Y.reshape(-1, 61)
+        assert np.all(flat[:, :60].sum(axis=1) == 0)
+        assert np.all(flat[:, 60] == 1)  # everything silent
+
+    def test_quantization_edge(self):
+        cfg = self.cfg()
+        # a note starting off-grid whose rounded span is empty is dropped
+        # (import_midi.py:122): tick=0.125s; 0.3..0.45 ticks rounds to [0,0)
+        mid = make_midi({0: [(60, 90, 0.0375, 0.05625), (72, 90, 0.5, 1.0)]})
+        song = tensorize.load_rolls(mid, cfg)
+        flat = song.Y.reshape(-1, 61)
+        assert flat[:, 60 - 24].sum() == 0  # dropped
+        assert flat[:, 72 - 24].sum() > 0
+
+    def test_windowing_pads_with_silence(self):
+        cfg = self.cfg()
+        # 5 sixteenths of sound -> 20 unrolled rows -> pad to 64
+        mid = make_midi({0: [(60, 90, 0.0, 0.625)]})
+        song = tensorize.load_rolls(mid, cfg)
+        assert song.Y.shape == (1, 64, 61)
+        flat = song.Y.reshape(-1, 61)
+        assert np.all(flat.sum(axis=1) == 1)  # padding marked silent
+        assert flat[-1, 60] == 1
+
+    def test_two_instruments(self):
+        cfg = self.cfg()
+        mid = make_midi({
+            0: [(60, 90, 0.0, 1.0)],                      # 8 ticks active
+            40: [(50, 90, 0.0, 2.0)],                      # 16 ticks -> more active
+        })
+        song = tensorize.load_rolls(mid, cfg)
+        # instrument 40 (strings, cat 5) is busier -> voice 0
+        assert song.I[0, 5] == 1
+        assert song.I[1, 0] == 1
+        flat = song.Y.reshape(-1, 61)
+        assert flat[0, 50 - 24] == 1  # voice 0 row = strings pitch
+        assert flat[1, 60 - 24] == 1  # voice 1 row = piano pitch
+
+
+class TestRollsToMidiRoundtrip:
+    def test_roundtrip(self, tmp_path):
+        cfg = Config()
+        notes = [(60, 100, 0.0, 0.25), (64, 80, 0.25, 0.5), (67, 90, 0.5, 1.0)]
+        mid = make_midi({0: notes}, bpm=120.0)
+        song = tensorize.load_rolls(mid, cfg)
+        flatY = song.Y.reshape(-1, song.Y.shape[-1])
+        flatV = song.V.reshape(-1)
+        flatD = song.D.reshape(-1)
+        programs = tensorize.instrument_matrix_to_programs(
+            song.I, cfg.instrument_attach_method
+        )
+        out = tensorize.rolls_to_midi(
+            flatY, programs, cfg, 120.0, flatV, flatD
+        )
+        got = sorted(
+            [(n.pitch, round(n.start, 3), round(n.end, 3)) for n in out.instruments[0].notes]
+        )
+        assert [g[0] for g in got] == [60, 64, 67]
+        # timing preserved (16th grid at 120bpm = 0.125s)
+        assert got[0][1] == 0.0 and abs(got[0][2] - 0.25) < 1e-6
+        assert abs(got[2][1] - 0.5) < 1e-6 and abs(got[2][2] - 1.0) < 1e-6
+        # velocities survive the scale/unscale roundtrip within rounding
+        vels = {n.pitch: n.velocity for n in out.instruments[0].notes}
+        assert abs(vels[60] - 100) <= 1
+        assert abs(vels[64] - 80) <= 1
+
+
+class TestDatasetBuilder:
+    def build_corpus(self, root):
+        import os
+
+        rng = np.random.RandomState(0)
+        for ci, cname in enumerate(["style1", "style2"]):
+            d = root / cname
+            os.makedirs(d, exist_ok=True)
+            for s in range(6):
+                notes = []
+                t = 0.0
+                for _ in range(16):
+                    pitch = int(rng.randint(40 + ci * 12, 70 + ci * 12))
+                    dur = 0.125 * int(rng.randint(1, 4))
+                    notes.append((pitch, int(rng.randint(40, 120)), t, t + dur))
+                    t += dur
+                make_midi({ci * 8: notes}).write(str(d / f"s{s}.mid"))
+
+    def test_import_and_split(self, tmp_path):
+        self.build_corpus(tmp_path)
+        cfg = Config()
+        ds = import_midi_from_folder(str(tmp_path), cfg)
+        assert ds.train_set_size + ds.test_set_size == 12
+        assert ds.test_set_size == 2  # 10% of 12 rounds via sklearn -> 2
+        # stratified: one test song per class
+        assert sorted(ds.C_test) == [0, 1]
+        for X, Y in zip(ds.X_train, ds.Y_train):
+            assert X.shape == Y.shape
+            assert X.shape[1:] == (64, 61)
+
+    def test_cache(self, tmp_path):
+        self.build_corpus(tmp_path)
+        cfg = Config()
+        cache = str(tmp_path / "cache")
+        ds1 = import_midi_from_folder(str(tmp_path), cfg, cache_dir=cache)
+        ds2 = import_midi_from_folder(str(tmp_path), cfg, cache_dir=cache)
+        assert ds1.train_paths == ds2.train_paths
+        np.testing.assert_array_equal(ds1.X_train[0], ds2.X_train[0])
+
+    def test_equal_mini_songs(self, tmp_path):
+        self.build_corpus(tmp_path)
+        cfg = Config(equal_mini_songs=True)
+        ds = import_midi_from_folder(str(tmp_path), cfg)
+        from midi_vae_tpu.data.dataset import windows_per_song
+
+        per_class = [0, 0]
+        for Y, c in zip(ds.Y_train, ds.C_train):
+            per_class[c] += windows_per_song(Y, cfg)
+        # neither class may exceed the min count computed before filtering
+        assert max(per_class) <= min(per_class) + max(
+            windows_per_song(Y, cfg) for Y in ds.Y_train
+        )
+
+
+class TestMusicUtils:
+    def test_khot_transform(self):
+        from midi_vae_tpu.utils.music import monophonic_to_khot_pianoroll
+
+        roll = np.zeros((8, 5))
+        roll[0, 1] = 1  # step0 voice0
+        roll[1, 3] = 1  # step0 voice1
+        roll[4, 1] = 1  # step1 voice0
+        poly = monophonic_to_khot_pianoroll(roll, 4)
+        assert poly.shape == (2, 5)
+        assert poly[0, 1] == 1 and poly[0, 3] == 1 and poly[1, 1] == 1
+
+    def test_harmonicity_identical_tracks(self):
+        from midi_vae_tpu.utils.music import (
+            get_harmonicity_scores_for_each_track_combination,
+        )
+
+        roll = np.zeros((64, 61))
+        # all 4 voices play the same pitch class
+        for step in range(0, 64, 4):
+            for v in range(4):
+                roll[step + v, 36] = 1
+        m = get_harmonicity_scores_for_each_track_combination(roll[:, :60], 4)
+        assert np.allclose(np.nan_to_num(m), 0.0, atol=1e-6)
+
+    def test_signature_vector(self):
+        from midi_vae_tpu.utils.music import signature_from_pianoroll
+
+        roll = np.zeros((16, 60))
+        roll[0:4, 36] = 1  # one 4-step note
+        sig = signature_from_pianoroll(roll)
+        assert len(sig) == 15
+        assert sig[0] == 1 / 16          # one note / 16 steps
+        assert sig[1] == 4 / 16          # occupation
+        assert sig[2] == 0               # no polyphony
+        assert abs(sig[3] - 60 / 127) < 1e-9  # highest pitch (36+24)/127
+
+    def test_mahalanobis(self):
+        from midi_vae_tpu.utils.music import (
+            get_mean_and_cov_from_vector_list,
+            mahalanobis_distance,
+        )
+
+        rng = np.random.RandomState(0)
+        data = rng.randn(100, 5)
+        mean, cov = get_mean_and_cov_from_vector_list(data)
+        d = mahalanobis_distance(mean, mean, cov)
+        assert d == 0.0
+        assert mahalanobis_distance(mean + 1, mean, cov) > 0
