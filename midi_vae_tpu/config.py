@@ -191,6 +191,13 @@ class Config:
             raise ValueError(
                 "composer_decoder_at_instrument_output requires meta_instrument"
             )
+        if self.signature_decoder:
+            offset = self.num_composers if self.include_composer_decoder else 0
+            if offset + self.signature_vector_length > self.latent_dim:
+                raise ValueError(
+                    "latent_dim too small for the signature probe slice "
+                    f"({offset}+{self.signature_vector_length} > {self.latent_dim})"
+                )
         if self.combine_velocity_and_held_notes and self.meta_held_notes:
             raise ValueError(
                 "combine_velocity_and_held_notes forces meta_held_notes off "

@@ -9,3 +9,4 @@ from .tensorize import (
     save_rolls_as_midi,
 )
 from .dataset import Dataset, import_midi_from_folder
+from . import batching

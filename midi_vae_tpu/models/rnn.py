@@ -1,0 +1,181 @@
+"""Sequence RNN encoders and autoregressive decode scans.
+
+This module is the TPU-native replacement for the reference's two recurrent
+engines:
+
+* Keras ``GRU/LSTM/SimpleRNN(return_sequences=...)`` encoder stacks
+  (/root/reference/vae_definition.py:443-480) become ``encode_sequence``:
+  the input projection for ALL timesteps is one large batched matmul feeding
+  a ``jax.lax.scan`` that only carries the recurrent part,
+* recurrentshop's ``RecurrentModel(decode=True, readout_input=...,
+  teacher_force=...)`` readout decoders (vae_definition.py:519-728) become
+  ``decode_autoregressive``: a scan whose carry holds the per-layer states
+  and the previous output, which is fed back as the next input (softmax
+  probabilities, matching the reference's feedback of activation outputs);
+  teacher forcing swaps the feedback for the shifted ground truth.
+
+An optional Pallas-fused step path is plugged in from ``..ops.fused_gru``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .cells import activation_fn, dense_apply, get_cell, zero_states
+
+Params = dict[str, Any]
+
+
+def encode_sequence(
+    layer_params: list[Params],
+    xs: jnp.ndarray,
+    cell_type: str,
+    activation: str = "tanh",
+    bidirectional: bool = False,
+) -> jnp.ndarray:
+    """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
+
+    Mirrors the reference encoder stack: all layers but the last return
+    sequences; the final layer returns its last hidden state
+    (vae_definition.py:455-461). ``bidirectional`` wraps the non-final
+    layers in forward+backward passes with concat merge
+    (vae_definition.py:447-453).
+    """
+    cell = get_cell(cell_type)
+    act = activation_fn(activation)
+    h = xs
+    n_layers = len(layer_params)
+    for i, p in enumerate(layer_params):
+        is_last = i == n_layers - 1
+        if bidirectional and not is_last:
+            fwd = _scan_layer(cell, p["fwd"], h, act, return_sequences=True)
+            bwd = _scan_layer(
+                cell, p["bwd"], h[:, ::-1, :], act, return_sequences=True
+            )[:, ::-1, :]
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            h = _scan_layer(cell, p, h, act, return_sequences=not is_last)
+    return h
+
+
+def _scan_layer(cell, p: Params, xs: jnp.ndarray, act, return_sequences: bool):
+    """One RNN layer over (B, T, D). x-projection batched across time."""
+    B, T, _D = xs.shape
+    hidden = p["u"].shape[0]
+    # (B, T, gates) in one matmul -- the MXU-friendly layout
+    xp = cell.x_proj(p, xs.reshape(B * T, -1)).reshape(B, T, -1)
+    init = zero_states(cell, B, hidden, xs.dtype)
+
+    def step(states, xp_t):
+        out, new_states = cell.step(p, xp_t, states, act)
+        return new_states, (out if return_sequences else None)
+
+    final_states, outs = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))
+    if return_sequences:
+        return jnp.swapaxes(outs, 0, 1)
+    return final_states[0]  # h of the last step
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive decoding
+# ---------------------------------------------------------------------------
+
+def init_decoder_states(
+    init_dense: list[Params],
+    new_encoded: jnp.ndarray,
+    cell_type: str,
+    state_activation: str,
+) -> tuple[tuple, ...]:
+    """Per-layer initial states = Dense(tanh)([z ⊕ history ⊕ ...])
+    (vae_definition.py:558-570). ``init_dense`` is flat: num_layers *
+    num_states dense params, layer-major."""
+    cell = get_cell(cell_type)
+    act = activation_fn(state_activation)
+    states: list[tuple] = []
+    i = 0
+    n_layers = len(init_dense) // cell.num_states
+    for _layer in range(n_layers):
+        layer_states = []
+        for _s in range(cell.num_states):
+            layer_states.append(act(dense_apply(init_dense[i], new_encoded)))
+            i += 1
+        states.append(tuple(layer_states))
+    return tuple(states)
+
+
+def decode_autoregressive(
+    cell_params: list[Params],
+    out_dense: Params,
+    initial_states: tuple[tuple, ...],
+    start: jnp.ndarray,
+    output_length: int,
+    cell_type: str,
+    lstm_activation: str = "tanh",
+    out_activation: str = "softmax",
+    ground_truth: jnp.ndarray | None = None,
+    fused_step=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Readout decode loop: output_t feeds back as input_{t+1}.
+
+    Args:
+      cell_params: per-layer cell params (stacked cells inside one step).
+      out_dense: the Dense head producing the per-step output.
+      initial_states: per-layer state tuples from ``init_decoder_states``.
+      start: (B, out_dim) start symbol = input of step 0
+        (``initial_readout``, vae_definition.py:570).
+      ground_truth: optional (B, T, out_dim); when given, step t>0 consumes
+        ground_truth[t-1] instead of the previous output (teacher forcing).
+
+    Returns:
+      (probs, logits): both (B, T, out_dim); probs = out_activation(logits)
+      (the feedback signal), logits for numerically-stable losses.
+    """
+    cell = get_cell(cell_type)
+    act = activation_fn(lstm_activation)
+    out_act = activation_fn(out_activation)
+
+    if ground_truth is not None:
+        # teacher forcing: inputs are known ahead of time -> plain scan over
+        # [start, gt[0], ..., gt[T-2]]
+        inputs = jnp.concatenate(
+            [start[:, None, :], ground_truth[:, :-1, :]], axis=1
+        )
+
+        def tf_step(states, x_t):
+            out = x_t
+            new_states = []
+            for p, s in zip(cell_params, states):
+                xp = cell.x_proj(p, out)
+                out, ns = cell.step(p, xp, s, act)
+                new_states.append(ns)
+            logits = dense_apply(out_dense, out)
+            return tuple(new_states), logits
+
+        _, logits = jax.lax.scan(
+            tf_step, initial_states, jnp.swapaxes(inputs, 0, 1)
+        )
+        logits = jnp.swapaxes(logits, 0, 1)
+        return out_act(logits), logits
+
+    def ar_step(carry, _):
+        states, prev_out = carry
+        out = prev_out
+        new_states = []
+        for p, s in zip(cell_params, states):
+            if fused_step is not None:
+                out, ns = fused_step(p, out, s)
+            else:
+                xp = cell.x_proj(p, out)
+                out, ns = cell.step(p, xp, s, act)
+            new_states.append(ns)
+        logits = dense_apply(out_dense, out)
+        probs = out_act(logits)
+        return (tuple(new_states), probs), (probs, logits)
+
+    (_, _), (probs, logits) = jax.lax.scan(
+        ar_step, (initial_states, start), None, length=output_length
+    )
+    return jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1)

@@ -1,0 +1,520 @@
+"""The MIDI-VAE model: recurrent beta-VAE with multi-head readout decoder.
+
+TPU-native re-design of the reference ``VAE`` class
+(/root/reference/vae_definition.py:39-761): one parameter pytree, pure
+``encode``/``decode``/``apply`` functions built on ``lax.scan`` RNNs, and a
+single fused loss replacing the Keras multi-output compile + ``add_loss`` KL
+(vae_definition.py:332-441, :15-37).
+
+Architecture (vae_definition.py:443-728, cf. SURVEY.md §3.5):
+
+  encoder:  X -> stacked RNN -> h;  per-meta single RNNs over I/V/D -> concat
+            -> fusion Dense(tanh) -> extra Dense(tanh) -> split halves
+            -> Dense z_mean, Dense z_log_var;  z = mu + exp(logvar/2) * eps,
+            eps ~ N(0, epsilon_std^2)
+  decoder:  new_encoded = [z ⊕ history ⊕ additional]; per head: per-layer
+            initial states = Dense(tanh)(new_encoded); autoregressive readout
+            scan with Dense+activation output fed back as next input
+  probes:   composer = softmax(z[:, :num_composers])       (vae_def.py:730-734)
+            signature = act(z[:, k:k+signature_dim])        (vae_def.py:737-745)
+
+Reference bugs NOT replicated (SURVEY.md §2.4): the encoder fusion condition
+uses meta_held_notes too (vae_definition.py:483 repeats meta_instrument);
+``self.epsilon_factor`` is read instead of the settings global
+(vae_definition.py:509).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .cells import activation_fn, dense_apply, dense_init, get_cell
+from .rnn import decode_autoregressive, encode_sequence, init_decoder_states
+
+Params = dict[str, Any]
+
+
+class MidiVAE:
+    """Functional model wrapper: holds config, no state."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.cell = get_cell(cfg.cell_type)
+
+    # ------------------------------------------------------------------
+    # Parameter initialization
+    # ------------------------------------------------------------------
+    def init_params(self, key: jax.Array) -> Params:
+        cfg = self.cfg
+        cell = self.cell
+        keys = iter(jax.random.split(key, 256))
+
+        def rnn_stack(n_layers: int, in_dim: int, bidirectional: bool) -> list:
+            layers = []
+            d = in_dim
+            for i in range(n_layers):
+                is_last = i == n_layers - 1
+                if bidirectional and not is_last:
+                    layers.append(
+                        {
+                            "fwd": cell.init(next(keys), d, cfg.lstm_size),
+                            "bwd": cell.init(next(keys), d, cfg.lstm_size),
+                        }
+                    )
+                    d = 2 * cfg.lstm_size
+                else:
+                    layers.append(cell.init(next(keys), d, cfg.lstm_size))
+                    d = cfg.lstm_size
+            return layers
+
+        enc: Params = {}
+        enc_in = cfg.embedding_dim if cfg.use_embedding else cfg.input_dim
+        if cfg.use_embedding:
+            enc["embedding"] = dense_init(next(keys), cfg.input_dim, cfg.embedding_dim)
+        enc["notes_rnn"] = rnn_stack(cfg.num_layers_encoder, enc_in, cfg.bidirectional)
+        n_meta = 0
+        if cfg.meta_instrument:
+            enc["inst_rnn"] = rnn_stack(1, cfg.meta_instrument_dim, False)
+            n_meta += 1
+        if cfg.meta_velocity:
+            enc["vel_rnn"] = rnn_stack(1, 1, False)
+            n_meta += 1
+        if cfg.meta_held_notes:
+            enc["held_rnn"] = rnn_stack(1, 2, False)
+            n_meta += 1
+        if n_meta:
+            enc["fusion"] = dense_init(
+                next(keys), cfg.lstm_size * (1 + n_meta), cfg.lstm_size
+            )
+        if cfg.extra_layer:
+            enc["extra"] = dense_init(next(keys), cfg.lstm_size, cfg.lstm_size)
+        half = cfg.lstm_size // 2 if cfg.split_lstm_vector else cfg.lstm_size
+        other_half = (
+            cfg.lstm_size - cfg.lstm_size // 2
+            if cfg.split_lstm_vector
+            else cfg.lstm_size
+        )
+        enc["z_mean"] = dense_init(next(keys), half, cfg.latent_dim)
+        enc["z_log_var"] = dense_init(next(keys), other_half, cfg.latent_dim)
+
+        new_dim = cfg.latent_dim
+        if cfg.history:
+            new_dim += cfg.latent_dim
+        if cfg.decoder_additional_input:
+            new_dim += cfg.decoder_additional_input_dim
+
+        def head(n_layers: int, head_dim: int) -> Params:
+            cells = []
+            d = head_dim
+            for _ in range(n_layers):
+                cells.append(cell.init(next(keys), d, cfg.lstm_size))
+                d = cfg.lstm_size
+            init_dense = [
+                dense_init(next(keys), new_dim, cfg.lstm_size)
+                for _ in range(n_layers * cell.num_states)
+            ]
+            return {
+                "cells": cells,
+                "out": dense_init(next(keys), cfg.lstm_size, head_dim),
+                "init": init_dense,
+            }
+
+        dec: Params = {"notes": head(cfg.num_layers_decoder, cfg.output_dim)}
+        if cfg.meta_instrument:
+            dec["instrument"] = head(1, cfg.meta_instrument_dim)
+        if cfg.meta_velocity:
+            dec["velocity"] = head(1, 1)
+        if cfg.meta_held_notes:
+            dec["held"] = head(1, 2)
+        if cfg.meta_next_notes:
+            dec["next"] = head(cfg.num_layers_decoder, cfg.output_dim)
+
+        params: Params = {"encoder": enc, "decoder": dec}
+
+        if cfg.composer_decoder_at_notes_output:
+            params["composer_at_notes"] = {
+                "rnn": rnn_stack(1, cfg.output_dim, False),
+                "out": dense_init(next(keys), cfg.lstm_size, cfg.num_composers),
+            }
+        if cfg.composer_decoder_at_instrument_output:
+            params["composer_at_instrument"] = {
+                "rnn": rnn_stack(1, cfg.meta_instrument_dim, False),
+                "out": dense_init(next(keys), cfg.lstm_size, cfg.num_composers),
+            }
+        return params
+
+    # ------------------------------------------------------------------
+    # Encoder
+    # ------------------------------------------------------------------
+    def encode_stats(self, params: Params, batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """X/I/V/D -> (z_mean, z_log_var)."""
+        cfg = self.cfg
+        enc = params["encoder"]
+        x = batch["X"]
+        if cfg.use_embedding:
+            x = dense_apply(enc["embedding"], x)
+        h = encode_sequence(
+            enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation, cfg.bidirectional
+        )
+        parts = [h]
+        if cfg.meta_instrument:
+            parts.append(
+                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation)
+            )
+        if cfg.meta_velocity:
+            parts.append(
+                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation)
+            )
+        if cfg.meta_held_notes:
+            parts.append(
+                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation)
+            )
+        if len(parts) > 1:
+            h = jnp.concatenate(parts, axis=-1)
+            act = activation_fn(cfg.activation_before_splitting)
+            h = act(dense_apply(enc["fusion"], h))
+        if cfg.extra_layer:
+            act = activation_fn(cfg.activation_before_splitting)
+            h = act(dense_apply(enc["extra"], h))
+        if cfg.split_lstm_vector:
+            half = cfg.lstm_size // 2
+            h1, h2 = h[:, :half], h[:, half:]
+        else:
+            h1 = h2 = h
+        z_mean = dense_apply(enc["z_mean"], h1)
+        z_log_var = dense_apply(enc["z_log_var"], h2)
+        return z_mean, z_log_var
+
+    def sample_z(
+        self,
+        z_mean: jnp.ndarray,
+        z_log_var: jnp.ndarray,
+        rng: jax.Array | None,
+        epsilon_std: float,
+    ) -> jnp.ndarray:
+        """Reparameterized z = mu + exp(logvar/2)*eps, eps~N(0, epsilon_std^2)
+        (vae_definition.py:498-502). epsilon_std=0 or rng=None => z_mean."""
+        if rng is None or epsilon_std == 0.0:
+            return z_mean
+        eps = epsilon_std * jax.random.normal(rng, z_mean.shape, z_mean.dtype)
+        return z_mean + jnp.exp(z_log_var / 2.0) * eps
+
+    def encode(
+        self,
+        params: Params,
+        batch: dict,
+        rng: jax.Array | None = None,
+        epsilon_std: float = 0.0,
+    ) -> jnp.ndarray:
+        """The reference ``encoder.predict`` equivalent: returns z."""
+        z_mean, z_log_var = self.encode_stats(params, batch)
+        return self.sample_z(z_mean, z_log_var, rng, epsilon_std)
+
+    # ------------------------------------------------------------------
+    # Decoder
+    # ------------------------------------------------------------------
+    def decode(
+        self,
+        params: Params,
+        z: jnp.ndarray,
+        history: jnp.ndarray | None = None,
+        additional: jnp.ndarray | None = None,
+        ground_truth: jnp.ndarray | None = None,
+    ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
+        """z (+history/additional) -> per-head (probs, logits) sequences."""
+        cfg = self.cfg
+        dec = params["decoder"]
+        B = z.shape[0]
+        parts = [z]
+        if cfg.history:
+            parts.append(
+                history
+                if history is not None
+                else jnp.zeros((B, cfg.latent_dim), z.dtype)
+            )
+        if cfg.decoder_additional_input:
+            parts.append(additional)
+        new_encoded = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else z
+
+        def run_head(
+            name: str,
+            head_dim: int,
+            length: int,
+            out_activation: str,
+            gt: jnp.ndarray | None,
+        ):
+            h = dec[name]
+            states = init_decoder_states(
+                h["init"], new_encoded, cfg.cell_type, cfg.lstm_state_activation
+            )
+            start = jnp.zeros((B, head_dim), z.dtype)
+            return decode_autoregressive(
+                h["cells"],
+                h["out"],
+                states,
+                start,
+                length,
+                cfg.cell_type,
+                cfg.lstm_activation,
+                out_activation,
+                ground_truth=gt,
+            )
+
+        outputs = {
+            "notes": run_head(
+                "notes",
+                cfg.output_dim,
+                cfg.output_length,
+                cfg.activation,
+                ground_truth if cfg.teacher_force else None,
+            )
+        }
+        if cfg.meta_instrument:
+            outputs["instrument"] = run_head(
+                "instrument",
+                cfg.meta_instrument_dim,
+                cfg.meta_instrument_length,
+                cfg.meta_instrument_activation,
+                None,
+            )
+        if cfg.meta_velocity:
+            outputs["velocity"] = run_head(
+                "velocity", 1, cfg.meta_velocity_length, cfg.meta_velocity_activation, None
+            )
+        if cfg.meta_held_notes:
+            outputs["held"] = run_head(
+                "held", 2, cfg.meta_held_notes_length, cfg.meta_held_notes_activation, None
+            )
+        if cfg.meta_next_notes:
+            outputs["next"] = run_head(
+                "next",
+                cfg.output_dim,
+                cfg.meta_next_notes_output_length,
+                cfg.activation,
+                None,
+            )
+        return outputs
+
+    # ------------------------------------------------------------------
+    # Latent probes
+    # ------------------------------------------------------------------
+    def composer_logits(self, z: jnp.ndarray) -> jnp.ndarray:
+        """softmax-over-slice probe: logits are just z[:, :k]
+        (vae_definition.py:730-734)."""
+        return z[:, : self.cfg.num_composers]
+
+    def composer_prediction(self, z: jnp.ndarray) -> jnp.ndarray:
+        return jax.nn.softmax(self.composer_logits(z), axis=-1)
+
+    def signature_prediction(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        offset = cfg.num_composers if cfg.include_composer_decoder else 0
+        act = activation_fn(cfg.signature_activation)
+        return act(z[:, offset : offset + cfg.signature_dim])
+
+    def composer_from_notes(self, params: Params, notes_seq: jnp.ndarray) -> jnp.ndarray:
+        p = params["composer_at_notes"]
+        h = encode_sequence(p["rnn"], notes_seq, self.cfg.cell_type, self.cfg.lstm_activation)
+        return dense_apply(p["out"], h)
+
+    def composer_from_instrument(self, params: Params, inst_seq: jnp.ndarray) -> jnp.ndarray:
+        p = params["composer_at_instrument"]
+        h = encode_sequence(p["rnn"], inst_seq, self.cfg.cell_type, self.cfg.lstm_activation)
+        return dense_apply(p["out"], h)
+
+    # ------------------------------------------------------------------
+    # Full autoencoder forward
+    # ------------------------------------------------------------------
+    def apply(
+        self,
+        params: Params,
+        batch: dict,
+        rng: jax.Array | None = None,
+        epsilon_std: float = 0.0,
+    ) -> dict:
+        """Autoencoder forward: encode, sample, decode all heads + probes."""
+        cfg = self.cfg
+        z_mean, z_log_var = self.encode_stats(params, batch)
+        z = self.sample_z(z_mean, z_log_var, rng, epsilon_std)
+        outputs = self.decode(
+            params,
+            z,
+            history=batch.get("H"),
+            additional=batch.get("A"),
+            ground_truth=batch.get("Y") if cfg.teacher_force else None,
+        )
+        result = {
+            "z_mean": z_mean,
+            "z_log_var": z_log_var,
+            "z": z,
+            "heads": outputs,
+        }
+        if cfg.include_composer_decoder:
+            result["composer_logits"] = self.composer_logits(z)
+        if cfg.signature_decoder:
+            result["signature"] = self.signature_prediction(z)
+        if cfg.composer_decoder_at_notes_output:
+            result["composer_at_notes_logits"] = self.composer_from_notes(
+                params, outputs["notes"][0]
+            )
+        if cfg.composer_decoder_at_instrument_output:
+            result["composer_at_instrument_logits"] = self.composer_from_instrument(
+                params, outputs["instrument"][0]
+            )
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Loss: the single fused objective
+# ---------------------------------------------------------------------------
+
+def _xent_from_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-element categorical crossentropy -sum(y * log_softmax(logits))."""
+    return -jnp.sum(targets * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+
+
+def kl_divergence(
+    z_mean: jnp.ndarray,
+    z_log_var: jnp.ndarray,
+    prior_mean: float,
+    prior_std: float,
+) -> jnp.ndarray:
+    """Per-sample KL( N(mu, sigma) || N(prior) ), summed over latent dims
+    (vae_definition.py:29-36, unscaled by beta)."""
+    prior_log_var = 2.0 * jnp.log(prior_std)
+    prior_var = prior_std * prior_std
+    return -0.5 * jnp.sum(
+        1.0
+        + z_log_var
+        - prior_log_var
+        - ((z_mean - prior_mean) ** 2 + jnp.exp(z_log_var)) / prior_var,
+        axis=-1,
+    )
+
+
+def loss_and_metrics(
+    model: MidiVAE,
+    params: Params,
+    batch: dict,
+    rng: jax.Array | None,
+    epsilon_std: float,
+) -> tuple[jnp.ndarray, dict]:
+    """Total loss = sum(weight_i * head_loss_i) + beta * KL, replicating the
+    Keras compile structure (vae_definition.py:332-441) and its weighted
+    temporal sample weighting for the notes head (silent_weight,
+    vae_definition.py:929-933).
+
+    Returns (total_loss, metrics dict of per-head losses + accuracies).
+    """
+    cfg = model.cfg
+    out = model.apply(params, batch, rng, epsilon_std)
+    metrics: dict[str, jnp.ndarray] = {}
+    total = jnp.zeros((), jnp.float32)
+
+    # --- notes head: temporal-weighted xent ---
+    probs, logits = out["heads"]["notes"]
+    Y = batch["Y"]
+    xent = _xent_from_logits(logits, Y)  # (B, T)
+    if cfg.include_silent_note and cfg.silent_weight != 1.0:
+        w = jnp.where(Y[..., -1] == 1, cfg.silent_weight, 1.0)
+        nonzero = jnp.mean((w != 0).astype(jnp.float32))
+        notes_loss = jnp.mean(xent * w) / jnp.maximum(nonzero, 1e-8)
+    else:
+        notes_loss = jnp.mean(xent)
+    notes_acc = jnp.mean(
+        (jnp.argmax(probs, axis=-1) == jnp.argmax(Y, axis=-1)).astype(jnp.float32)
+    )
+    metrics["notes_loss"] = notes_loss
+    metrics["notes_acc"] = notes_acc
+    total = total + 1.0 * notes_loss
+
+    if cfg.meta_instrument:
+        probs_i, logits_i = out["heads"]["instrument"]
+        I = batch["I"]
+        loss_i = jnp.mean(_xent_from_logits(logits_i, I))
+        acc_i = jnp.mean(
+            (jnp.argmax(probs_i, -1) == jnp.argmax(I, -1)).astype(jnp.float32)
+        )
+        metrics["meta_instrument_loss"] = loss_i
+        metrics["meta_instrument_acc"] = acc_i
+        total = total + cfg.meta_instrument_weight * loss_i
+
+    if cfg.meta_velocity:
+        probs_v, _ = out["heads"]["velocity"]
+        V = batch["V"]
+        loss_v = jnp.mean((probs_v - V) ** 2)
+        # Keras binary_accuracy on a regression head (SURVEY.md §2.1)
+        acc_v = jnp.mean((jnp.round(probs_v) == jnp.round(V)).astype(jnp.float32))
+        metrics["meta_velocity_loss"] = loss_v
+        metrics["meta_velocity_acc"] = acc_v
+        total = total + cfg.meta_velocity_weight * loss_v
+
+    if cfg.meta_held_notes:
+        probs_d, logits_d = out["heads"]["held"]
+        D = batch["D"]
+        loss_d = jnp.mean(_xent_from_logits(logits_d, D))
+        acc_d = jnp.mean(
+            (jnp.argmax(probs_d, -1) == jnp.argmax(D, -1)).astype(jnp.float32)
+        )
+        metrics["meta_held_notes_loss"] = loss_d
+        metrics["meta_held_notes_acc"] = acc_d
+        total = total + cfg.meta_held_notes_weight * loss_d
+
+    if cfg.meta_next_notes:
+        probs_n, logits_n = out["heads"]["next"]
+        N = batch["N"]
+        loss_n = jnp.mean(_xent_from_logits(logits_n, N))
+        acc_n = jnp.mean(
+            (jnp.argmax(probs_n, -1) == jnp.argmax(N, -1)).astype(jnp.float32)
+        )
+        metrics["meta_next_notes_loss"] = loss_n
+        metrics["meta_next_notes_acc"] = acc_n
+        total = total + cfg.meta_next_notes_weight * loss_n
+
+    if cfg.include_composer_decoder:
+        C = batch["C"]
+        comp_xent = _xent_from_logits(out["composer_logits"], C)
+        loss_c = jnp.mean(comp_xent)
+        acc_c = jnp.mean(
+            (jnp.argmax(out["composer_logits"], -1) == jnp.argmax(C, -1)).astype(
+                jnp.float32
+            )
+        )
+        metrics["composer_loss"] = loss_c
+        metrics["composer_acc"] = acc_c
+        total = total + cfg.composer_weight * loss_c
+
+    if cfg.signature_decoder:
+        S = batch["S"]
+        loss_s = jnp.mean((out["signature"] - S) ** 2)
+        metrics["signature_loss"] = loss_s
+        total = total + cfg.signature_weight * loss_s
+
+    if cfg.composer_decoder_at_notes_output:
+        C = batch["C"]
+        loss_cn = jnp.mean(_xent_from_logits(out["composer_at_notes_logits"], C))
+        metrics["composer_at_notes_loss"] = loss_cn
+        total = total + cfg.composer_decoder_at_notes_weight * loss_cn
+
+    if cfg.composer_decoder_at_instrument_output:
+        C = batch["C"]
+        loss_ci = jnp.mean(
+            _xent_from_logits(out["composer_at_instrument_logits"], C)
+        )
+        metrics["composer_at_instrument_loss"] = loss_ci
+        total = total + cfg.composer_decoder_at_instrument_weight * loss_ci
+
+    # --- KL (the reference's add_loss term, beta inside) ---
+    log_var = out["z_log_var"]
+    if cfg.epsilon_factor > 0:
+        log_var = log_var + cfg.epsilon_factor
+    kl = jnp.mean(kl_divergence(out["z_mean"], log_var, cfg.prior_mean, cfg.prior_std))
+    metrics["kl_loss"] = kl
+    total = total + cfg.beta * kl
+
+    metrics["loss"] = total
+    return total, metrics

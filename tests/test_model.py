@@ -1,0 +1,216 @@
+"""Model tests: shapes/finiteness across the config flag matrix, gradient
+flow, probe semantics, autoregressive decode behavior, overfit-one-batch.
+
+Mirrors the reference's build-time asserts (vae_definition.py:177-208) plus
+the test strategy SURVEY.md §4 prescribes for the rebuild.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midi_vae_tpu.config import small_test_config
+from midi_vae_tpu.models import MidiVAE, loss_and_metrics
+
+
+def make_batch(cfg, B=4, key=0):
+    rng = np.random.RandomState(key)
+    T, Tin = cfg.output_length, cfg.input_length
+
+    def onehot_seq(T, D):
+        idx = rng.randint(0, D, size=(B, T))
+        out = np.zeros((B, T, D), np.float32)
+        for b in range(B):
+            out[b, np.arange(T), idx[b]] = 1
+        return out
+
+    batch = {
+        "X": jnp.asarray(onehot_seq(Tin, cfg.input_dim)),
+        "Y": jnp.asarray(onehot_seq(T, cfg.output_dim)),
+        "I": jnp.asarray(onehot_seq(cfg.max_voices, cfg.instrument_dim)),
+        "V": jnp.asarray(rng.rand(B, T, 1).astype(np.float32)),
+        "D": jnp.asarray(onehot_seq(T, 2)),
+        "C": jnp.asarray(
+            np.eye(cfg.num_classes, dtype=np.float32)[rng.randint(0, cfg.num_classes, B)]
+        ),
+        "S": jnp.asarray(rng.randn(B, 15).astype(np.float32)),
+        "H": jnp.zeros((B, cfg.latent_dim), jnp.float32),
+    }
+    if cfg.meta_next_notes:
+        batch["N"] = jnp.asarray(onehot_seq(T, cfg.output_dim))
+    if cfg.decoder_additional_input:
+        batch["A"] = jnp.zeros((B, cfg.decoder_additional_input_dim), jnp.float32)
+    return batch
+
+
+FLAG_MATRIX = [
+    {},                                        # default: GRU, instr+vel heads
+    {"cell_type": "LSTM"},
+    {"cell_type": "SimpleRNN"},
+    {"meta_instrument": False, "meta_velocity": False},  # pitch-only slice
+    {"meta_held_notes": True, "meta_next_notes": True},
+    {"include_composer_decoder": False},
+    {"signature_decoder": True, "latent_dim": 32},
+    {"history": False},
+    {"teacher_force": True},
+    {"bidirectional": True, "num_layers_encoder": 3},
+    {"split_lstm_vector": False, "extra_layer": False},
+    {"composer_decoder_at_notes_output": True,
+     "composer_decoder_at_instrument_output": True},
+    {"decoder_input_composer": True},
+    {"num_layers_decoder": 1},
+]
+
+
+class TestFlagMatrix:
+    @pytest.mark.parametrize("overrides", FLAG_MATRIX)
+    def test_forward_and_loss_finite(self, overrides):
+        cfg = small_test_config(**overrides)
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        loss, metrics = jax.jit(
+            lambda p, b: loss_and_metrics(model, p, b, jax.random.PRNGKey(1), 0.01)
+        )(params, batch)
+        assert jnp.isfinite(loss)
+        for k, v in metrics.items():
+            assert jnp.isfinite(v), k
+        out = model.apply(params, batch, jax.random.PRNGKey(1), 0.01)
+        probs, logits = out["heads"]["notes"]
+        assert probs.shape == (4, cfg.output_length, cfg.output_dim)
+        np.testing.assert_allclose(
+            np.asarray(probs.sum(-1)), 1.0, rtol=1e-5
+        )  # softmax rows
+
+
+class TestGradients:
+    def test_grad_reaches_all_params(self):
+        cfg = small_test_config()
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        g = jax.grad(
+            lambda p: loss_and_metrics(model, p, batch, jax.random.PRNGKey(1), 0.01)[0]
+        )(params)
+        leaves = jax.tree_util.tree_leaves_with_path(g)
+        zero = [jax.tree_util.keystr(p) for p, x in leaves if float(jnp.abs(x).max()) == 0]
+        assert not zero, f"dead params: {zero}"
+
+    def test_composer_gradient_pins_latent_dims(self):
+        """The composer xent must flow into z's first k dims -- the mechanism
+        behind style transfer (vae_definition.py:730-734)."""
+        cfg = small_test_config()
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+
+        def composer_loss_only(p):
+            out = model.apply(p, batch, None, 0.0)
+            C = batch["C"]
+            return -jnp.mean(
+                jnp.sum(C * jax.nn.log_softmax(out["composer_logits"], -1), -1)
+            )
+
+        g = jax.grad(composer_loss_only)(params)
+        gz = g["encoder"]["z_mean"]["w"]  # (half, latent)
+        # gradient only in the first num_composers latent dims
+        assert float(jnp.abs(gz[:, : cfg.num_composers]).max()) > 0
+        assert float(jnp.abs(gz[:, cfg.num_composers :]).max()) == 0
+
+
+class TestLatentSemantics:
+    def test_eval_encode_deterministic(self):
+        cfg = small_test_config()
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        z1 = model.encode(params, batch)  # epsilon_std=0
+        z2 = model.encode(params, batch)
+        np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+        z3 = model.encode(params, batch, jax.random.PRNGKey(3), 0.5)
+        assert not np.allclose(np.asarray(z1), np.asarray(z3))
+        # epsilon_std=0.01 noise stays tiny (train-time sampling scale)
+        z4 = model.encode(params, batch, jax.random.PRNGKey(3), 0.01)
+        assert float(jnp.abs(z4 - z1).mean()) < 0.1
+
+    def test_decode_from_z_only(self):
+        """The reference decoder.predict path: decode arbitrary z."""
+        cfg = small_test_config()
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        z = jnp.asarray(np.random.RandomState(0).randn(3, cfg.latent_dim), jnp.float32)
+        outs = model.decode(params, z)
+        probs, _ = outs["notes"]
+        assert probs.shape == (3, cfg.output_length, cfg.output_dim)
+        vel, _ = outs["velocity"]
+        assert vel.shape == (3, cfg.output_length, 1)
+        assert float(vel.min()) >= 0 and float(vel.max()) <= 1
+        inst, _ = outs["instrument"]
+        assert inst.shape == (3, cfg.max_voices, cfg.instrument_dim)
+
+    def test_history_changes_output(self):
+        cfg = small_test_config()
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        z = jnp.ones((2, cfg.latent_dim), jnp.float32)
+        out0 = model.decode(params, z, history=jnp.zeros((2, cfg.latent_dim)))
+        out1 = model.decode(params, z, history=jnp.ones((2, cfg.latent_dim)))
+        assert not np.allclose(
+            np.asarray(out0["notes"][0]), np.asarray(out1["notes"][0])
+        )
+
+
+class TestTeacherForce:
+    def test_teacher_force_matches_feedback_on_first_step(self):
+        """Step 0 consumes the start symbol in both modes, so outputs at t=0
+        must agree; later steps differ (feedback vs ground truth)."""
+        cfg = small_test_config(teacher_force=True)
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        z = model.encode(params, batch)
+        tf_out = model.decode(params, z, history=batch["H"], ground_truth=batch["Y"])
+        ar_out = model.decode(params, z, history=batch["H"], ground_truth=None)
+        np.testing.assert_allclose(
+            np.asarray(tf_out["notes"][0][:, 0]),
+            np.asarray(ar_out["notes"][0][:, 0]),
+            rtol=1e-5,
+        )
+        assert not np.allclose(
+            np.asarray(tf_out["notes"][0][:, -1]),
+            np.asarray(ar_out["notes"][0][:, -1]),
+        )
+
+
+class TestOverfit:
+    def test_overfit_one_batch(self):
+        """Seeded end-to-end: a few hundred Adam steps must drive the notes
+        reconstruction of a single batch to high accuracy (SURVEY.md §4)."""
+        import optax
+
+        cfg = small_test_config(
+            lstm_size=32, latent_dim=32, beta=0.01, epsilon_std=0.0
+        )
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg, B=2)
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            (loss, metrics), g = jax.value_and_grad(
+                lambda p: loss_and_metrics(model, p, batch, None, 0.0),
+                has_aux=True,
+            )(params)
+            updates, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state, metrics
+
+        acc = 0.0
+        for i in range(400):
+            params, opt_state, metrics = step(params, opt_state)
+            acc = float(metrics["notes_acc"])
+            if acc > 0.95:
+                break
+        assert acc > 0.95, f"failed to overfit: notes_acc={acc}"
