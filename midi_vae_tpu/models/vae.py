@@ -415,17 +415,31 @@ def loss_and_metrics(
     metrics: dict[str, jnp.ndarray] = {}
     total = jnp.zeros((), jnp.float32)
 
+    # optional per-sample validity mask "M" (B,) -- 0-rows are jit padding
+    M = batch.get("M")
+
+    def bmean(x: jnp.ndarray) -> jnp.ndarray:
+        """Mean over all elements, restricted to valid batch rows."""
+        if M is None:
+            return jnp.mean(x)
+        m = M.reshape(M.shape[0], *([1] * (x.ndim - 1)))
+        per_sample = 1.0
+        for d in x.shape[1:]:
+            per_sample *= d
+        denom = jnp.maximum(jnp.sum(M) * per_sample, 1e-8)
+        return jnp.sum(x * m) / denom
+
     # --- notes head: temporal-weighted xent ---
     probs, logits = out["heads"]["notes"]
     Y = batch["Y"]
     xent = _xent_from_logits(logits, Y)  # (B, T)
     if cfg.include_silent_note and cfg.silent_weight != 1.0:
         w = jnp.where(Y[..., -1] == 1, cfg.silent_weight, 1.0)
-        nonzero = jnp.mean((w != 0).astype(jnp.float32))
-        notes_loss = jnp.mean(xent * w) / jnp.maximum(nonzero, 1e-8)
+        nonzero = bmean((w != 0).astype(jnp.float32))
+        notes_loss = bmean(xent * w) / jnp.maximum(nonzero, 1e-8)
     else:
-        notes_loss = jnp.mean(xent)
-    notes_acc = jnp.mean(
+        notes_loss = bmean(xent)
+    notes_acc = bmean(
         (jnp.argmax(probs, axis=-1) == jnp.argmax(Y, axis=-1)).astype(jnp.float32)
     )
     metrics["notes_loss"] = notes_loss
@@ -435,8 +449,8 @@ def loss_and_metrics(
     if cfg.meta_instrument:
         probs_i, logits_i = out["heads"]["instrument"]
         I = batch["I"]
-        loss_i = jnp.mean(_xent_from_logits(logits_i, I))
-        acc_i = jnp.mean(
+        loss_i = bmean(_xent_from_logits(logits_i, I))
+        acc_i = bmean(
             (jnp.argmax(probs_i, -1) == jnp.argmax(I, -1)).astype(jnp.float32)
         )
         metrics["meta_instrument_loss"] = loss_i
@@ -446,9 +460,9 @@ def loss_and_metrics(
     if cfg.meta_velocity:
         probs_v, _ = out["heads"]["velocity"]
         V = batch["V"]
-        loss_v = jnp.mean((probs_v - V) ** 2)
+        loss_v = bmean((probs_v - V) ** 2)
         # Keras binary_accuracy on a regression head (SURVEY.md §2.1)
-        acc_v = jnp.mean((jnp.round(probs_v) == jnp.round(V)).astype(jnp.float32))
+        acc_v = bmean((jnp.round(probs_v) == jnp.round(V)).astype(jnp.float32))
         metrics["meta_velocity_loss"] = loss_v
         metrics["meta_velocity_acc"] = acc_v
         total = total + cfg.meta_velocity_weight * loss_v
@@ -456,8 +470,8 @@ def loss_and_metrics(
     if cfg.meta_held_notes:
         probs_d, logits_d = out["heads"]["held"]
         D = batch["D"]
-        loss_d = jnp.mean(_xent_from_logits(logits_d, D))
-        acc_d = jnp.mean(
+        loss_d = bmean(_xent_from_logits(logits_d, D))
+        acc_d = bmean(
             (jnp.argmax(probs_d, -1) == jnp.argmax(D, -1)).astype(jnp.float32)
         )
         metrics["meta_held_notes_loss"] = loss_d
@@ -467,8 +481,8 @@ def loss_and_metrics(
     if cfg.meta_next_notes:
         probs_n, logits_n = out["heads"]["next"]
         N = batch["N"]
-        loss_n = jnp.mean(_xent_from_logits(logits_n, N))
-        acc_n = jnp.mean(
+        loss_n = bmean(_xent_from_logits(logits_n, N))
+        acc_n = bmean(
             (jnp.argmax(probs_n, -1) == jnp.argmax(N, -1)).astype(jnp.float32)
         )
         metrics["meta_next_notes_loss"] = loss_n
@@ -478,8 +492,8 @@ def loss_and_metrics(
     if cfg.include_composer_decoder:
         C = batch["C"]
         comp_xent = _xent_from_logits(out["composer_logits"], C)
-        loss_c = jnp.mean(comp_xent)
-        acc_c = jnp.mean(
+        loss_c = bmean(comp_xent)
+        acc_c = bmean(
             (jnp.argmax(out["composer_logits"], -1) == jnp.argmax(C, -1)).astype(
                 jnp.float32
             )
@@ -490,19 +504,19 @@ def loss_and_metrics(
 
     if cfg.signature_decoder:
         S = batch["S"]
-        loss_s = jnp.mean((out["signature"] - S) ** 2)
+        loss_s = bmean((out["signature"] - S) ** 2)
         metrics["signature_loss"] = loss_s
         total = total + cfg.signature_weight * loss_s
 
     if cfg.composer_decoder_at_notes_output:
         C = batch["C"]
-        loss_cn = jnp.mean(_xent_from_logits(out["composer_at_notes_logits"], C))
+        loss_cn = bmean(_xent_from_logits(out["composer_at_notes_logits"], C))
         metrics["composer_at_notes_loss"] = loss_cn
         total = total + cfg.composer_decoder_at_notes_weight * loss_cn
 
     if cfg.composer_decoder_at_instrument_output:
         C = batch["C"]
-        loss_ci = jnp.mean(
+        loss_ci = bmean(
             _xent_from_logits(out["composer_at_instrument_logits"], C)
         )
         metrics["composer_at_instrument_loss"] = loss_ci
@@ -512,7 +526,7 @@ def loss_and_metrics(
     log_var = out["z_log_var"]
     if cfg.epsilon_factor > 0:
         log_var = log_var + cfg.epsilon_factor
-    kl = jnp.mean(kl_divergence(out["z_mean"], log_var, cfg.prior_mean, cfg.prior_std))
+    kl = bmean(kl_divergence(out["z_mean"], log_var, cfg.prior_mean, cfg.prior_std))
     metrics["kl_loss"] = kl
     total = total + cfg.beta * kl
 

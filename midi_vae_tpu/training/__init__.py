@@ -1,0 +1,2 @@
+from .trainer import VAETrainer, TrainState, make_optimizer
+from . import checkpoint

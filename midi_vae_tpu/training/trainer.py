@@ -1,0 +1,317 @@
+"""VAE training driver: global-batch pjit steps over a device mesh.
+
+TPU-native redesign of the reference training loop
+(/root/reference/vae_training.py:719-979). The reference trains per song --
+``encoder.predict`` on the host, then ``autoencoder.fit`` per song with two
+host<->device round trips per song (vae_training.py:788-809, the perf flaw
+called out in SURVEY.md §3.1). Here:
+
+* the whole corpus is one flat window array; each epoch runs jitted
+  global-batch steps with the batch sharded over the mesh's 'data' axis,
+* the history latent H (previous window's z) is produced by ONE batched,
+  jitted encoder pass per epoch over the train set, then rolled within song
+  boundaries -- same semantics as the reference's per-song predict-then-roll
+  (vae_training.py:787-798) without the round trips,
+* Adam/RMSprop via optax; donated buffers; per-epoch metric history; orbax
+  checkpoints every ``save_step`` epochs INCLUDING optimizer state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.batching import FlatSplit
+from ..models.vae import MidiVAE, loss_and_metrics
+from ..parallel import mesh as pmesh
+from . import checkpoint as ckpt
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    if cfg.optimizer.lower() == "adam":
+        return optax.adam(cfg.learning_rate)
+    if cfg.optimizer.lower() == "rmsprop":
+        return optax.rmsprop(cfg.learning_rate)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+BATCH_KEYS = ("X", "Y", "I", "V", "D", "C", "S")
+
+
+def _slice_batch(flat: FlatSplit, idx: np.ndarray, cfg: Config, H: np.ndarray | None) -> dict:
+    batch = {k: getattr(flat, k)[idx] for k in BATCH_KEYS}
+    if cfg.history:
+        batch["H"] = (
+            H[idx]
+            if H is not None
+            else np.zeros((len(idx), cfg.latent_dim), np.float32)
+        )
+    if cfg.decoder_additional_input:
+        parts = []
+        if cfg.decoder_input_composer:
+            parts.append(batch["C"])
+        if cfg.append_signature_vector_to_latent:
+            parts.append(batch["S"])
+        batch["A"] = np.concatenate(parts, axis=-1)
+    if cfg.meta_next_notes:
+        # next-window targets; last window of each song predicts silence
+        nxt = np.minimum(idx + 1, flat.num_windows - 1)
+        same_song = flat.song_id[nxt] == flat.song_id[idx]
+        N = flat.Y[nxt].copy()
+        N[~same_song] = 0
+        if cfg.include_silent_note:
+            N[~same_song, :, -1] = 1
+        batch["N"] = N
+    return batch
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    epoch: int = 0
+
+
+@dataclass
+class EpochMetrics:
+    sums: dict = field(default_factory=dict)
+    weight: float = 0.0
+
+    def update(self, metrics: dict, weight: float) -> None:
+        for k, v in metrics.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v) * weight
+        self.weight += weight
+
+    def means(self) -> dict:
+        if self.weight == 0:
+            return {}
+        return {k: v / self.weight for k, v in self.sums.items()}
+
+
+class VAETrainer:
+    """Owns jitted steps + the epoch loop for one model/config/mesh."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        mesh=None,
+        model: MidiVAE | None = None,
+    ):
+        self.cfg = cfg
+        self.model = model or MidiVAE(cfg)
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(
+            n_model=cfg.mesh_model_axis
+        )
+        self.optimizer = make_optimizer(cfg)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self) -> None:
+        cfg = self.cfg
+        model = self.model
+        optimizer = self.optimizer
+        mesh = self.mesh
+        bsh = pmesh.batch_sharding(mesh)
+        rep = pmesh.replicated(mesh)
+
+        def train_step(params, opt_state, batch, rng):
+            rng, sample_key = jax.random.split(rng)
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_and_metrics(model, p, batch, sample_key, cfg.epsilon_std),
+                has_aux=True,
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, metrics
+
+        def eval_step(params, batch):
+            # evaluation uses the deterministic latent (epsilon_std -> 0,
+            # vae_evaluation.py:482-486)
+            _, metrics = loss_and_metrics(model, params, batch, None, 0.0)
+            return metrics
+
+        def encode_step(params, batch):
+            return model.encode(params, batch)
+
+        # inputs arrive pre-placed (shard_params / shard_batch); jit infers
+        # shardings from them, so the same step runs DP-only or DP+TP meshes
+        del bsh, rep
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step)
+        self.encode_step = jax.jit(encode_step)
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: int | None = None) -> TrainState:
+        seed = self.cfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        init_key, rng = jax.random.split(key)
+        params = self.model.init_params(init_key)
+        params = pmesh.shard_params(params, self.mesh)
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state, rng=rng)
+
+    # ------------------------------------------------------------------
+    def compute_history(self, params, flat: FlatSplit) -> np.ndarray:
+        """One batched encoder pass -> H[i] = z[i-1] within each song
+        (the reference's per-song predict+roll, vae_training.py:787-798)."""
+        cfg = self.cfg
+        n = flat.num_windows
+        zs = np.zeros((n, cfg.latent_dim), np.float32)
+        bs = cfg.batch_size
+        for start in range(0, n, bs):
+            idx = np.arange(start, min(start + bs, n))
+            batch = {k: getattr(flat, k)[idx] for k in ("X", "I", "V", "D")}
+            batch, mask = pmesh.pad_batch_to(batch, bs)
+            z = np.asarray(self.encode_step(params, batch))
+            zs[idx] = z[: len(idx)]
+        H = np.zeros_like(zs)
+        H[1:] = zs[:-1]
+        H[flat.first_in_song] = 0.0
+        return H
+
+    # ------------------------------------------------------------------
+    def run_epoch(
+        self,
+        state: TrainState,
+        flat: FlatSplit,
+        shuffle: bool = True,
+        H: np.ndarray | None = None,
+    ) -> EpochMetrics:
+        cfg = self.cfg
+        n = flat.num_windows
+        order = np.arange(n)
+        if shuffle:
+            seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
+            np.random.RandomState(seed).shuffle(order)
+        agg = EpochMetrics()
+        bs = cfg.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            batch = _slice_batch(flat, idx, cfg, H)
+            batch, mask = pmesh.pad_batch_to(batch, bs)
+            batch["M"] = mask
+            batch = pmesh.shard_batch(batch, self.mesh)
+            state.params, state.opt_state, state.rng, metrics = self.train_step(
+                state.params, state.opt_state, batch, state.rng
+            )
+            agg.update(metrics, weight=float(mask.sum()))
+        return agg
+
+    def evaluate(
+        self, state: TrainState, flat: FlatSplit, H: np.ndarray | None = None
+    ) -> EpochMetrics:
+        cfg = self.cfg
+        if cfg.history and H is None and flat.num_windows:
+            H = self.compute_history(state.params, flat)
+        agg = EpochMetrics()
+        bs = cfg.batch_size
+        for start in range(0, flat.num_windows, bs):
+            idx = np.arange(start, min(start + bs, flat.num_windows))
+            batch = _slice_batch(flat, idx, cfg, H)
+            batch, mask = pmesh.pad_batch_to(batch, bs)
+            batch["M"] = mask
+            batch = pmesh.shard_batch(batch, self.mesh)
+            metrics = self.eval_step(state.params, batch)
+            agg.update(metrics, weight=float(mask.sum()))
+        return agg
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train: FlatSplit,
+        test: FlatSplit | None = None,
+        epochs: int | None = None,
+        output_dir: str | None = None,
+        log_fn: Callable[[str], None] = print,
+        plot: bool = True,
+    ) -> dict:
+        """Full training loop with test/save cadence (vae_training.py:728-979).
+
+        Returns the metric history dict {metric: [per-epoch values]}.
+        """
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        history: dict[str, list] = {"train": [], "test": [], "epoch": []}
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            cfg.save(os.path.join(output_dir, "config.json"))
+
+        for e in range(state.epoch, epochs):
+            t0 = time.time()
+            H = None
+            if cfg.history and e > 0:
+                H = self.compute_history(state.params, train)
+            agg = self.run_epoch(state, train, shuffle=cfg.shuffle_train_set, H=H)
+            train_metrics = agg.means()
+            dt = time.time() - t0
+            steps = train.num_windows * cfg.output_length
+            log_fn(
+                f"epoch {e}: loss={train_metrics.get('loss', float('nan')):.4f} "
+                f"notes_acc={train_metrics.get('notes_acc', float('nan')):.4f} "
+                f"kl={train_metrics.get('kl_loss', float('nan')):.4f} "
+                f"({steps / max(dt, 1e-9):.0f} note-steps/s)"
+            )
+            state.epoch = e + 1
+            history["epoch"].append(e)
+            history["train"].append(train_metrics)
+
+            if test is not None and test.num_windows and e % cfg.test_step == 0:
+                test_metrics = self.evaluate(state, test).means()
+                history["test"].append({"epoch": e, **test_metrics})
+                log_fn(
+                    f"  test: loss={test_metrics.get('loss', float('nan')):.4f} "
+                    f"notes_acc={test_metrics.get('notes_acc', float('nan')):.4f}"
+                )
+
+            if output_dir and e % cfg.save_step == 0:
+                ckpt.save_checkpoint(
+                    output_dir, e, state.params, state.opt_state, state.rng, cfg
+                )
+                with open(os.path.join(output_dir, "history.json"), "w") as f:
+                    json.dump(history, f)
+
+        if output_dir:
+            ckpt.save_checkpoint(
+                output_dir, epochs - 1, state.params, state.opt_state, state.rng, cfg
+            )
+            with open(os.path.join(output_dir, "history.json"), "w") as f:
+                json.dump(history, f)
+            if plot:
+                try:
+                    from ..utils.plotting import plot_training_history
+
+                    plot_training_history(
+                        history, os.path.join(output_dir, "plot.png")
+                    )
+                except Exception as err:  # plotting must never kill training
+                    print(f"plotting failed: {err}")
+        return history
+
+    # ------------------------------------------------------------------
+    def restore(self, ckpt_dir: str, epoch: int | None = None) -> TrainState:
+        template_state = self.init_state()
+        template = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "epoch": np.asarray(0),
+            "rng": template_state.rng,
+        }
+        restored = ckpt.restore_checkpoint(ckpt_dir, epoch, template)
+        return TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            rng=restored["rng"],
+            epoch=restored["epoch"] + 1,
+        )

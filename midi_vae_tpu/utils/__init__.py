@@ -1,1 +1,5 @@
 from . import music
+from . import plotting
+
+# NOTE: utils.synthetic imports from data.batching; import it directly
+# (midi_vae_tpu.utils.synthetic) to avoid a circular import at package init.
