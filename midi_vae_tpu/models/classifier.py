@@ -1,0 +1,151 @@
+"""Style classifiers: one GRU-classifier module, three input configurations.
+
+Replaces the reference's three near-identical scripts
+(/root/reference/pitch_classifier.py, velocity_classifier.py,
+instrument_classifier.py -- 816 LoC of copy-paste) with a single module:
+
+  2x GRU(256) -> Dense softmax over num_classes       (pitch_classifier.py:89-103)
+
+Input kinds (SURVEY.md §2.1):
+  * 'pitch':      note windows  (B, input_length, input_dim)
+  * 'velocity':   velocity seq  (B, output_length, 1)   (velocity_classifier.py)
+  * 'instrument': inst matrix   (B, max_voices, instrument_dim)
+
+Also the ensemble judge: weighted average of the three classifier softmaxes
+with weights 0.999-0.5 each (vae_evaluation.py:81-117).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .cells import dense_apply, dense_init, get_cell
+from .rnn import encode_sequence
+
+Params = dict[str, Any]
+
+CLASSIFIER_KINDS = ("pitch", "velocity", "instrument")
+
+
+@dataclass(frozen=True)
+class ClassifierSpec:
+    kind: str
+    input_dim: int
+    num_classes: int
+    lstm_size: int = 256
+    num_layers: int = 2
+    cell_type: str = "GRU"
+    learning_rate: float = 2e-5
+    batch_size: int = 512
+
+    @classmethod
+    def for_kind(cls, kind: str, cfg: Config, **overrides) -> "ClassifierSpec":
+        dims = {
+            "pitch": cfg.input_dim,
+            "velocity": 1,
+            "instrument": cfg.instrument_dim,
+        }
+        if kind not in dims:
+            raise ValueError(f"unknown classifier kind {kind!r}")
+        base = dict(
+            kind=kind,
+            input_dim=dims[kind],
+            num_classes=cfg.num_classes,
+            cell_type=cfg.cell_type,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+
+class StyleClassifier:
+    """Stacked-GRU sequence classifier; pure functions + param pytree."""
+
+    def __init__(self, spec: ClassifierSpec):
+        self.spec = spec
+        self.cell = get_cell(spec.cell_type)
+
+    def init_params(self, key: jax.Array) -> Params:
+        spec = self.spec
+        keys = jax.random.split(key, spec.num_layers + 1)
+        layers = []
+        d = spec.input_dim
+        for i in range(spec.num_layers):
+            layers.append(self.cell.init(keys[i], d, spec.lstm_size))
+            d = spec.lstm_size
+        return {
+            "rnn": layers,
+            "out": dense_init(keys[-1], spec.lstm_size, spec.num_classes),
+        }
+
+    def logits(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        h = encode_sequence(params["rnn"], x, self.spec.cell_type, "tanh")
+        return dense_apply(params["out"], h)
+
+    def predict(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """Softmax class probabilities -- the Keras ``model.predict``."""
+        return jax.nn.softmax(self.logits(params, x), axis=-1)
+
+
+def classifier_loss(
+    model: StyleClassifier,
+    params: Params,
+    x: jnp.ndarray,
+    c_onehot: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict]:
+    """Categorical crossentropy + accuracy (pitch_classifier.py:102-103)."""
+    logits = model.logits(params, x)
+    xent = -jnp.sum(c_onehot * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    correct = (jnp.argmax(logits, -1) == jnp.argmax(c_onehot, -1)).astype(jnp.float32)
+    if mask is not None:
+        denom = jnp.maximum(jnp.sum(mask), 1e-8)
+        loss = jnp.sum(xent * mask) / denom
+        acc = jnp.sum(correct * mask) / denom
+    else:
+        loss = jnp.mean(xent)
+        acc = jnp.mean(correct)
+    return loss, {"loss": loss, "acc": acc}
+
+
+# ---------------------------------------------------------------------------
+# Ensemble judge (vae_evaluation.py:110-117)
+# ---------------------------------------------------------------------------
+
+DEFAULT_ENSEMBLE_WEIGHT = 0.999 - 0.5  # subtract 0.5: a random judge weighs 0
+
+
+def ensemble_prediction(
+    pitch_probs: jnp.ndarray,
+    instrument_probs: jnp.ndarray,
+    velocity_probs: jnp.ndarray,
+    weights: tuple[float, float, float] = (
+        DEFAULT_ENSEMBLE_WEIGHT,
+        DEFAULT_ENSEMBLE_WEIGHT,
+        DEFAULT_ENSEMBLE_WEIGHT,
+    ),
+) -> jnp.ndarray:
+    wp, wi, wv = weights
+    return (pitch_probs * wp + instrument_probs * wi + velocity_probs * wv) / (
+        wp + wi + wv
+    )
+
+
+def classifier_inputs_for_kind(kind: str, X, V, I):
+    """Select the classifier input arrays from window tensors.
+
+    For 'instrument' the reference feeds ONE instrument matrix per song
+    (instrument_classifier.py:231-237); callers pass per-window tiles and may
+    deduplicate per song themselves.
+    """
+    if kind == "pitch":
+        return X
+    if kind == "velocity":
+        return V
+    if kind == "instrument":
+        return I
+    raise ValueError(f"unknown classifier kind {kind!r}")

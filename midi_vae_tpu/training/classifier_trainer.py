@@ -1,0 +1,254 @@
+"""Classifier training: jitted global-batch steps + confusion-matrix eval.
+
+Replaces the per-song Keras fit loops of the three classifier scripts
+(/root/reference/pitch_classifier.py:198-257 and the velocity/instrument
+isomorphs) with the same global-batch pjit design as the VAE trainer.
+Evaluation mirrors the reference ``test()``: per-window (per-song for the
+instrument kind) predictions accumulated into a confusion matrix with
+accuracy = trace/sum (pitch_classifier.py:116-149).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.batching import FlatSplit
+from ..models.classifier import ClassifierSpec, StyleClassifier, classifier_loss
+from ..parallel import mesh as pmesh
+from . import checkpoint as ckpt
+
+
+def classifier_arrays(flat: FlatSplit, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """(inputs, labels) for one classifier kind from a FlatSplit.
+
+    'instrument' keeps one sample per song (instrument_classifier.py:231-237).
+    """
+    if kind == "pitch":
+        return flat.X, flat.labels
+    if kind == "velocity":
+        return flat.V, flat.labels
+    if kind == "instrument":
+        first = flat.first_in_song
+        return flat.I[first], flat.labels[first]
+    raise ValueError(f"unknown classifier kind {kind!r}")
+
+
+@dataclass
+class ClassifierState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    epoch: int = 0
+
+
+class ClassifierTrainer:
+    def __init__(self, spec: ClassifierSpec, mesh=None):
+        self.spec = spec
+        self.model = StyleClassifier(spec)
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.optimizer = optax.adam(spec.learning_rate)
+
+        model = self.model
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, x, c, mask):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: classifier_loss(model, p, x, c, mask), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        def eval_step(params, x, c, mask):
+            _, metrics = classifier_loss(model, params, x, c, mask)
+            probs = model.predict(params, x)
+            return metrics, probs
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step)
+        self.predict = jax.jit(model.predict)
+
+    def init_state(self, seed: int = 0) -> ClassifierState:
+        key = jax.random.PRNGKey(seed)
+        init_key, rng = jax.random.split(key)
+        params = self.model.init_params(init_key)
+        params = pmesh.shard_params(params, self.mesh)
+        return ClassifierState(
+            params=params, opt_state=self.optimizer.init(params), rng=rng
+        )
+
+    # ------------------------------------------------------------------
+    def _batches(self, n: int, shuffle: bool, rng_seed: int):
+        order = np.arange(n)
+        if shuffle:
+            np.random.RandomState(rng_seed).shuffle(order)
+        bs = self.spec.batch_size
+        for start in range(0, n, bs):
+            yield order[start : start + bs]
+
+    def run_epoch(
+        self, state: ClassifierState, inputs: np.ndarray, labels: np.ndarray,
+        shuffle: bool = True,
+    ) -> dict:
+        n = inputs.shape[0]
+        num_classes = self.spec.num_classes
+        onehot = np.eye(num_classes, dtype=np.float32)[labels]
+        seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
+        state.rng = jax.random.split(state.rng)[0]
+        sums, weight = {}, 0.0
+        for idx in self._batches(n, shuffle, seed):
+            batch = {"x": inputs[idx], "c": onehot[idx]}
+            batch, mask = pmesh.pad_batch_to(batch, self.spec.batch_size)
+            sh = pmesh.batch_sharding(self.mesh)
+            x = jax.device_put(batch["x"], sh)
+            c = jax.device_put(batch["c"], sh)
+            m = jax.device_put(mask, sh)
+            state.params, state.opt_state, metrics = self.train_step(
+                state.params, state.opt_state, x, c, m
+            )
+            w = float(mask.sum())
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+            weight += w
+        return {k: v / weight for k, v in sums.items()} if weight else {}
+
+    def evaluate(
+        self, state: ClassifierState, inputs: np.ndarray, labels: np.ndarray
+    ) -> dict:
+        """Loss + accuracy + confusion[true, predicted]."""
+        n = inputs.shape[0]
+        num_classes = self.spec.num_classes
+        onehot = np.eye(num_classes, dtype=np.float32)[labels]
+        confusion = np.zeros((num_classes, num_classes))
+        sums, weight = {}, 0.0
+        for idx in self._batches(n, shuffle=False, rng_seed=0):
+            batch = {"x": inputs[idx], "c": onehot[idx]}
+            batch, mask = pmesh.pad_batch_to(batch, self.spec.batch_size)
+            sh = pmesh.batch_sharding(self.mesh)
+            x = jax.device_put(batch["x"], sh)
+            c = jax.device_put(batch["c"], sh)
+            m = jax.device_put(mask, sh)
+            metrics, probs = self.eval_step(state.params, x, c, m)
+            probs = np.asarray(probs)[: len(idx)]
+            pred = probs.argmax(-1)
+            for t, p in zip(labels[idx], pred):
+                confusion[t, p] += 1
+            w = float(mask.sum())
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+            weight += w
+        out = {k: v / weight for k, v in sums.items()} if weight else {}
+        total = confusion.sum()
+        out["accuracy"] = float(np.trace(confusion) / total) if total else 0.0
+        out["confusion"] = confusion
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: ClassifierState,
+        train_inputs: np.ndarray,
+        train_labels: np.ndarray,
+        test_inputs: np.ndarray | None = None,
+        test_labels: np.ndarray | None = None,
+        epochs: int = 10,
+        output_dir: str | None = None,
+        test_step: int = 1,
+        save_step: int = 10,
+        log_fn=print,
+        class_names: list[str] | None = None,
+    ) -> dict:
+        history: dict[str, list] = {"train": [], "test": [], "epoch": []}
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        for e in range(state.epoch, epochs):
+            t0 = time.time()
+            train_metrics = self.run_epoch(state, train_inputs, train_labels)
+            dt = time.time() - t0
+            log_fn(
+                f"[{self.spec.kind}] epoch {e}: loss={train_metrics.get('loss', 0):.4f} "
+                f"acc={train_metrics.get('acc', 0):.4f} ({dt:.1f}s)"
+            )
+            history["epoch"].append(e)
+            history["train"].append(train_metrics)
+            state.epoch = e + 1
+            if test_inputs is not None and len(test_inputs) and e % test_step == 0:
+                tm = self.evaluate(state, test_inputs, test_labels)
+                confusion = tm.pop("confusion")
+                history["test"].append({"epoch": e, **tm})
+                log_fn(f"  test acc={tm['accuracy']:.4f} loss={tm.get('loss', 0):.4f}")
+                if output_dir and e % save_step == 0:
+                    try:
+                        from ..utils.plotting import plot_confusion_matrix
+
+                        plot_confusion_matrix(
+                            confusion,
+                            class_names or [str(i) for i in range(self.spec.num_classes)],
+                            tm["accuracy"],
+                            os.path.join(output_dir, f"confusion_{e}.png"),
+                        )
+                    except Exception as err:
+                        print(f"confusion plot failed: {err}")
+            if output_dir and e % save_step == 0:
+                self.save(output_dir, state)
+                with open(os.path.join(output_dir, "history.json"), "w") as f:
+                    json.dump(history, f)
+        if output_dir:
+            self.save(output_dir, state)
+            with open(os.path.join(output_dir, "history.json"), "w") as f:
+                json.dump(history, f)
+        return history
+
+    # ------------------------------------------------------------------
+    def save(self, output_dir: str, state: ClassifierState) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(output_dir, f"epoch_{state.epoch - 1}"))
+        os.makedirs(output_dir, exist_ok=True)
+        with ocp.StandardCheckpointer() as c:
+            c.save(
+                path,
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "epoch": np.asarray(state.epoch - 1),
+                    "rng": state.rng,
+                },
+                force=True,
+            )
+        with open(os.path.join(output_dir, "spec.json"), "w") as f:
+            json.dump(self.spec.__dict__, f, indent=2)
+
+    def restore(self, output_dir: str, epoch: int | None = None) -> ClassifierState:
+        template_state = self.init_state()
+        template = {
+            "params": template_state.params,
+            "opt_state": template_state.opt_state,
+            "epoch": np.asarray(0),
+            "rng": template_state.rng,
+        }
+        restored = ckpt.restore_checkpoint(output_dir, epoch, template)
+        return ClassifierState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            rng=restored["rng"],
+            epoch=restored["epoch"] + 1,
+        )
+
+
+def load_classifier(output_dir: str, epoch: int | None = None) -> tuple[StyleClassifier, Any]:
+    """Load a trained classifier (model, params) from its run directory."""
+    with open(os.path.join(output_dir, "spec.json")) as f:
+        spec = ClassifierSpec(**json.load(f))
+    trainer = ClassifierTrainer(spec)
+    state = trainer.restore(output_dir, epoch)
+    return trainer.model, state.params
