@@ -1,0 +1,359 @@
+"""Generation helpers: batched decode/encode, interpolations, medleys,
+random songs, long songs.
+
+TPU-first redesign of the reference generation sections
+(/root/reference/vae_evaluation.py:577-896, :1766-1896): where the reference
+calls ``decoder.predict`` once per latent vector, everything here decodes
+BATCHES of latents in one jitted call (padded to power-of-two buckets to
+bound recompiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.tensorize import instrument_matrix_to_programs
+from ..models.vae import MidiVAE
+from ..utils import music
+from . import sampling
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class GenerationContext:
+    """Owns jitted encode/decode on a trained model; all IO in numpy."""
+
+    def __init__(self, cfg: Config, model: MidiVAE, params):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+
+        def decode_fn(params, z, H, A):
+            outs = model.decode(
+                params, z, history=H, additional=A if cfg.decoder_additional_input else None
+            )
+            return {k: probs for k, (probs, _logits) in outs.items()}
+
+        def encode_fn(params, batch):
+            return model.encode(params, batch)  # deterministic z_mean
+
+        self._decode = jax.jit(decode_fn)
+        self._encode = jax.jit(encode_fn)
+
+    # ------------------------------------------------------------------
+    def decode_batch(
+        self,
+        z: np.ndarray,
+        history: np.ndarray | None = None,
+        additional: np.ndarray | None = None,
+    ) -> dict[str, np.ndarray]:
+        """Decode (B, latent) -> head probability arrays, batched on device."""
+        cfg = self.cfg
+        z = np.atleast_2d(np.asarray(z, np.float32))
+        n = z.shape[0]
+        b = _bucket(n)
+        zp = np.zeros((b, cfg.latent_dim), np.float32)
+        zp[:n] = z
+        Hp = np.zeros((b, cfg.latent_dim), np.float32)
+        if history is not None:
+            history = np.atleast_2d(history)
+            Hp[:n] = history[:n]
+        Ap = np.zeros((b, max(1, cfg.decoder_additional_input_dim)), np.float32)
+        if additional is not None:
+            Ap[:n] = np.atleast_2d(additional)[:n]
+        outs = self._decode(self.params, jnp.asarray(zp), jnp.asarray(Hp), jnp.asarray(Ap))
+        return {k: np.asarray(v)[:n] for k, v in outs.items()}
+
+    def encode_song(
+        self, X: np.ndarray, I: np.ndarray, V: np.ndarray, D: np.ndarray
+    ) -> np.ndarray:
+        """Windows of one song -> deterministic latents (B, latent)."""
+        from ..data.batching import held_to_categorical, prepare_velocity
+
+        cfg = self.cfg
+        n = X.shape[0]
+        b = _bucket(n)
+        D_cat = held_to_categorical(np.atleast_2d(D))
+        V3 = prepare_velocity(np.atleast_2d(V), D_cat, cfg)
+        batch = {
+            "X": np.zeros((b, cfg.input_length, cfg.input_dim), np.float32),
+            "I": np.zeros((b, cfg.max_voices, cfg.instrument_dim), np.float32),
+            "V": np.zeros((b, cfg.output_length, 1), np.float32),
+            "D": np.zeros((b, cfg.output_length, 2), np.float32),
+        }
+        batch["X"][:n] = X
+        batch["I"][:n] = np.tile(I[None], (n, 1, 1))
+        batch["V"][:n] = V3
+        batch["D"][:n] = D_cat
+        z = np.asarray(self._encode(self.params, {k: jnp.asarray(v) for k, v in batch.items()}))
+        return z[:n]
+
+    # ------------------------------------------------------------------
+    def decode_and_process(
+        self,
+        z: np.ndarray,
+        history: np.ndarray | None = None,
+        additional: np.ndarray | None = None,
+        sample_method: str = "argmax",
+        rng=None,
+    ):
+        outs = self.decode_batch(z, history, additional)
+        return sampling.process_decoder_outputs(outs, sample_method, self.cfg, rng)
+
+
+# ---------------------------------------------------------------------------
+# Latent-space helpers (vae_evaluation.py:577-662)
+# ---------------------------------------------------------------------------
+
+def linear_interpolation(p0: np.ndarray, p1: np.ndarray, t: float) -> np.ndarray:
+    return p0 * (1.0 - t) + p1 * t
+
+
+def slerp(p0: np.ndarray, p1: np.ndarray, t: float) -> np.ndarray:
+    omega = np.arccos(
+        np.clip(
+            np.dot(p0 / np.linalg.norm(p0), p1 / np.linalg.norm(p1)), -1.0, 1.0
+        )
+    )
+    so = np.sin(omega)
+    if so == 0:
+        return linear_interpolation(p0, p1, t)
+    return np.sin((1.0 - t) * omega) / so * p0 + np.sin(t * omega) / so * p1
+
+
+def split_song_back_to_samples(X: np.ndarray, length: int) -> list[np.ndarray]:
+    return np.split(X, int(X.shape[0] / length))
+
+
+def vote_for_programs(I_pred: np.ndarray, cfg: Config) -> list[int]:
+    """Majority vote of predicted instruments per voice over all windows
+    (vae_evaluation.py:598-617)."""
+    votes = [dict() for _ in range(cfg.max_voices)]
+    for matrix in I_pred:
+        programs = instrument_matrix_to_programs(matrix, cfg.instrument_attach_method)
+        for voice, program in enumerate(programs[: cfg.max_voices]):
+            votes[voice][program] = votes[voice].get(program, 0) + 1
+    result = []
+    for voice in range(cfg.max_voices):
+        best, best_count = 0, 0
+        for program, count in votes[voice].items():
+            if count > best_count:
+                best, best_count = program, count
+        result.append(best)
+    return result
+
+
+def prepare_for_drawing(Y: np.ndarray, cfg: Config, V: np.ndarray | None = None) -> np.ndarray:
+    """Grey-scale notes by velocity for plots (vae_evaluation.py:619-642)."""
+    newY = np.copy(Y)
+    mv = cfg.max_voices
+    if V is not None:
+        thr = cfg.velocity_threshold
+        for step in range(V.shape[0]):
+            if V[step] > thr:
+                newY[step, :] *= (V[step] - thr) * cfg.max_velocity
+            else:
+                if step > mv:
+                    prev = np.argmax(newY[step - mv])
+                    cur = np.argmax(newY[step])
+                    if cur != prev:
+                        newY[step, :] = 0
+                    else:
+                        newY[step, :] = newY[step - mv, :]
+                else:
+                    newY[step, :] = 0
+        poly = music.monophonic_to_khot_pianoroll(newY, mv, set_all_nonzero_to_1=False)
+    else:
+        poly = music.monophonic_to_khot_pianoroll(newY, mv)
+    return np.transpose(poly)
+
+
+def restructure_song_to_fit_more_instruments(
+    Y: np.ndarray, I_list, V: np.ndarray, D: np.ndarray, cfg: Config
+):
+    """Give every window its own instrument set by widening the voice axis
+    (vae_evaluation.py:645-662)."""
+    T = cfg.output_length
+    mv = cfg.max_voices
+    num_samples = len(I_list)
+    Y_final = np.zeros((num_samples * T * num_samples, Y.shape[1]), Y.dtype)
+    V_final = np.zeros((num_samples * T * num_samples,))
+    D_final = np.zeros((num_samples * T * num_samples,))
+    final_programs: list[int] = []
+    for sample, I in enumerate(I_list):
+        final_programs.extend(
+            instrument_matrix_to_programs(I, cfg.instrument_attach_method)
+        )
+        for step in range(T // mv):
+            for voice in range(mv):
+                src = sample * T + step * mv + voice
+                dst = sample * T * num_samples + step * num_samples * mv + sample * mv + voice
+                Y_final[dst, :] = Y[src, :]
+                V_final[dst] = V[src]
+                D_final[dst] = D[src]
+    return Y_final, final_programs, V_final, D_final
+
+
+# ---------------------------------------------------------------------------
+# Song generators
+# ---------------------------------------------------------------------------
+
+def generate_random_song(
+    ctx: GenerationContext,
+    z_std: float,
+    rng: np.random.RandomState,
+    sample_method: str = "choice",
+    style_class: int | None = None,
+):
+    """One random-latent song; optional composer-knob forcing
+    (vae_evaluation.py:1771-1814): z[0:k] = -1, z[C] = 1."""
+    cfg = ctx.cfg
+    z = rng.normal(0.0, z_std, size=(1, cfg.latent_dim)).astype(np.float32)
+    if style_class is not None:
+        z[0, : cfg.num_classes] = -1
+        z[0, style_class] = 1
+    return ctx.decode_and_process(z, sample_method=sample_method, rng=rng)
+
+
+def generate_interpolation_song(
+    ctx: GenerationContext,
+    z_a: np.ndarray,
+    z_b: np.ndarray,
+    steps: int,
+    sample_method: str = "argmax",
+    rng=None,
+):
+    """Walk z_a -> z_b in ``steps+1`` windows, history chained
+    (vae_evaluation.py:841-887). Returns (Y, I_list, V, D)."""
+    cfg = ctx.cfg
+    zs = np.stack(
+        [
+            linear_interpolation(z_a, z_b, i / float(steps))
+            for i in range(steps + 1)
+        ]
+    )
+    history = np.zeros_like(zs)
+    history[1:] = zs[:-1]
+    Y, I, V, D, _ = ctx.decode_and_process(
+        zs, history=history, sample_method=sample_method, rng=rng
+    )
+    del cfg
+    return Y, I, V, D
+
+
+def generate_medley(
+    ctx: GenerationContext,
+    songs: list[dict],
+    interpolation_length: int,
+    samples_per_song: int,
+    sample_method: str = "argmax",
+    rng: np.random.RandomState | None = None,
+):
+    """Chosen-song interpolation medley (vae_evaluation.py:705-837).
+
+    ``songs``: list of {X, I, V, D} window dicts. For each consecutive pair,
+    bridge with ``interpolation_length`` interpolated windows, then decode
+    ``samples_per_song`` real windows. Returns (Y, I_list, V, D, info).
+    """
+    rng = rng or np.random.RandomState()
+    Y_out, I_out, V_out, D_out = [], [], [], []
+    info: dict[str, object] = {}
+    previous_medley_z = None
+    previous_rep = np.zeros((1, ctx.cfg.latent_dim), np.float32)
+
+    for idx, song in enumerate(songs):
+        X, I, V, D = song["X"], song["I"], song["V"], song["D"]
+        n = X.shape[0]
+        take = min(samples_per_song, n)
+        start = 0 if n <= take else int(rng.randint(0, n - take))
+        R = ctx.encode_song(X[start : start + take], I, V[start : start + take], D[start : start + take])
+        info[f"programs_{idx}"] = instrument_matrix_to_programs(
+            I, ctx.cfg.instrument_attach_method
+        )
+
+        if previous_medley_z is not None:
+            for i in range(interpolation_length):
+                z = linear_interpolation(
+                    previous_medley_z, R[0], i / float(interpolation_length)
+                )[None]
+                Y, Ip, Vp, Dp, _ = ctx.decode_and_process(
+                    z, history=previous_rep, sample_method=sample_method, rng=rng
+                )
+                Y_out.append(Y)
+                I_out.extend(Ip)
+                V_out.append(Vp)
+                D_out.append(Dp)
+                previous_rep = z
+        for i in range(R.shape[0]):
+            z = R[i][None]
+            Y, Ip, Vp, Dp, _ = ctx.decode_and_process(
+                z, history=previous_rep, sample_method=sample_method, rng=rng
+            )
+            Y_out.append(Y)
+            I_out.extend(Ip)
+            V_out.append(Vp)
+            D_out.append(Dp)
+            previous_rep = z
+        previous_medley_z = R[-1]
+
+    return (
+        np.concatenate(Y_out, axis=0),
+        np.asarray(I_out),
+        np.concatenate(V_out),
+        np.concatenate(D_out),
+        info,
+    )
+
+
+def generate_long_song(
+    ctx: GenerationContext,
+    all_z: np.ndarray,
+    z_std: float,
+    length: int,
+    rng: np.random.RandomState,
+    sample_method: str = "choice",
+):
+    """Decode -> re-encode -> blend with nearest cached train z, chained
+    (vae_evaluation.py:1821-1896)."""
+    cfg = ctx.cfg
+    R = rng.normal(0.0, z_std, size=(1, cfg.latent_dim)).astype(np.float32)
+    previous_rep = np.zeros((1, cfg.latent_dim), np.float32)
+    picked: set[int] = set()
+    Y_out, I_out, V_out, D_out = [], [], [], []
+
+    for _ in range(length):
+        dists = np.linalg.norm(all_z - R, axis=1)
+        order = np.argsort(dists)
+        best = next((int(i) for i in order if int(i) not in picked), int(order[0]))
+        picked.add(best)
+        e = z_std
+        R = (R + all_z[best] * e) / (1 + e)
+
+        Y, I, V, D, _ = ctx.decode_and_process(
+            R, history=previous_rep, sample_method=sample_method, rng=rng
+        )
+        Y_out.append(Y)
+        I_out.extend(I)
+        V_out.append(V)
+        D_out.append(D)
+
+        # feed the output back through the encoder
+        X = sampling.add_silent_column(Y, cfg)[None]
+        previous_rep = R
+        R = ctx.encode_song(X, I[0], V[None], D[None])
+
+    return (
+        np.concatenate(Y_out, axis=0),
+        np.asarray(I_out),
+        np.concatenate(V_out),
+        np.concatenate(D_out),
+    )

@@ -55,7 +55,7 @@ def metrics_harmonicity(
         c1 = np.sum(chroma1[resolution * r : resolution * (r + 1)], axis=0)
         c2 = np.sum(chroma2[resolution * r : resolution * (r + 1)], axis=0)
         scores.append(tonal_dist(c1, c2))
-    if not scores:
+    if not scores or np.all(np.isnan(scores)):
         return float("nan")
     with np.errstate(all="ignore"):
         return float(np.nanmean(scores))
@@ -75,7 +75,10 @@ def get_harmonicity_scores_for_each_track_combination(
                 for s in unrolled_pianoroll
             ]
         )
-        with np.errstate(all="ignore"):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
             return np.nanmean(spm, axis=0)
 
     matrix = np.zeros((max_voices, max_voices))
