@@ -156,6 +156,7 @@ class Config:
     mesh_data_axis: int = -1                  # -1 => all devices on 'data'
     mesh_model_axis: int = 1
     compute_dtype: str = "float32"            # 'float32' | 'bfloat16'
+    use_pallas: str = "auto"                  # 'auto' | 'on' | 'off'
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -165,6 +166,8 @@ class Config:
             )
         if self.cell_type not in VALID_CELL_TYPES:
             raise ValueError(f"unknown cell_type {self.cell_type!r}")
+        if self.use_pallas not in ("auto", "on", "off"):
+            raise ValueError(f"use_pallas must be auto/on/off, got {self.use_pallas!r}")
         if self.smallest_note % 4 != 0:
             raise ValueError("smallest_note must be a multiple of 4")
         if self.num_layers_encoder <= 0 or self.num_layers_decoder <= 0:

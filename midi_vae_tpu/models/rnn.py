@@ -35,6 +35,7 @@ def encode_sequence(
     cell_type: str,
     activation: str = "tanh",
     bidirectional: bool = False,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
 
@@ -45,33 +46,48 @@ def encode_sequence(
     (vae_definition.py:447-453).
     """
     cell = get_cell(cell_type)
-    act = activation_fn(activation)
+    fused = fused and cell_type == "GRU"
     h = xs
     n_layers = len(layer_params)
     for i, p in enumerate(layer_params):
         is_last = i == n_layers - 1
         if bidirectional and not is_last:
-            fwd = _scan_layer(cell, p["fwd"], h, act, return_sequences=True)
+            fwd = _scan_layer(cell, p["fwd"], h, activation, True, fused)
             bwd = _scan_layer(
-                cell, p["bwd"], h[:, ::-1, :], act, return_sequences=True
+                cell, p["bwd"], h[:, ::-1, :], activation, True, fused
             )[:, ::-1, :]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
-            h = _scan_layer(cell, p, h, act, return_sequences=not is_last)
+            h = _scan_layer(cell, p, h, activation, not is_last, fused)
     return h
 
 
-def _scan_layer(cell, p: Params, xs: jnp.ndarray, act, return_sequences: bool):
-    """One RNN layer over (B, T, D). x-projection batched across time."""
+def _scan_layer(
+    cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
+    fused: bool = False,
+):
+    """One RNN layer over (B, T, D). x-projection batched across time; the
+    recurrent part optionally runs as a fused Pallas step (ops/fused_gru)."""
+    act = activation_fn(activation)
     B, T, _D = xs.shape
     hidden = p["u"].shape[0]
     # (B, T, gates) in one matmul -- the MXU-friendly layout
     xp = cell.x_proj(p, xs.reshape(B * T, -1)).reshape(B, T, -1)
     init = zero_states(cell, B, hidden, xs.dtype)
 
-    def step(states, xp_t):
-        out, new_states = cell.step(p, xp_t, states, act)
-        return new_states, (out if return_sequences else None)
+    if fused:
+        from ..ops.fused_gru import gru_recurrent_step
+
+        def step(states, xp_t):
+            (h,) = states
+            new_h = gru_recurrent_step(xp_t, h, p["u"], activation)
+            return (new_h,), (new_h if return_sequences else None)
+
+    else:
+
+        def step(states, xp_t):
+            out, new_states = cell.step(p, xp_t, states, act)
+            return new_states, (out if return_sequences else None)
 
     final_states, outs = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))
     if return_sequences:

@@ -45,6 +45,17 @@ class MidiVAE:
         self.cfg = cfg
         self.cell = get_cell(cfg.cell_type)
 
+    def _pallas_enabled(self) -> bool:
+        """Fused Pallas GRU kernels: 'auto' enables them on TPU backends."""
+        cfg = self.cfg
+        if cfg.cell_type != "GRU" or cfg.use_pallas == "off":
+            return False
+        if cfg.use_pallas == "on":
+            return True
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+
     # ------------------------------------------------------------------
     # Parameter initialization
     # ------------------------------------------------------------------
@@ -155,23 +166,25 @@ class MidiVAE:
         cfg = self.cfg
         enc = params["encoder"]
         x = batch["X"]
+        fused = self._pallas_enabled()
         if cfg.use_embedding:
             x = dense_apply(enc["embedding"], x)
         h = encode_sequence(
-            enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation, cfg.bidirectional
+            enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
+            cfg.bidirectional, fused=fused,
         )
         parts = [h]
         if cfg.meta_instrument:
             parts.append(
-                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation)
+                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused)
             )
         if cfg.meta_velocity:
             parts.append(
-                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation)
+                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused)
             )
         if cfg.meta_held_notes:
             parts.append(
-                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation)
+                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused)
             )
         if len(parts) > 1:
             h = jnp.concatenate(parts, axis=-1)
@@ -240,6 +253,12 @@ class MidiVAE:
             parts.append(additional)
         new_encoded = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else z
 
+        fused_step = None
+        if self._pallas_enabled():
+            from ..ops.fused_gru import make_fused_decoder_step
+
+            fused_step = make_fused_decoder_step(cfg.lstm_activation)
+
         def run_head(
             name: str,
             head_dim: int,
@@ -262,6 +281,7 @@ class MidiVAE:
                 cfg.lstm_activation,
                 out_activation,
                 ground_truth=gt,
+                fused_step=fused_step,
             )
 
         outputs = {

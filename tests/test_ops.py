@@ -1,0 +1,64 @@
+"""Pallas kernel tests: fused GRU step vs the pure cells.py math.
+
+On CPU the kernels run in interpret mode -- the same Mosaic lowering paths
+are exercised numerically; the TPU compiled path is covered by bench.py and
+the driver's real-chip runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from midi_vae_tpu.models.cells import GRUCell
+from midi_vae_tpu.ops import fused_gru
+
+
+@pytest.fixture
+def gru_data():
+    rng = np.random.RandomState(0)
+    B, D, H = 8, 16, 32
+    x = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    h = jnp.asarray(rng.randn(B, H).astype(np.float32))
+    params = GRUCell.init(jax.random.PRNGKey(0), D, H)
+    return x, h, params
+
+
+class TestFusedGRU:
+    def test_full_step_matches_cell(self, gru_data):
+        x, h, p = gru_data
+        expected, _ = GRUCell.step(p, GRUCell.x_proj(p, x), (h,), jnp.tanh)
+        got = fused_gru.gru_step(x, h, p["w"], p["u"], p["b"], interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-6)
+
+    def test_recurrent_step_matches_cell(self, gru_data):
+        x, h, p = gru_data
+        xp = GRUCell.x_proj(p, x)
+        expected, _ = GRUCell.step(p, xp, (h,), jnp.tanh)
+        got = fused_gru.gru_recurrent_step(xp, h, p["u"], interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-6)
+
+    def test_fallback_matches_kernel(self, gru_data):
+        x, h, p = gru_data
+        interp = fused_gru.gru_step(x, h, p["w"], p["u"], p["b"], interpret=True)
+        fallback = fused_gru._gru_step_reference(x, h, p["w"], p["u"], p["b"], jnp.tanh)
+        np.testing.assert_allclose(np.asarray(interp), np.asarray(fallback), rtol=2e-5, atol=2e-6)
+
+    def test_decoder_step_adapter(self, gru_data):
+        x, h, p = gru_data
+        step = fused_gru.make_fused_decoder_step("tanh")
+        out, (new_h,) = step(p, x, (h,))
+        expected, _ = GRUCell.step(p, GRUCell.x_proj(p, x), (h,), jnp.tanh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-6)
+        assert out is new_h
+
+    def test_reference_scale_shapes(self):
+        """Reference dims: B=256, D=61, H=256 -- must fit the VMEM budget."""
+        assert fused_gru._fits_vmem(256, 61, 256)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(256, 61).astype(np.float32))
+        h = jnp.asarray(rng.randn(256, 256).astype(np.float32))
+        p = GRUCell.init(jax.random.PRNGKey(1), 61, 256)
+        got = fused_gru.gru_step(x, h, p["w"], p["u"], p["b"], interpret=True)
+        expected, _ = GRUCell.step(p, GRUCell.x_proj(p, x), (h,), jnp.tanh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=1e-5)
