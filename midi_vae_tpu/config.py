@@ -157,6 +157,9 @@ class Config:
     mesh_model_axis: int = 1
     compute_dtype: str = "float32"            # 'float32' | 'bfloat16'
     use_pallas: str = "auto"                  # 'auto' | 'on' | 'off'
+    # one scan for all T-length decoder heads; measured slightly slower than
+    # separate scans when the Pallas fused steps are on, so default off
+    merge_decoder_scans: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

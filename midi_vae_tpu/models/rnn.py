@@ -195,3 +195,59 @@ def decode_autoregressive(
         ar_step, (initial_states, start), None, length=output_length
     )
     return jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1)
+
+
+def decode_heads_merged(
+    heads: dict,
+    output_length: int,
+    cell_type: str,
+    lstm_activation: str = "tanh",
+    fused_step=None,
+) -> dict:
+    """Run several independent readout decoders in ONE ``lax.scan``.
+
+    The reference runs one RecurrentModel per head, back to back
+    (vae_definition.py:519-728); as separate scans the heads serialize on
+    TPU, paying per-step scheduling overhead 3-4x. The heads share no state,
+    so a single scan whose carry holds every head's (states, prev_out) is
+    mathematically identical while letting XLA overlap their per-step work.
+
+    heads: name -> dict(cells=[...], out=dense, init_states=..., start=...,
+                        out_activation=str). All heads must have the same
+    sequence length. Returns name -> (probs, logits), each (B, T, dim).
+    """
+    cell = get_cell(cell_type)
+    act = activation_fn(lstm_activation)
+    names = list(heads)
+    out_acts = {n: activation_fn(heads[n]["out_activation"]) for n in names}
+
+    init_carry = tuple(
+        (heads[n]["init_states"], heads[n]["start"]) for n in names
+    )
+
+    def step(carry, _):
+        new_carry = []
+        outs = []
+        for n, (states, prev_out) in zip(names, carry):
+            spec = heads[n]
+            out = prev_out
+            new_states = []
+            for p, s in zip(spec["cells"], states):
+                if fused_step is not None:
+                    out, ns = fused_step(p, out, s)
+                else:
+                    xp = cell.x_proj(p, out)
+                    out, ns = cell.step(p, xp, s, act)
+                new_states.append(ns)
+            logits = dense_apply(spec["out"], out)
+            probs = out_acts[n](logits)
+            new_carry.append((tuple(new_states), probs))
+            outs.append((probs, logits))
+        return tuple(new_carry), tuple(outs)
+
+    _, scanned = jax.lax.scan(step, init_carry, None, length=output_length)
+    result = {}
+    for i, n in enumerate(names):
+        probs, logits = scanned[i]
+        result[n] = (jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1))
+    return result

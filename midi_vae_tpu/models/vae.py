@@ -33,7 +33,12 @@ import jax.numpy as jnp
 
 from ..config import Config
 from .cells import activation_fn, dense_apply, dense_init, get_cell
-from .rnn import decode_autoregressive, encode_sequence, init_decoder_states
+from .rnn import (
+    decode_autoregressive,
+    decode_heads_merged,
+    encode_sequence,
+    init_decoder_states,
+)
 
 Params = dict[str, Any]
 
@@ -284,37 +289,73 @@ class MidiVAE:
                 fused_step=fused_step,
             )
 
-        outputs = {
-            "notes": run_head(
-                "notes",
-                cfg.output_dim,
-                cfg.output_length,
-                cfg.activation,
+        # T-length heads can merge into one scan (rnn.decode_heads_merged);
+        # a teacher-forced notes head scans over known inputs and stays apart.
+        merged_specs: dict = {}
+
+        def head_spec(name: str, head_dim: int, out_activation: str) -> dict:
+            h = dec[name]
+            return {
+                "cells": h["cells"],
+                "out": h["out"],
+                "init_states": init_decoder_states(
+                    h["init"], new_encoded, cfg.cell_type, cfg.lstm_state_activation
+                ),
+                "start": jnp.zeros((B, head_dim), z.dtype),
+                "out_activation": out_activation,
+            }
+
+        outputs: dict = {}
+        merge = cfg.merge_decoder_scans
+        notes_tf = cfg.teacher_force and ground_truth is not None
+        if merge and not notes_tf:
+            merged_specs["notes"] = head_spec("notes", cfg.output_dim, cfg.activation)
+        else:
+            outputs["notes"] = run_head(
+                "notes", cfg.output_dim, cfg.output_length, cfg.activation,
                 ground_truth if cfg.teacher_force else None,
             )
-        }
+        if cfg.meta_velocity:
+            if merge:
+                merged_specs["velocity"] = head_spec(
+                    "velocity", 1, cfg.meta_velocity_activation
+                )
+            else:
+                outputs["velocity"] = run_head(
+                    "velocity", 1, cfg.meta_velocity_length,
+                    cfg.meta_velocity_activation, None,
+                )
+        if cfg.meta_held_notes:
+            if merge:
+                merged_specs["held"] = head_spec(
+                    "held", 2, cfg.meta_held_notes_activation
+                )
+            else:
+                outputs["held"] = run_head(
+                    "held", 2, cfg.meta_held_notes_length,
+                    cfg.meta_held_notes_activation, None,
+                )
+        if cfg.meta_next_notes:
+            if merge:
+                merged_specs["next"] = head_spec("next", cfg.output_dim, cfg.activation)
+            else:
+                outputs["next"] = run_head(
+                    "next", cfg.output_dim, cfg.meta_next_notes_output_length,
+                    cfg.activation, None,
+                )
+        if merged_specs:
+            outputs.update(
+                decode_heads_merged(
+                    merged_specs, cfg.output_length, cfg.cell_type,
+                    cfg.lstm_activation, fused_step=fused_step,
+                )
+            )
         if cfg.meta_instrument:
             outputs["instrument"] = run_head(
                 "instrument",
                 cfg.meta_instrument_dim,
                 cfg.meta_instrument_length,
                 cfg.meta_instrument_activation,
-                None,
-            )
-        if cfg.meta_velocity:
-            outputs["velocity"] = run_head(
-                "velocity", 1, cfg.meta_velocity_length, cfg.meta_velocity_activation, None
-            )
-        if cfg.meta_held_notes:
-            outputs["held"] = run_head(
-                "held", 2, cfg.meta_held_notes_length, cfg.meta_held_notes_activation, None
-            )
-        if cfg.meta_next_notes:
-            outputs["next"] = run_head(
-                "next",
-                cfg.output_dim,
-                cfg.meta_next_notes_output_length,
-                cfg.activation,
                 None,
             )
         return outputs
