@@ -184,10 +184,72 @@ class _TempoMap:
         return times, bpm
 
 
-def read_midi(path: str) -> MidiFile:
+def read_midi(path: str, native: bool = True) -> MidiFile:
     with open(path, "rb") as f:
         data = f.read()
+    if native:
+        mid = _parse_midi_bytes_native(data)
+        if mid is not None:
+            return mid
     return parse_midi_bytes(data)
+
+
+def _parse_midi_bytes_native(data: bytes) -> MidiFile | None:
+    """Parse via the C++ event extractor (midi_vae_tpu/native); None if the
+    native library is unavailable. Semantics identical to parse_midi_bytes."""
+    try:
+        from ..native import parse_smf_native
+    except ImportError:
+        return None
+    parsed = parse_smf_native(data)
+    if parsed is None:
+        return None
+    resolution, notes, tempos, timesigs = parsed
+
+    tmap = _TempoMap([(int(t), int(u)) for t, u in tempos], resolution)
+    mid = MidiFile(resolution=resolution)
+    times, bpm = tmap.change_times_and_bpm()
+    mid.set_tempo_changes(times, bpm)
+    for tick, num, den in sorted(map(tuple, timesigs)):
+        mid.time_signature_changes.append(
+            TimeSignature(int(num), int(den), tmap.to_seconds(int(tick)))
+        )
+
+    # vectorized tick -> seconds over the tempo map
+    import numpy as _np
+
+    map_ticks = _np.asarray(tmap.ticks, dtype=_np.int64)
+    map_secs = _np.asarray(tmap.seconds)
+    map_rate = _np.asarray(tmap.uspq) / (1e6 * tmap.resolution)
+
+    def ticks_to_seconds(ticks: "_np.ndarray") -> "_np.ndarray":
+        idx = _np.searchsorted(map_ticks, ticks, side="right") - 1
+        idx = _np.clip(idx, 0, len(map_ticks) - 1)
+        return map_secs[idx] + (ticks - map_ticks[idx]) * map_rate[idx]
+
+    instruments: dict[tuple[int, int, int], Instrument] = {}
+    if len(notes):
+        starts_s = ticks_to_seconds(notes[:, 5])
+        ends_s = ticks_to_seconds(notes[:, 6])
+        for row, start_s, end_s in zip(notes, starts_s, ends_s):
+            if end_s <= start_s:
+                continue
+            track, channel, program, pitch, velocity = (
+                int(row[0]), int(row[1]), int(row[2]), int(row[3]), int(row[4])
+            )
+            key = (track, channel, program)
+            inst = instruments.get(key)
+            if inst is None:
+                inst = instruments[key] = Instrument(
+                    program=program, is_drum=(channel == 9)
+                )
+            inst.notes.append(Note(pitch, velocity, float(start_s), float(end_s)))
+    for key in sorted(instruments):
+        inst = instruments[key]
+        if inst.notes:
+            inst.notes.sort(key=lambda n: (n.start, n.pitch))
+            mid.instruments.append(inst)
+    return mid
 
 
 def parse_midi_bytes(data: bytes) -> MidiFile:

@@ -1,0 +1,83 @@
+"""Native C++ SMF parser: parity with the pure-Python parser + speed sanity."""
+
+import numpy as np
+import pytest
+
+from midi_vae_tpu.data import smf
+from midi_vae_tpu.native import get_smf_lib
+
+
+def make_song(path, n_notes=64, seed=0, bpm=110.0):
+    rng = np.random.RandomState(seed)
+    mid = smf.MidiFile(initial_tempo=bpm)
+    for prog in (0, 33):
+        inst = smf.Instrument(program=prog)
+        t = 0.0
+        for _ in range(n_notes):
+            pitch = int(rng.randint(36, 90))
+            dur = 0.1 * rng.randint(1, 5)
+            inst.notes.append(smf.Note(pitch, int(rng.randint(30, 120)), t, t + dur))
+            t += dur * rng.choice([0.5, 1.0])
+        mid.instruments.append(inst)
+    mid.write(str(path))
+    return mid
+
+
+@pytest.mark.skipif(get_smf_lib() is None, reason="native lib unavailable")
+class TestNativeParser:
+    def test_parity_with_python_parser(self, tmp_path):
+        path = tmp_path / "song.mid"
+        make_song(path)
+        py = smf.read_midi(str(path), native=False)
+        nat = smf.read_midi(str(path), native=True)
+        assert len(py.instruments) == len(nat.instruments)
+        t_py, b_py = py.get_tempo_changes()
+        t_nat, b_nat = nat.get_tempo_changes()
+        np.testing.assert_allclose(t_py, t_nat)
+        np.testing.assert_allclose(b_py, b_nat)
+        for ip, in_ in zip(py.instruments, nat.instruments):
+            assert ip.program == in_.program
+            assert len(ip.notes) == len(in_.notes)
+            for a, b in zip(ip.notes, in_.notes):
+                assert a.pitch == b.pitch and a.velocity == b.velocity
+                assert abs(a.start - b.start) < 1e-9
+                assert abs(a.end - b.end) < 1e-9
+
+    def test_parity_through_tensorizer(self, tmp_path):
+        from midi_vae_tpu.config import Config
+        from midi_vae_tpu.data import tensorize
+
+        cfg = Config()
+        path = tmp_path / "song2.mid"
+        make_song(path, seed=3)
+        s_py = tensorize.load_rolls(smf.read_midi(str(path), native=False), cfg)
+        s_nat = tensorize.load_rolls(smf.read_midi(str(path), native=True), cfg)
+        np.testing.assert_array_equal(s_py.Y, s_nat.Y)
+        np.testing.assert_array_equal(s_py.V, s_nat.V)
+        np.testing.assert_array_equal(s_py.D, s_nat.D)
+        np.testing.assert_array_equal(s_py.I, s_nat.I)
+
+    def test_garbage_raises(self):
+        from midi_vae_tpu.native import parse_smf_native
+
+        with pytest.raises(ValueError):
+            parse_smf_native(b"definitely not midi data")
+
+    def test_native_faster(self, tmp_path):
+        import time
+
+        path = tmp_path / "big.mid"
+        make_song(path, n_notes=2000, seed=7)
+        data = open(path, "rb").read()
+
+        t0 = time.perf_counter()
+        for _ in range(5):
+            smf.parse_midi_bytes(data)
+        py_time = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for _ in range(5):
+            smf._parse_midi_bytes_native(data)
+        nat_time = time.perf_counter() - t0
+        # the C++ walk should comfortably beat the Python byte loop
+        assert nat_time < py_time
