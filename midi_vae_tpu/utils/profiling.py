@@ -1,0 +1,71 @@
+"""Tracing / profiling utilities.
+
+The reference has no profiling at all (SURVEY.md §5: only progressbar wall
+progress). The framework provides:
+
+* ``trace(logdir)``: context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable device trace of everything inside,
+* ``StepTimer``: lightweight wall-clock step timing with warmup discard and
+  percentile summaries -- the numbers bench.py reports.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a jax.profiler device trace into ``logdir``."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class StepTimer:
+    warmup: int = 3
+    _times: list[float] = field(default_factory=list)
+    _seen: int = 0
+    _t0: float | None = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        self._seen += 1
+        if self._seen > self.warmup:
+            self._times.append(dt)
+        return False
+
+    @property
+    def count(self) -> int:
+        return len(self._times)
+
+    def summary(self) -> dict:
+        if not self._times:
+            return {"steps": 0}
+        ts = sorted(self._times)
+        n = len(ts)
+        return {
+            "steps": n,
+            "mean_s": sum(ts) / n,
+            "p50_s": ts[n // 2],
+            "p90_s": ts[min(n - 1, int(n * 0.9))],
+            "min_s": ts[0],
+            "max_s": ts[-1],
+        }
+
+    def throughput(self, items_per_step: float) -> float:
+        s = self.summary()
+        if not s.get("steps"):
+            return 0.0
+        return items_per_step / s["mean_s"]

@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="override any Config field")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the first epoch")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -84,8 +86,6 @@ def main(argv: list[str] | None = None) -> int:
         state = trainer.init_state()
 
     import numpy as np
-
-    np.save_kwargs = {}
     import os
 
     os.makedirs(args.output, exist_ok=True)
@@ -94,6 +94,15 @@ def main(argv: list[str] | None = None) -> int:
         mean=sig_mean,
         std=sig_std,
     )
+    if args.profile:
+        from midi_vae_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            trainer.fit(state, train, test=test, epochs=state.epoch + 1,
+                        output_dir=args.output)
+        print(f"profiler trace written to {args.profile}")
+        if cfg.epochs <= state.epoch:
+            return 0
     trainer.fit(state, train, test=test, output_dir=args.output)
     return 0
 
