@@ -114,6 +114,7 @@ def import_midi_from_folder(
     cfg: Config,
     cache_dir: str | None = None,
     verbose: bool = False,
+    preprocessed_dir: str | None = None,
 ) -> Dataset:
     """Import + split a labeled MIDI corpus (import_midi.py:352-574)."""
     if cache_dir:
@@ -134,7 +135,7 @@ def import_midi_from_folder(
     for full, label in files:
         if verbose:
             print(f"Importing class {label} song {os.path.basename(full)}")
-        song = load_rolls_from_path(full, cfg)
+        song = load_rolls_from_path(full, cfg, preprocessed_dir=preprocessed_dir)
         if song is not None and song.X is not None:
             songs.append(song)
             labels.append(label)

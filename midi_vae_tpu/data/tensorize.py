@@ -222,8 +222,14 @@ def _voice_order(active: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 # load_rolls: one MIDI file -> SongTensors
 # ---------------------------------------------------------------------------
 
-def load_rolls(mid: smf.MidiFile, cfg: Config) -> SongTensors | None:
-    """Tensorize one parsed MIDI song (import_midi.py:13-350)."""
+def load_rolls(
+    mid: smf.MidiFile, cfg: Config, preprocessed_dir: str | None = None,
+    name: str = "song",
+) -> SongTensors | None:
+    """Tensorize one parsed MIDI song (import_midi.py:13-350).
+
+    ``preprocessed_dir``: when set (or cfg.save_preprocessed_midi), the
+    unrolled rolls are rendered back to MIDI there (import_midi.py:300)."""
     song_start, song_end, tempo = steady_tempo_span(mid)
     if song_end <= song_start or tempo <= 0:
         return None
@@ -336,6 +342,16 @@ def load_rolls(mid: smf.MidiFile, cfg: Config) -> SongTensors | None:
         tiled = np.tile(I, (song_length // mv, 1)).astype(np.float32)
         Y = np.concatenate([Y, tiled], axis=1)
 
+    if preprocessed_dir is not None and cfg.save_preprocessed_midi:
+        import os
+
+        os.makedirs(preprocessed_dir, exist_ok=True)
+        save_rolls_as_midi(
+            Y, chosen_programs, cfg,
+            os.path.join(preprocessed_dir, f"{name}.mid"),
+            bpm=tempo, velocity_roll=V, held_notes_roll=D,
+        )
+
     if cfg.song_completion:
         X = Y[::mv, :].copy()  # voice 0 only (import_midi.py:294-296)
     else:
@@ -370,7 +386,9 @@ def load_rolls(mid: smf.MidiFile, cfg: Config) -> SongTensors | None:
     )
 
 
-def load_rolls_from_path(path: str, cfg: Config) -> SongTensors | None:
+def load_rolls_from_path(
+    path: str, cfg: Config, preprocessed_dir: str | None = None
+) -> SongTensors | None:
     """Parse + tensorize; broad exception swallow like import_midi.py:17-22."""
     try:
         mid = smf.read_midi(path)
@@ -379,7 +397,12 @@ def load_rolls_from_path(path: str, cfg: Config) -> SongTensors | None:
         return None
     if not mid.instruments:
         return None
-    return load_rolls(mid, cfg)
+    import os
+
+    return load_rolls(
+        mid, cfg, preprocessed_dir=preprocessed_dir,
+        name=os.path.splitext(os.path.basename(path))[0],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -250,6 +250,14 @@ class Evaluator:
             name = f"medley_{song_num}"
             if sec.save_anything:
                 self._save_midi(name, Y, programs, V, D, sec.bpm)
+                Yp, all_programs, Vp, Dp = (
+                    generation.restructure_song_to_fit_more_instruments(
+                        Y, I_pred, V, D, self.cfg
+                    )
+                )
+                self._save_midi(
+                    f"{name}_all_programs", Yp, all_programs, Vp, Dp, sec.bpm
+                )
                 with open(
                     os.path.join(self.save_folder, f"{name}_info.txt"), "w"
                 ) as f:

@@ -42,6 +42,15 @@ class ClassifierSpec:
     cell_type: str = "GRU"
     learning_rate: float = 2e-5
     batch_size: int = 512
+    # velocity-kind preprocessing (velocity_classifier.py:58-71,138-144)
+    only_train_note_starts: bool = False
+    scale_velocity_between_0_and_1: bool = False
+    velocity_threshold: float = 0.5
+
+    # reference per-kind learning rates: pitch/velocity 2e-5
+    # (pitch_classifier.py:42, velocity_classifier.py:46), instrument 1e-5
+    # (instrument_classifier.py:48)
+    DEFAULT_LEARNING_RATES = {"pitch": 2e-5, "velocity": 2e-5, "instrument": 1e-5}
 
     @classmethod
     def for_kind(cls, kind: str, cfg: Config, **overrides) -> "ClassifierSpec":
@@ -57,9 +66,25 @@ class ClassifierSpec:
             input_dim=dims[kind],
             num_classes=cfg.num_classes,
             cell_type=cfg.cell_type,
+            learning_rate=cls.DEFAULT_LEARNING_RATES[kind],
+            velocity_threshold=cfg.velocity_threshold,
         )
         base.update(overrides)
         return cls(**base)
+
+    def preprocess_inputs(self, x):
+        """Kind-specific input transforms (velocity_classifier.py:138-144)."""
+        import numpy as np
+
+        if self.kind != "velocity":
+            return x
+        x = np.copy(np.asarray(x))
+        if self.scale_velocity_between_0_and_1:
+            nz = np.nonzero(x)
+            x[nz] = (x[nz] - self.velocity_threshold) / (1.0 - self.velocity_threshold)
+        if self.only_train_note_starts:
+            x[np.nonzero(x)] = 1
+        return x
 
 
 class StyleClassifier:

@@ -99,6 +99,7 @@ class ClassifierTrainer:
         self, state: ClassifierState, inputs: np.ndarray, labels: np.ndarray,
         shuffle: bool = True,
     ) -> dict:
+        inputs = self.spec.preprocess_inputs(inputs)
         n = inputs.shape[0]
         num_classes = self.spec.num_classes
         onehot = np.eye(num_classes, dtype=np.float32)[labels]
@@ -125,6 +126,7 @@ class ClassifierTrainer:
         self, state: ClassifierState, inputs: np.ndarray, labels: np.ndarray
     ) -> dict:
         """Loss + accuracy + confusion[true, predicted]."""
+        inputs = self.spec.preprocess_inputs(inputs)
         n = inputs.shape[0]
         num_classes = self.spec.num_classes
         onehot = np.eye(num_classes, dtype=np.float32)[labels]

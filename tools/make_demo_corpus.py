@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Generate a synthetic two-style MIDI corpus for demos and smoke tests.
+
+The styles are separable on every judged modality, mirroring what the
+reference's style pairs (Jazz-vs-Pop etc.) look like to the classifiers:
+
+  style1: low register, piano programs, quiet, long legato notes, minor-ish
+  style2: high register, string programs, loud, short staccato notes, major
+
+Usage: python tools/make_demo_corpus.py OUT_DIR [--songs-per-style 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from midi_vae_tpu.data import smf  # noqa: E402
+
+STYLES = {
+    "style1": dict(
+        programs=[0, 1, 2],            # pianos
+        base_pitch=40, pitch_range=18,
+        velocity=(35, 70),
+        durations=[2, 3, 4, 6],        # in 16ths: legato
+        scale=[0, 2, 3, 5, 7, 8, 10],  # minor
+        bpm=90.0,
+    ),
+    "style2": dict(
+        programs=[40, 41, 48],         # strings
+        base_pitch=62, pitch_range=18,
+        velocity=(85, 120),
+        durations=[1, 1, 2],           # staccato
+        scale=[0, 2, 4, 5, 7, 9, 11],  # major
+        bpm=130.0,
+    ),
+}
+
+
+def make_song(style: dict, rng: np.random.RandomState, bars: int = 16) -> smf.MidiFile:
+    mid = smf.MidiFile(initial_tempo=style["bpm"])
+    sixteenth = 60.0 / style["bpm"] / 4.0
+    n_voices = int(rng.randint(1, 3))
+    for v in range(n_voices):
+        program = int(rng.choice(style["programs"]))
+        inst = smf.Instrument(program=program)
+        step = 0
+        total_steps = bars * 16
+        while step < total_steps:
+            dur = int(rng.choice(style["durations"]))
+            if rng.rand() < 0.2:  # rests
+                step += dur
+                continue
+            degree = int(rng.randint(len(style["scale"])))
+            octave = int(rng.randint(0, 2))
+            pitch = style["base_pitch"] + 12 * octave + style["scale"][degree] - 6 * v
+            vel = int(rng.randint(*style["velocity"]))
+            start = step * sixteenth
+            end = (step + dur) * sixteenth
+            inst.notes.append(smf.Note(int(pitch), vel, start, end))
+            step += dur
+        mid.instruments.append(inst)
+    return mid
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("out_dir")
+    p.add_argument("--songs-per-style", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    rng = np.random.RandomState(args.seed)
+    for style_name, style in STYLES.items():
+        d = os.path.join(args.out_dir, style_name)
+        os.makedirs(d, exist_ok=True)
+        for s in range(args.songs_per_style):
+            make_song(style, rng).write(os.path.join(d, f"{style_name}_{s:03d}.mid"))
+    print(f"wrote {args.songs_per_style} songs per style to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
