@@ -26,6 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kinds", default="pitch,velocity,instrument")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--cache", default=None)
+    p.add_argument("--workers", type=int, default=0, help="parallel import workers")
     p.add_argument("--lstm-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--learning-rate", type=float, default=2e-5)
@@ -51,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.replace(classes=tuple(args.classes.split(",")))
 
     print(f"importing corpus from {args.source} ...")
-    ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache)
+    ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache, workers=args.workers)
     print(f"train songs: {ds.train_set_size}  test songs: {ds.test_set_size}")
     train, test, _, _ = flatten_dataset(ds, cfg)
 

@@ -28,6 +28,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="classifier run dir (classify.py --output)")
     p.add_argument("--output", required=True)
     p.add_argument("--cache", default=None)
+    p.add_argument("--workers", type=int, default=0, help="parallel import workers")
     p.add_argument("--sections", default="autoencoding")
     p.add_argument("--test-train-set", action="store_true")
     p.add_argument("--num-songs", type=int, default=3,
@@ -48,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = ckpt.load_config(args.model)
     print(f"importing corpus from {args.source} ...")
-    ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache)
+    ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache, workers=args.workers)
     print(f"train songs: {ds.train_set_size}  test songs: {ds.test_set_size}")
 
     state = ckpt.restore_checkpoint(args.model, args.epoch)

@@ -109,12 +109,18 @@ def windows_per_song(song_Y: np.ndarray, cfg: Config) -> int:
     return math.ceil(len(song_Y) / (cfg.output_length // cfg.max_voices))
 
 
+def _load_one(args):
+    path, cfg, preprocessed_dir = args
+    return load_rolls_from_path(path, cfg, preprocessed_dir=preprocessed_dir)
+
+
 def import_midi_from_folder(
     folder: str,
     cfg: Config,
     cache_dir: str | None = None,
     verbose: bool = False,
     preprocessed_dir: str | None = None,
+    workers: int = 0,
 ) -> Dataset:
     """Import + split a labeled MIDI corpus (import_midi.py:352-574)."""
     if cache_dir:
@@ -132,14 +138,32 @@ def import_midi_from_folder(
     songs: list[SongTensors] = []
     labels: list[int] = []
     paths: list[str] = []
-    for full, label in files:
-        if verbose:
-            print(f"Importing class {label} song {os.path.basename(full)}")
-        song = load_rolls_from_path(full, cfg, preprocessed_dir=preprocessed_dir)
-        if song is not None and song.X is not None:
-            songs.append(song)
-            labels.append(label)
-            paths.append(full)
+    if workers and workers > 1 and len(files) > 1:
+        # parallel tensorization across files (the reference imports serially)
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            results = list(
+                pool.map(
+                    _load_one,
+                    [(full, cfg, preprocessed_dir) for full, _ in files],
+                    chunksize=4,
+                )
+            )
+        for (full, label), song in zip(files, results):
+            if song is not None and song.X is not None:
+                songs.append(song)
+                labels.append(label)
+                paths.append(full)
+    else:
+        for full, label in files:
+            if verbose:
+                print(f"Importing class {label} song {os.path.basename(full)}")
+            song = load_rolls_from_path(full, cfg, preprocessed_dir=preprocessed_dir)
+            if song is not None and song.X is not None:
+                songs.append(song)
+                labels.append(label)
+                paths.append(full)
 
     ds = Dataset(cfg=cfg)
     if not songs:

@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", default=None, help="config JSON to start from")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--cache", default=None, help="dataset cache directory")
+    p.add_argument("--workers", type=int, default=0, help="parallel import workers")
     p.add_argument("--resume", action="store_true", help="resume from --output")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="override any Config field")
@@ -69,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.replace(**overrides)
 
     print(f"importing corpus from {args.source} ...")
-    ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache, verbose=True)
+    ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache, verbose=True, workers=args.workers)
     print(f"train songs: {ds.train_set_size}  test songs: {ds.test_set_size}")
     if ds.train_set_size == 0:
         print("no songs imported -- check --source and --classes")
