@@ -169,6 +169,10 @@ class Config:
             )
         if self.cell_type not in VALID_CELL_TYPES:
             raise ValueError(f"unknown cell_type {self.cell_type!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32/bfloat16, got {self.compute_dtype!r}"
+            )
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"use_pallas must be auto/on/off, got {self.use_pallas!r}")
         if self.smallest_note % 4 != 0:

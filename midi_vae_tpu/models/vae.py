@@ -397,8 +397,19 @@ class MidiVAE:
         rng: jax.Array | None = None,
         epsilon_std: float = 0.0,
     ) -> dict:
-        """Autoencoder forward: encode, sample, decode all heads + probes."""
+        """Autoencoder forward: encode, sample, decode all heads + probes.
+
+        With ``cfg.compute_dtype='bfloat16'`` the whole forward runs in bf16
+        (MXU 2x rate; matmul accumulation stays f32 via
+        preferred_element_type) while the caller's loss upcasts to f32."""
         cfg = self.cfg
+        if cfg.compute_dtype == "bfloat16":
+            bf16 = jnp.bfloat16
+            params = jax.tree_util.tree_map(lambda a: a.astype(bf16), params)
+            batch = {
+                k: (v.astype(bf16) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v)
+                for k, v in batch.items()
+            }
         z_mean, z_log_var = self.encode_stats(params, batch)
         z = self.sample_z(z_mean, z_log_var, rng, epsilon_std)
         outputs = self.decode(
@@ -473,6 +484,11 @@ def loss_and_metrics(
     """
     cfg = model.cfg
     out = model.apply(params, batch, rng, epsilon_std)
+    if cfg.compute_dtype == "bfloat16":
+        # losses/metrics in full precision
+        out = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32) if hasattr(a, "dtype") else a, out
+        )
     metrics: dict[str, jnp.ndarray] = {}
     total = jnp.zeros((), jnp.float32)
 

@@ -61,7 +61,7 @@ def _gru_full_kernel(x_ref, h_ref, w_ref, u_ref, b_ref, out_ref, *, act):
         xw[:, 2 * H :]
         + jnp.dot(r * h, u_ref[:, 2 * H :], preferred_element_type=jnp.float32)
     )
-    out_ref[:] = z * h + (1.0 - z) * hh
+    out_ref[:] = (z * h + (1.0 - z) * hh).astype(out_ref.dtype)
 
 
 def _gru_recurrent_kernel(xp_ref, h_ref, u_ref, out_ref, *, act):
@@ -75,7 +75,7 @@ def _gru_recurrent_kernel(xp_ref, h_ref, u_ref, out_ref, *, act):
         xp[:, 2 * H :]
         + jnp.dot(r * h, u_ref[:, 2 * H :], preferred_element_type=jnp.float32)
     )
-    out_ref[:] = z * h + (1.0 - z) * hh
+    out_ref[:] = (z * h + (1.0 - z) * hh).astype(out_ref.dtype)
 
 
 def _activation(name: str):

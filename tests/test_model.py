@@ -214,3 +214,46 @@ class TestOverfit:
             if acc > 0.95:
                 break
         assert acc > 0.95, f"failed to overfit: notes_acc={acc}"
+
+
+class TestComputeDtype:
+    def test_bf16_forward_close_to_f32(self):
+        cfg32 = small_test_config()
+        cfg16 = small_test_config(compute_dtype="bfloat16")
+        m32, m16 = MidiVAE(cfg32), MidiVAE(cfg16)
+        params = m32.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg32)
+        l32, _ = loss_and_metrics(m32, params, batch, None, 0.0)
+        l16, met16 = loss_and_metrics(m16, params, batch, None, 0.0)
+        assert abs(float(l32) - float(l16)) / float(l32) < 0.02
+        for v in met16.values():
+            assert jnp.isfinite(v)
+
+    def test_bf16_trains(self):
+        import optax
+
+        cfg = small_test_config(compute_dtype="bfloat16", epsilon_std=0.0)
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg, B=2)
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            (loss, m), g = jax.value_and_grad(
+                lambda p: loss_and_metrics(model, p, batch, None, 0.0),
+                has_aux=True,
+            )(params)
+            u, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(params, u), opt_state, loss
+
+        losses = []
+        for _ in range(30):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        # grads keep params in f32 (mixed precision, not full bf16)
+        assert all(
+            x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(params)
+        )
