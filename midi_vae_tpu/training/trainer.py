@@ -152,6 +152,109 @@ class VAETrainer:
         self.encode_step = jax.jit(encode_step)
 
     # ------------------------------------------------------------------
+    # Device-resident epochs: the whole dataset lives in HBM and an entire
+    # epoch (history pass + every optimizer step) runs as ONE jitted call --
+    # no host round trips per batch. Supported for configs without
+    # meta_next_notes / decoder_additional_input (those fall back to the
+    # host-batched loop).
+    # ------------------------------------------------------------------
+    def supports_device_epoch(self) -> bool:
+        cfg = self.cfg
+        return not cfg.meta_next_notes and not cfg.decoder_additional_input
+
+    def prepare_device_data(self, flat: FlatSplit) -> dict:
+        """Upload the full split to device memory once."""
+        data = {k: jnp.asarray(getattr(flat, k)) for k in BATCH_KEYS}
+        data["first_in_song"] = jnp.asarray(flat.first_in_song)
+        return data
+
+    def _device_epoch_fn(self, params, opt_state, rng, data, order, mask):
+        """order: (n_batches, B) int32 window ids (-1 = padding);
+        mask: (n_batches, B) float validity."""
+        cfg = self.cfg
+        model = self.model
+        optimizer = self.optimizer
+        N = data["X"].shape[0]
+        bs = cfg.batch_size
+
+        if cfg.history:
+            # batched encoder pass over the whole split, natural order
+            n_enc = (N + bs - 1) // bs
+            pad = n_enc * bs - N
+            idx_all = jnp.concatenate(
+                [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
+            ).reshape(n_enc, bs)
+
+            def enc_one(idx):
+                batch = {k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")}
+                return model.encode(params, batch)
+
+            z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
+            H_all = jnp.roll(z_all, 1, axis=0).at[0].set(0.0)
+            H_all = jnp.where(data["first_in_song"][:, None], 0.0, H_all)
+            H_all = jax.lax.stop_gradient(H_all)
+        else:
+            H_all = jnp.zeros((N, cfg.latent_dim), jnp.float32)
+
+        def body(carry, xs):
+            params, opt_state, rng = carry
+            idx, m = xs
+            safe = jnp.maximum(idx, 0)
+            batch = {k: jnp.take(data[k], safe, axis=0) for k in BATCH_KEYS}
+            batch["H"] = jnp.take(H_all, safe, axis=0)
+            batch["M"] = m
+            rng, sample_key = jax.random.split(rng)
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_and_metrics(
+                    model, p, batch, sample_key, cfg.epsilon_std
+                ),
+                has_aux=True,
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, rng), metrics = jax.lax.scan(
+            body, (params, opt_state, rng), (order, mask)
+        )
+        return params, opt_state, rng, metrics
+
+    def run_epoch_device(
+        self,
+        state: TrainState,
+        data: dict,
+        num_windows: int,
+        shuffle: bool = True,
+    ) -> EpochMetrics:
+        """One full epoch as a single jitted call over device-resident data."""
+        cfg = self.cfg
+        bs = cfg.batch_size
+        order = np.arange(num_windows)
+        if shuffle:
+            seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
+            np.random.RandomState(seed).shuffle(order)
+        n_batches = max(1, (num_windows + bs - 1) // bs)
+        padded = np.full((n_batches * bs,), -1, np.int32)
+        padded[:num_windows] = order
+        order2d = padded.reshape(n_batches, bs)
+        mask2d = (order2d >= 0).astype(np.float32)
+
+        if not hasattr(self, "_device_epoch_jit"):
+            self._device_epoch_jit = jax.jit(
+                self._device_epoch_fn, donate_argnums=(0, 1)
+            )
+        state.params, state.opt_state, state.rng, metrics = self._device_epoch_jit(
+            state.params, state.opt_state, state.rng, data,
+            jnp.asarray(order2d), jnp.asarray(mask2d),
+        )
+        agg = EpochMetrics()
+        weights = mask2d.sum(axis=1)
+        host_metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        for b in range(n_batches):
+            agg.update({k: v[b] for k, v in host_metrics.items()}, float(weights[b]))
+        return agg
+
+    # ------------------------------------------------------------------
     def init_state(self, seed: int | None = None) -> TrainState:
         seed = self.cfg.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
@@ -196,6 +299,7 @@ class VAETrainer:
             np.random.RandomState(seed).shuffle(order)
         agg = EpochMetrics()
         bs = cfg.batch_size
+        pending = []  # defer metric fetches: one device sync per epoch, not per batch
         for start in range(0, n, bs):
             idx = order[start : start + bs]
             batch = _slice_batch(flat, idx, cfg, H)
@@ -205,7 +309,9 @@ class VAETrainer:
             state.params, state.opt_state, state.rng, metrics = self.train_step(
                 state.params, state.opt_state, batch, state.rng
             )
-            agg.update(metrics, weight=float(mask.sum()))
+            pending.append((metrics, float(mask.sum())))
+        for metrics, w in pending:
+            agg.update(metrics, weight=w)
         return agg
 
     def evaluate(
@@ -216,6 +322,7 @@ class VAETrainer:
             H = self.compute_history(state.params, flat)
         agg = EpochMetrics()
         bs = cfg.batch_size
+        pending = []
         for start in range(0, flat.num_windows, bs):
             idx = np.arange(start, min(start + bs, flat.num_windows))
             batch = _slice_batch(flat, idx, cfg, H)
@@ -223,7 +330,9 @@ class VAETrainer:
             batch["M"] = mask
             batch = pmesh.shard_batch(batch, self.mesh)
             metrics = self.eval_step(state.params, batch)
-            agg.update(metrics, weight=float(mask.sum()))
+            pending.append((metrics, float(mask.sum())))
+        for metrics, w in pending:
+            agg.update(metrics, weight=w)
         return agg
 
     # ------------------------------------------------------------------
@@ -248,12 +357,21 @@ class VAETrainer:
             os.makedirs(output_dir, exist_ok=True)
             cfg.save(os.path.join(output_dir, "config.json"))
 
+        device_data = None
+        if self.supports_device_epoch() and train.num_windows:
+            device_data = self.prepare_device_data(train)
         for e in range(state.epoch, epochs):
             t0 = time.time()
-            H = None
-            if cfg.history and e > 0:
-                H = self.compute_history(state.params, train)
-            agg = self.run_epoch(state, train, shuffle=cfg.shuffle_train_set, H=H)
+            if device_data is not None:
+                agg = self.run_epoch_device(
+                    state, device_data, train.num_windows,
+                    shuffle=cfg.shuffle_train_set,
+                )
+            else:
+                H = None
+                if cfg.history and e > 0:
+                    H = self.compute_history(state.params, train)
+                agg = self.run_epoch(state, train, shuffle=cfg.shuffle_train_set, H=H)
             train_metrics = agg.means()
             dt = time.time() - t0
             steps = train.num_windows * cfg.output_length

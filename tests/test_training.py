@@ -114,3 +114,32 @@ class TestTrainer:
             np.testing.assert_allclose(
                 results[0][k], results[1][k], rtol=1e-3, err_msg=k
             )
+
+    def test_device_epoch_matches_host_loop(self, cfg):
+        """The device-resident epoch must reproduce the host-batched loop
+        exactly (same rng chain, same batch order) when history is off."""
+        cfg2 = cfg.replace(history=False)
+        flat = synthetic_flat(cfg2)
+        mesh = make_mesh(devices=[jax.devices()[0]])
+
+        t_host = VAETrainer(cfg2, mesh=mesh)
+        s_host = t_host.init_state(seed=0)
+        m_host = t_host.run_epoch(s_host, flat, shuffle=False).means()
+
+        t_dev = VAETrainer(cfg2, mesh=mesh)
+        s_dev = t_dev.init_state(seed=0)
+        data = t_dev.prepare_device_data(flat)
+        m_dev = t_dev.run_epoch_device(s_dev, data, flat.num_windows, shuffle=False).means()
+
+        for k in m_host:
+            np.testing.assert_allclose(m_dev[k], m_host[k], rtol=2e-4, err_msg=k)
+
+    def test_device_epoch_with_history(self, cfg):
+        trainer = VAETrainer(cfg, mesh=make_mesh())
+        state = trainer.init_state(seed=0)
+        flat = synthetic_flat(cfg)
+        data = trainer.prepare_device_data(flat)
+        m0 = trainer.run_epoch_device(state, data, flat.num_windows, shuffle=False).means()
+        for _ in range(4):
+            m = trainer.run_epoch_device(state, data, flat.num_windows, shuffle=False).means()
+        assert m["loss"] < m0["loss"]
