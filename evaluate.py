@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    _enable_compilation_cache()
+
     from midi_vae_tpu.data.dataset import import_midi_from_folder
     from midi_vae_tpu.evaluation import EvalSections, Evaluator
     from midi_vae_tpu.training import checkpoint as ckpt
@@ -92,6 +94,23 @@ def main(argv: list[str] | None = None) -> int:
             results["mean_reconstruction_accuracy"],
         )
     return 0
+
+
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent jit cache: big-program compiles happen once per machine."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "MIDI_VAE_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "midi_vae_tpu", "jax"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 if __name__ == "__main__":

@@ -20,18 +20,43 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict[str, Any]
 
 
+def _np_rng(key) -> np.random.Generator:
+    """Numpy generator seeded from a jax PRNG key.
+
+    Initialization runs as plain numpy: ~100 eager jax init ops would each
+    compile an XLA executable (measured minutes of wall clock on first use,
+    far worse over a tunneled TPU); numpy init is instant and deterministic
+    per key."""
+    try:
+        data = np.asarray(jax.random.key_data(key))
+    except (TypeError, AttributeError):
+        data = np.asarray(key)
+    return np.random.default_rng(data.astype(np.uint32).tolist())
+
+
 def glorot_uniform(key, shape, dtype=jnp.float32):
     fan_in, fan_out = shape[0], shape[1]
-    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
-    return jax.random.uniform(key, shape, dtype, -limit, limit)
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jnp.asarray(
+        _np_rng(key).uniform(-limit, limit, size=shape), dtype
+    )
 
 
 def orthogonal(key, shape, dtype=jnp.float32):
-    return jax.nn.initializers.orthogonal()(key, shape, dtype)
+    """Orthogonal init (rows or columns orthonormal), Keras-style."""
+    rows, cols = shape
+    big, small = max(rows, cols), min(rows, cols)
+    a = _np_rng(key).normal(size=(big, small))
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diag(r))
+    if rows < cols:
+        q = q.T
+    return jnp.asarray(q[:rows, :cols], dtype)
 
 
 def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:

@@ -95,6 +95,11 @@ class StyleClassifier:
         self.cell = get_cell(spec.cell_type)
 
     def init_params(self, key: jax.Array) -> Params:
+        # host-CPU init; see MidiVAE.init_params for why
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return self._init_params_impl(key)
+
+    def _init_params_impl(self, key: jax.Array) -> Params:
         spec = self.spec
         keys = jax.random.split(key, spec.num_layers + 1)
         layers = []
