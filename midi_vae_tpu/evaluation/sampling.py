@@ -53,6 +53,16 @@ def sample_notes_prediction(
     if Y.ndim == 3:
         Y = Y.reshape(-1, Y.shape[-1])
     out = np.zeros((Y.shape[0], cfg.new_num_notes), dtype=np.float32)
+    if sample_method == "argmax":
+        # vectorized fast path (the evaluation harness default)
+        idx = np.argmax(Y, axis=-1)
+        rows_sum = Y.sum(axis=-1)
+        keep = (rows_sum > 0) & (idx < cfg.new_num_notes)
+        if cfg.include_silent_note:
+            keep &= idx != Y.shape[-1] - 1
+        rows = np.nonzero(keep)[0]
+        out[rows, idx[rows]] = 1
+        return out
     for i, step in enumerate(Y):
         idx = sample_vector(
             step, sample_method, cfg.temperature, cfg.cutoff_sample_threshold,
@@ -68,6 +78,13 @@ def sample_notes_prediction(
 def sample_instrument_prediction(I: np.ndarray, sample_method: str, cfg: Config, rng=None):
     """Recursive one-hot sampling over the last axis (vae_def.py:1097-1107)."""
     if I.ndim > 1:
+        if sample_method == "argmax":
+            flat = I.reshape(-1, I.shape[-1])
+            out = np.zeros_like(flat, dtype=np.float32)
+            idx = np.argmax(flat, axis=-1)
+            idx = np.where(flat.sum(axis=-1) > 0, idx, 0)
+            out[np.arange(len(flat)), idx] = 1
+            return out.reshape(I.shape)
         return np.asarray(
             [sample_instrument_prediction(row, sample_method, cfg, rng) for row in I]
         )
@@ -83,6 +100,11 @@ def sample_instrument_prediction(I: np.ndarray, sample_method: str, cfg: Config,
 def sample_held_notes_prediction(D: np.ndarray, sample_method: str, cfg: Config, rng=None):
     """Categorical (.., 2) -> flat 0/1 held flags (vae_def.py:1109-1122)."""
     if D.ndim > 1:
+        if sample_method == "argmax":
+            flat = D.reshape(-1, D.shape[-1])
+            idx = np.argmax(flat, axis=-1)
+            idx = np.where(flat.sum(axis=-1) > 0, idx, 0)
+            return idx.astype(np.float32)
         out: list[int] = []
         for row in D:
             pred = sample_held_notes_prediction(row, sample_method, cfg, rng)

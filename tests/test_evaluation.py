@@ -241,3 +241,43 @@ class TestHarness:
         assert all(
             0 <= d < cfg.latent_dim for d in results["latent_sweep_best_dims"].values()
         )
+
+
+class TestArgmaxFastPaths:
+    """The vectorized argmax paths must equal the per-row sample_vector loop."""
+
+    def test_notes(self):
+        cfg = Config()
+        rng = np.random.RandomState(0)
+        probs = rng.rand(5, 64, 61).astype(np.float32)
+        probs[0, 3] = 0  # all-zero row -> index 0 (sample_vector contract)
+        fast = sampling.sample_notes_prediction(probs, "argmax", cfg)
+        slow = np.zeros_like(fast)
+        flat = probs.reshape(-1, 61)
+        for i, step in enumerate(flat):
+            idx = sampling.sample_vector(step, "argmax")
+            if idx == 60:
+                continue
+            if step.sum() > 0:
+                slow[i, idx] = 1
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_instrument(self):
+        cfg = Config()
+        rng = np.random.RandomState(1)
+        probs = rng.rand(3, 4, 16).astype(np.float32)
+        fast = sampling.sample_instrument_prediction(probs, "argmax", cfg)
+        for b in range(3):
+            for v in range(4):
+                assert fast[b, v].argmax() == probs[b, v].argmax()
+                assert fast[b, v].sum() == 1
+
+    def test_held(self):
+        cfg = Config()
+        rng = np.random.RandomState(2)
+        probs = rng.rand(3, 64, 2).astype(np.float32)
+        fast = sampling.sample_held_notes_prediction(probs, "argmax", cfg)
+        assert fast.shape == (192,)
+        np.testing.assert_array_equal(
+            fast, probs.reshape(-1, 2).argmax(-1).astype(np.float32)
+        )
