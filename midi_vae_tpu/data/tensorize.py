@@ -440,7 +440,7 @@ def rolls_to_midi(
         if velocity_roll is not None:
             vel = np.copy(np.asarray(velocity_roll, dtype=np.float64)[voice::n_voices])
             vel[vel < thr] = 0
-            vel[vel >= thr] -= 0.5
+            vel[vel >= thr] -= thr
             vel /= 1.0 - thr
             vel *= cfg.max_velocity
         else:

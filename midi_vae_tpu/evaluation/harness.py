@@ -106,8 +106,8 @@ class Evaluator:
             model, cparams = entry
             jitted = jax.jit(model.predict)
 
-            def predict(x, _jitted=jitted, _params=cparams):
-                x = np.asarray(x, np.float32)
+            def predict(x, _jitted=jitted, _params=cparams, _spec=model.spec):
+                x = np.asarray(_spec.preprocess_inputs(x), np.float32)
                 n = x.shape[0]
                 b = generation._bucket(n)
                 xp = np.zeros((b, *x.shape[1:]), np.float32)
@@ -124,45 +124,25 @@ class Evaluator:
     # Preparation (vae_evaluation.py:403-472, :665-702)
     # ------------------------------------------------------------------
     def _prepare_signatures(self) -> None:
+        from ..data.batching import normalize_signatures, signature_vectors_for_songs
+
         cfg = self.cfg
+        self.S_train = signature_vectors_for_songs(self.ds.Y_train, cfg)
+        self.S_test = signature_vectors_for_songs(self.ds.Y_test, cfg)
+        (
+            self.normalized_S_train,
+            self.normalized_S_test,
+            self.mean_signature,
+            self.std_signature,
+        ) = normalize_signatures(self.S_train, self.S_test)
         self.S_train_for_each_class = [[] for _ in range(cfg.num_classes)]
-        self.S_train, self.S_test, all_S = [], [], []
-        for Y, C in zip(self.ds.Y_train, self.ds.C_train):
-            sigs = np.asarray(
-                [
-                    music.signature_from_unrolled_pianoroll(
-                        w, cfg.max_voices, cfg.include_silent_note, cfg.low_crop
-                    )
-                    for w in Y
-                ]
-            )
-            self.S_train.append(sigs)
-            all_S.extend(sigs)
+        for sigs, C in zip(self.S_train, self.ds.C_train):
             self.S_train_for_each_class[C].extend(sigs)
-        for Y in self.ds.Y_test:
-            sigs = np.asarray(
-                [
-                    music.signature_from_unrolled_pianoroll(
-                        w, cfg.max_voices, cfg.include_silent_note, cfg.low_crop
-                    )
-                    for w in Y
-                ]
-            )
-            self.S_test.append(sigs)
-        self.all_S = np.asarray(all_S) if all_S else np.zeros((0, 15))
-        if len(self.all_S):
-            self.mean_signature = self.all_S.mean(axis=0)
-            std = self.all_S.std(axis=0)
-            self.std_signature = np.where(std == 0, 1e-10, std)
-        else:
-            self.mean_signature = np.zeros(15)
-            self.std_signature = np.ones(15)
-        self.normalized_S_train = [
-            (s - self.mean_signature) / self.std_signature for s in self.S_train
-        ]
-        self.normalized_S_test = [
-            (s - self.mean_signature) / self.std_signature for s in self.S_test
-        ]
+        self.all_S = (
+            np.concatenate(self.S_train, axis=0)
+            if self.S_train
+            else np.zeros((0, cfg.signature_vector_length))
+        )
 
     def _cache_latents(self) -> None:
         """Encode every train song once, batched (vae_eval.py:665-702)."""

@@ -253,6 +253,7 @@ class MidiVAE:
         history: jnp.ndarray | None = None,
         additional: jnp.ndarray | None = None,
         ground_truth: jnp.ndarray | None = None,
+        next_ground_truth: jnp.ndarray | None = None,
     ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
         """z (+history/additional) -> per-head (probs, logits) sequences."""
         cfg = self.cfg
@@ -266,7 +267,11 @@ class MidiVAE:
                 else jnp.zeros((B, cfg.latent_dim), z.dtype)
             )
         if cfg.decoder_additional_input:
-            parts.append(additional)
+            parts.append(
+                additional
+                if additional is not None
+                else jnp.zeros((B, cfg.decoder_additional_input_dim), z.dtype)
+            )
         new_encoded = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else z
 
         fused_step = None
@@ -347,12 +352,14 @@ class MidiVAE:
                     cfg.meta_held_notes_activation, None,
                 )
         if cfg.meta_next_notes:
-            if merge:
+            next_tf = cfg.meta_next_notes_teacher_force and next_ground_truth is not None
+            if merge and not next_tf:
                 merged_specs["next"] = head_spec("next", cfg.output_dim, cfg.activation)
             else:
                 outputs["next"] = run_head(
                     "next", cfg.output_dim, cfg.meta_next_notes_output_length,
-                    cfg.activation, None,
+                    cfg.activation,
+                    next_ground_truth if next_tf else None,
                 )
         if merged_specs:
             outputs.update(
@@ -429,6 +436,9 @@ class MidiVAE:
             history=batch.get("H"),
             additional=batch.get("A"),
             ground_truth=batch.get("Y") if cfg.teacher_force else None,
+            next_ground_truth=(
+                batch.get("N") if cfg.meta_next_notes_teacher_force else None
+            ),
         )
         result = {
             "z_mean": z_mean,

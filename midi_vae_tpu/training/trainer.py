@@ -66,7 +66,7 @@ def _slice_batch(flat: FlatSplit, idx: np.ndarray, cfg: Config, H: np.ndarray | 
     if cfg.meta_next_notes:
         # next-window targets; last window of each song predicts silence
         nxt = np.minimum(idx + 1, flat.num_windows - 1)
-        same_song = flat.song_id[nxt] == flat.song_id[idx]
+        same_song = (flat.song_id[nxt] == flat.song_id[idx]) & (nxt != idx)
         N = flat.Y[nxt].copy()
         N[~same_song] = 0
         if cfg.include_silent_note:
@@ -168,9 +168,10 @@ class VAETrainer:
         data["first_in_song"] = jnp.asarray(flat.first_in_song)
         return data
 
-    def _device_epoch_fn(self, params, opt_state, rng, data, order, mask):
+    def _device_epoch_fn(self, params, opt_state, rng, data, order, mask, h_scale):
         """order: (n_batches, B) int32 window ids (-1 = padding);
-        mask: (n_batches, B) float validity."""
+        mask: (n_batches, B) float validity; h_scale: 0.0 zeroes the history
+        latents (epoch 0 -- the encoder is untrained, vae_training.py:789)."""
         cfg = self.cfg
         model = self.model
         optimizer = self.optimizer
@@ -192,7 +193,7 @@ class VAETrainer:
             z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
             H_all = jnp.roll(z_all, 1, axis=0).at[0].set(0.0)
             H_all = jnp.where(data["first_in_song"][:, None], 0.0, H_all)
-            H_all = jax.lax.stop_gradient(H_all)
+            H_all = jax.lax.stop_gradient(H_all) * h_scale
         else:
             H_all = jnp.zeros((N, cfg.latent_dim), jnp.float32)
 
@@ -225,6 +226,7 @@ class VAETrainer:
         data: dict,
         num_windows: int,
         shuffle: bool = True,
+        use_history: bool = True,
     ) -> EpochMetrics:
         """One full epoch as a single jitted call over device-resident data."""
         cfg = self.cfg
@@ -246,6 +248,7 @@ class VAETrainer:
         state.params, state.opt_state, state.rng, metrics = self._device_epoch_jit(
             state.params, state.opt_state, state.rng, data,
             jnp.asarray(order2d), jnp.asarray(mask2d),
+            jnp.asarray(1.0 if use_history else 0.0, jnp.float32),
         )
         agg = EpochMetrics()
         weights = mask2d.sum(axis=1)
@@ -366,6 +369,7 @@ class VAETrainer:
                 agg = self.run_epoch_device(
                     state, device_data, train.num_windows,
                     shuffle=cfg.shuffle_train_set,
+                    use_history=(e > 0),
                 )
             else:
                 H = None

@@ -348,3 +348,19 @@ class TestMusicUtils:
         d = mahalanobis_distance(mean, mean, cov)
         assert d == 0.0
         assert mahalanobis_distance(mean + 1, mean, cov) > 0
+
+
+class TestVelocityThresholdRoundtrip:
+    def test_nondefault_threshold_roundtrip(self):
+        """Velocity scale/unscale must invert for any threshold (review fix:
+        rolls_to_midi previously hardcoded the 0.5 subtract)."""
+        cfg = Config(velocity_threshold=0.3)
+        mid = make_midi({0: [(60, 100, 0.0, 0.25), (64, 40, 0.25, 0.5)]})
+        song = tensorize.load_rolls(mid, cfg)
+        flatY = song.Y.reshape(-1, song.Y.shape[-1])
+        out = tensorize.rolls_to_midi(
+            flatY, [0], cfg, 120.0, song.V.reshape(-1), song.D.reshape(-1)
+        )
+        vels = {n.pitch: n.velocity for n in out.instruments[0].notes}
+        assert abs(vels[60] - 100) <= 1
+        assert abs(vels[64] - 40) <= 1

@@ -257,3 +257,36 @@ class TestComputeDtype:
         assert all(
             x.dtype == jnp.float32 for x in jax.tree_util.tree_leaves(params)
         )
+
+
+class TestReviewFixes:
+    def test_missing_additional_zero_fills(self):
+        cfg = small_test_config(decoder_input_composer=True)
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        batch.pop("A")
+        out = model.apply(params, batch)  # must not crash
+        assert jnp.all(jnp.isfinite(out["heads"]["notes"][0]))
+
+    def test_next_notes_teacher_force(self):
+        cfg = small_test_config(
+            meta_next_notes=True, meta_next_notes_teacher_force=True
+        )
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        z = model.encode(params, batch)
+        tf_out = model.decode(
+            params, z, history=batch["H"], next_ground_truth=batch["N"]
+        )
+        ar_out = model.decode(params, z, history=batch["H"])
+        # step 0 agrees (both consume the start symbol), later steps diverge
+        np.testing.assert_allclose(
+            np.asarray(tf_out["next"][0][:, 0]),
+            np.asarray(ar_out["next"][0][:, 0]),
+            rtol=1e-5,
+        )
+        assert not np.allclose(
+            np.asarray(tf_out["next"][0][:, -1]), np.asarray(ar_out["next"][0][:, -1])
+        )
