@@ -30,7 +30,7 @@ import csv
 import json
 import os
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-import jax
+
 import numpy as np
 
 from ..config import Config

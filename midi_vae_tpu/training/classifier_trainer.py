@@ -20,7 +20,7 @@ import jax
 import numpy as np
 import optax
 
-from ..config import Config
+
 from ..data.batching import FlatSplit
 from ..models.classifier import ClassifierSpec, StyleClassifier, classifier_loss
 from ..parallel import mesh as pmesh

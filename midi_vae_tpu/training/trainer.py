@@ -22,7 +22,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from functools import partial
+
 from typing import Any, Callable
 
 import jax
