@@ -69,6 +69,7 @@ class EvalSections:
     evaluate_autoencoding_and_stuff: bool = True
     mix_with_previous: bool = True
     switch_styles: bool = True
+    max_plots_per_song: int = 3
     save_anything: bool = True
     bpm: float = 100.0
 
@@ -508,6 +509,20 @@ class Evaluator:
                 self._save_midi(
                     f"{song_name}_autoencoded", Y_pred, programs, V_pred, D_pred, sec.bpm
                 )
+                if song_num < sec.max_plots_per_song:
+                    # original-vs-reconstruction difference plot
+                    # (data_class.draw_difference_pianoroll usage in the ref)
+                    from ..utils.plotting import draw_difference_pianoroll
+
+                    draw_difference_pianoroll(
+                        generation.prepare_for_drawing(song, cfg),
+                        generation.prepare_for_drawing(Y_pred, cfg),
+                        name_1=f"{song_name} original",
+                        name_2="reconstruction",
+                        save_path=os.path.join(
+                            self.save_folder, f"{song_name}_diff.png"
+                        ),
+                    )
                 self._save_midi(
                     f"{song_name}_auto+orig",
                     np.concatenate([Y_pred, song], axis=0), programs,

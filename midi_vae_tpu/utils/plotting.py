@@ -83,7 +83,7 @@ def draw_difference_pianoroll(
     norm = colors.BoundaryNorm([0, 1, 2, 3, 4], cm.N)
     plt.figure(figsize=(20.0, 10.0))
     plt.title(f"Difference-Pitch-plot of {name_1} and {name_2}", fontsize=10)
-    plt.pcolor(draw_matrix.T, cmap=cm, vmin=0, vmax=3, norm=norm)
+    plt.pcolor(draw_matrix.T, cmap=cm, norm=norm)
     if save_path:
         plt.savefig(save_path)
     plt.close()

@@ -364,3 +364,80 @@ class TestVelocityThresholdRoundtrip:
         vels = {n.pitch: n.velocity for n in out.instruments[0].notes}
         assert abs(vels[60] - 100) <= 1
         assert abs(vels[64] - 40) <= 1
+
+
+class TestTensorizerModes:
+    def test_include_only_monophonic_instruments(self):
+        cfg = Config(include_only_monophonic_instruments=True)
+        # one monophonic track + one polyphonic track (gets skipped)
+        mid = make_midi({
+            0: [(60, 90, 0.0, 0.5), (62, 90, 0.5, 1.0)],                 # mono
+            40: [(50, 90, 0.0, 1.0), (55, 90, 0.0, 1.0)],                # poly
+        })
+        song = tensorize.load_rolls(mid, cfg)
+        # only the monophonic piano survives
+        assert song.I[0, 0] == 1           # piano category
+        assert song.I[:, 5].sum() == 0     # no strings voice
+        flat = song.Y.reshape(-1, 61)
+        assert flat[:, 50 - 24].sum() == 0 and flat[:, 55 - 24].sum() == 0
+
+    def test_song_completion(self):
+        cfg = Config(song_completion=True)
+        mid = make_midi({0: [(60, 90, 0.0, 2.0)]})
+        song = tensorize.load_rolls(mid, cfg)
+        # X = voice 0 rows only, windows of bars_input_length
+        assert song.X.shape[1:] == (cfg.input_length, cfg.input_dim)
+        assert song.Y.shape[1] == cfg.output_length
+        assert cfg.input_length == 16 and cfg.output_length == 64
+
+    def test_attach_instruments(self):
+        cfg = Config(attach_instruments=True)
+        assert cfg.output_dim == 61 + 16
+        mid = make_midi({0: [(60, 90, 0.0, 0.5)]})
+        song = tensorize.load_rolls(mid, cfg)
+        assert song.Y.shape[-1] == 77
+        # voice-0 rows carry the piano category bit (col 61); unchosen
+        # voices have zero instrument rows, like the reference's I matrix
+        flat = song.Y.reshape(-1, 77)
+        unpadded = 8  # 4 sixteenths x... voice-0 rows within the real span
+        assert np.all(flat[0 : 4 * cfg.max_voices : cfg.max_voices, 61] == 1)
+        assert flat[1, 61] == 0
+        del unpadded
+
+
+class TestDatasetFilters:
+    def _write(self, root, rel, notes={0: [(60, 90, 0.0, 0.5)]}):
+        import os
+
+        d = root / os.path.dirname(rel)
+        os.makedirs(d, exist_ok=True)
+        make_midi(notes).write(str(root / rel))
+
+    def test_max_songs_cap(self, tmp_path):
+        for i in range(6):
+            self._write(tmp_path, f"style1/s{i}.mid")
+        cfg = Config(max_songs=3, classes=("style1",))
+        from midi_vae_tpu.data.dataset import find_midi_files
+
+        assert len(find_midi_files(str(tmp_path), cfg)) == 3
+
+    def test_include_unknown(self, tmp_path):
+        self._write(tmp_path, "style1/a.mid")
+        self._write(tmp_path, "other/b.mid")
+        from midi_vae_tpu.data.dataset import find_midi_files
+
+        cfg = Config(include_unknown=True)
+        files = find_midi_files(str(tmp_path), cfg)
+        labels = sorted(c for _, c in files)
+        assert labels == [0, 2]  # unknown gets the extra class index
+        cfg2 = Config()
+        assert len(find_midi_files(str(tmp_path), cfg2)) == 1
+
+    def test_only_unknown(self, tmp_path):
+        self._write(tmp_path, "style1/a.mid")
+        self._write(tmp_path, "other/b.mid")
+        from midi_vae_tpu.data.dataset import find_midi_files
+
+        cfg = Config(include_unknown=True, only_unknown=True)
+        files = find_midi_files(str(tmp_path), cfg)
+        assert [c for _, c in files] == [2]
