@@ -441,3 +441,11 @@ class TestDatasetFilters:
         cfg = Config(include_unknown=True, only_unknown=True)
         files = find_midi_files(str(tmp_path), cfg)
         assert [c for _, c in files] == [2]
+
+
+class TestKhotInstrument:
+    def test_khot_instrument_roundtrip(self):
+        programs = [0, 25, 40, 127]
+        I = tensorize.programs_to_instrument_matrix(programs, "khot-instrument", 4)
+        back = tensorize.instrument_matrix_to_programs(I, "khot-instrument")
+        assert back == programs  # complemented code + complemented inverse
