@@ -211,6 +211,36 @@ def sweep_dimension(
     return ctx.decode_and_process(zs, sample_method=sample_method)[:4]
 
 
+def sweep_dimensions_chunked(
+    ctx: GenerationContext,
+    z: np.ndarray,
+    values: list[float],
+    dims: list[int],
+    sample_method: str = "argmax",
+):
+    """Decode a CHUNK of dimensions in one device call (dim-major layout).
+
+    The reference decodes once per (dim, value) pair -- latent_dim x values
+    sequential predicts per sample (vae_evaluation.py:1178-1191, its worst
+    hot loop). This batches len(dims) x len(values) latents together and
+    yields per-dim (Y, I, V, D) views.
+    """
+    nv = len(values)
+    zs = np.repeat(np.asarray(z, np.float32), len(dims) * nv, axis=0)
+    for j, dim in enumerate(dims):
+        zs[j * nv : (j + 1) * nv, dim] = np.asarray(values, np.float32)
+    Y, I, V, D, _ = ctx.decode_and_process(zs, sample_method=sample_method)
+    T = ctx.cfg.output_length
+    for j, dim in enumerate(dims):
+        yield (
+            dim,
+            Y[j * nv * T : (j + 1) * nv * T],
+            I[j * nv : (j + 1) * nv],
+            V[j * nv * T : (j + 1) * nv * T],
+            D[j * nv * T : (j + 1) * nv * T],
+        )
+
+
 def latent_sweep_over_all_dimensions(
     ctx: GenerationContext,
     start_latent_vectors: np.ndarray,
@@ -244,19 +274,23 @@ def latent_sweep_over_all_dimensions(
         range_end, evaluations_per_dimension, sigma, evaluate_positive_and_negative
     )
 
+    dim_chunk = max(1, 256 // max(1, len(values)))  # ~256 latents per call
     for i in range(num_samples):
         log_fn(f"Sweeping sample {i + 1} of {num_samples}")
         z = start_latent_vectors[i : i + 1]
-        summaries = []
-        for dim in range(latent_size):
-            Y, I, V, D = sweep_dimension(ctx, z, values, dim, sample_method)
-            summary: dict = {}
-            summary.update(evaluate_pitchroll(Y, cfg, pitch_predict))
-            summary.update(evaluate_velocityroll(V, cfg, velocity_predict))
-            summary.update(evaluate_instrumentlist(I, cfg, instrument_predict))
-            summaries.append(summary)
-            for key, (strength, probability) in summary.items():
-                influence[dim][key] += strength * probability
+        summaries = [None] * latent_size
+        for start in range(0, latent_size, dim_chunk):
+            dims = list(range(start, min(start + dim_chunk, latent_size)))
+            for dim, Y, I, V, D in sweep_dimensions_chunked(
+                ctx, z, values, dims, sample_method
+            ):
+                summary: dict = {}
+                summary.update(evaluate_pitchroll(Y, cfg, pitch_predict))
+                summary.update(evaluate_velocityroll(V, cfg, velocity_predict))
+                summary.update(evaluate_instrumentlist(I, cfg, instrument_predict))
+                summaries[dim] = summary
+                for key, (strength, probability) in summary.items():
+                    influence[dim][key] += strength * probability
         for dim, summary in enumerate(summaries):
             for key, (strength, probability) in summary.items():
                 if key not in best_peaks:
