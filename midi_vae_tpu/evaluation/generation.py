@@ -39,7 +39,9 @@ class GenerationContext:
 
         def decode_fn(params, z, H, A):
             outs = model.decode(
-                params, z, history=H, additional=A if cfg.decoder_additional_input else None
+                params, z, history=H,
+                additional=A if cfg.decoder_additional_input else None,
+                inference=True,
             )
             return {k: probs for k, (probs, _logits) in outs.items()}
 

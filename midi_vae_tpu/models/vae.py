@@ -254,8 +254,13 @@ class MidiVAE:
         additional: jnp.ndarray | None = None,
         ground_truth: jnp.ndarray | None = None,
         next_ground_truth: jnp.ndarray | None = None,
+        inference: bool = False,
     ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
-        """z (+history/additional) -> per-head (probs, logits) sequences."""
+        """z (+history/additional) -> per-head (probs, logits) sequences.
+
+        ``inference=True`` additionally enables the whole-scan Pallas decoder
+        (ops/fused_decoder): fastest forward, but its backward recomputes the
+        scan, so the training path keeps the per-step kernels."""
         cfg = self.cfg
         dec = params["decoder"]
         B = z.shape[0]
@@ -292,6 +297,24 @@ class MidiVAE:
                 h["init"], new_encoded, cfg.cell_type, cfg.lstm_state_activation
             )
             start = jnp.zeros((B, head_dim), z.dtype)
+            if (
+                inference
+                and fused_step is not None
+                and gt is None
+                and out_activation in ("softmax", "sigmoid", "linear")
+            ):
+                from ..ops.fused_decoder import (
+                    decoder_scan_supported,
+                    fused_decode_scan,
+                )
+
+                flat_states = [s[0] for s in states]  # GRU: one state per layer
+                if decoder_scan_supported(h["cells"], start, flat_states):
+                    probs, logits = fused_decode_scan(
+                        h["cells"], h["out"], flat_states, start, length,
+                        cfg.lstm_activation, out_activation,
+                    )
+                    return jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1)
             return decode_autoregressive(
                 h["cells"],
                 h["out"],

@@ -1,0 +1,272 @@
+"""Pallas TPU kernel: the WHOLE autoregressive decode scan in one kernel.
+
+``fused_gru.gru_step`` fuses one recurrent step; this module goes further and
+fuses the entire readout decode loop of a head (vae_definition.py:519-570's
+RecurrentModel semantics): the TPU grid's sequential execution is the time
+loop, the cell weights and output Dense live in VMEM for ALL steps, and the
+carried state (h per layer + the fed-back probabilities) persists in scratch
+across grid steps -- zero per-step dispatch, zero HBM traffic for weights
+after the first load.
+
+Supports 1- and 2-layer GRU heads (the reference's decoder configurations:
+notes/next = num_layers_decoder(2), instrument/velocity/held = 1).
+
+Differentiable via custom VJP: backward re-runs the pure-jnp scan
+(rematerialization) and transposes through it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .fused_gru import _VMEM_LIMIT_BYTES, _activation
+
+
+def _decoder_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
+    floats = (
+        D * 3 * H + 3 * H              # W1/b1
+        + (n_layers - 1) * (H * 3 * H + 3 * H)  # W2/b2
+        + n_layers * H * 3 * H         # U
+        + H * D + D                    # out dense
+        + n_layers * B * H             # h scratch
+        + B * D * 3                    # x scratch + out block + logits block
+        + 4 * B * 3 * H                # gate temporaries headroom
+    )
+    return floats * 4 < _VMEM_LIMIT_BYTES
+
+
+def _gru_gates(x, h, w, u, b, act):
+    H = h.shape[-1]
+    xw = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+    hu_zr = jnp.dot(h, u[:, : 2 * H], preferred_element_type=jnp.float32)
+    z = jax.nn.sigmoid(xw[:, :H] + hu_zr[:, :H])
+    r = jax.nn.sigmoid(xw[:, H : 2 * H] + hu_zr[:, H:])
+    hh = act(
+        xw[:, 2 * H :]
+        + jnp.dot(r * h, u[:, 2 * H :], preferred_element_type=jnp.float32)
+    )
+    return z * h + (1.0 - z) * hh
+
+
+def _decode_kernel_2layer(
+    x0_ref, h1_ref, h2_ref,
+    w1_ref, u1_ref, b1_ref, w2_ref, u2_ref, b2_ref, wo_ref, bo_ref,
+    probs_ref, logits_ref,
+    h1_s, h2_s, x_s,
+    *, act, out_act_name,
+):
+    t = jax.lax.convert_element_type(0, jnp.int32)  # placate linters
+    del t
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h1_s[:] = h1_ref[:]
+        h2_s[:] = h2_ref[:]
+        x_s[:] = x0_ref[:]
+
+    x = x_s[:]
+    h1 = _gru_gates(x, h1_s[:], w1_ref[:], u1_ref[:], b1_ref[:], act)
+    h2 = _gru_gates(h1, h2_s[:], w2_ref[:], u2_ref[:], b2_ref[:], act)
+    logits = jnp.dot(h2, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    if out_act_name == "softmax":
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif out_act_name == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = logits
+    probs_ref[0] = probs.astype(probs_ref.dtype)
+    logits_ref[0] = logits.astype(logits_ref.dtype)
+    h1_s[:] = h1.astype(h1_s.dtype)
+    h2_s[:] = h2.astype(h2_s.dtype)
+    x_s[:] = probs.astype(x_s.dtype)
+
+
+def _decode_kernel_1layer(
+    x0_ref, h1_ref,
+    w1_ref, u1_ref, b1_ref, wo_ref, bo_ref,
+    probs_ref, logits_ref,
+    h1_s, x_s,
+    *, act, out_act_name,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h1_s[:] = h1_ref[:]
+        x_s[:] = x0_ref[:]
+
+    x = x_s[:]
+    h1 = _gru_gates(x, h1_s[:], w1_ref[:], u1_ref[:], b1_ref[:], act)
+    logits = jnp.dot(h1, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    if out_act_name == "softmax":
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif out_act_name == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = logits
+    probs_ref[0] = probs.astype(probs_ref.dtype)
+    logits_ref[0] = logits.astype(logits_ref.dtype)
+    h1_s[:] = h1.astype(h1_s.dtype)
+    x_s[:] = probs.astype(x_s.dtype)
+
+
+def _decode_scan_reference(cell_params, out_dense, init_states, start, T, act, out_act):
+    """Pure-jnp equivalent scan (also the VJP backward path)."""
+
+    def step(carry, _):
+        states, prev = carry
+        x = prev
+        new_states = []
+        for p, h in zip(cell_params, states):
+            # preferred_element_type upcasts to f32; keep the carry dtype
+            x = _gru_gates(x, h, p["w"], p["u"], p["b"], act).astype(h.dtype)
+            new_states.append(x)
+        logits = x @ out_dense["w"] + out_dense["b"]
+        probs = out_act(logits).astype(prev.dtype)
+        return (tuple(new_states), probs), (probs, logits)
+
+    (_, _), (probs, logits) = jax.lax.scan(
+        step, (tuple(init_states), start), None, length=T
+    )
+    return probs, logits  # (T, B, D)
+
+
+def _decode_scan_pallas(
+    cell_params, out_dense, init_states, start, T, activation, out_activation,
+    interpret,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    n_layers = len(cell_params)
+    B, D = start.shape
+    H = init_states[0].shape[-1]
+
+    grid = (T,)
+    const = lambda *_: (0, 0)  # noqa: E731 -- weights: same block every step
+
+    def outspec():
+        return pl.BlockSpec((1, B, D), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vmc = lambda: pl.BlockSpec(None, None, memory_space=pltpu.VMEM)  # noqa: E731
+    del vmc, const
+
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, D), start.dtype),
+        jax.ShapeDtypeStruct((T, B, D), start.dtype),
+    )
+    if n_layers == 2:
+        kernel = functools.partial(
+            _decode_kernel_2layer, act=act, out_act_name=out_activation
+        )
+        inputs = (
+            start, init_states[0], init_states[1],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            cell_params[1]["w"], cell_params[1]["u"], cell_params[1]["b"],
+            out_dense["w"], out_dense["b"],
+        )
+        scratch = [
+            pltpu.VMEM((B, H), start.dtype),
+            pltpu.VMEM((B, H), start.dtype),
+            pltpu.VMEM((B, D), start.dtype),
+        ]
+    else:
+        kernel = functools.partial(
+            _decode_kernel_1layer, act=act, out_act_name=out_activation
+        )
+        inputs = (
+            start, init_states[0],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            out_dense["w"], out_dense["b"],
+        )
+        scratch = [
+            pltpu.VMEM((B, H), start.dtype),
+            pltpu.VMEM((B, D), start.dtype),
+        ]
+
+    probs, logits = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[vm] * len(inputs),
+        out_specs=(outspec(), outspec()),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    return probs, logits
+
+
+def decoder_scan_supported(cell_params, start, init_states) -> bool:
+    n_layers = len(cell_params)
+    if n_layers not in (1, 2):
+        return False
+    B, D = start.shape
+    H = init_states[0].shape[-1]
+    return _decoder_vmem_ok(B, D, H, n_layers)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_decode_scan(
+    cell_params, out_dense, init_states, start,
+    T: int, activation: str = "tanh", out_activation: str = "softmax",
+    interpret: bool = False,
+):
+    """Whole-head readout decode in one Pallas kernel.
+
+    Returns (probs, logits), each (T, B, D) -- time-major, like the raw scan
+    in models/rnn.py before the swapaxes.
+    """
+    act = _activation(activation)
+    out_act_fn = _out_act_fn(out_activation)
+    if not interpret and (
+        jax.default_backend() != "tpu"
+        or not decoder_scan_supported(cell_params, start, init_states)
+    ):
+        return _decode_scan_reference(
+            cell_params, out_dense, init_states, start, T, act, out_act_fn
+        )
+    return _decode_scan_pallas(
+        cell_params, out_dense, init_states, start, T, activation,
+        out_activation, interpret,
+    )
+
+
+def _out_act_fn(name: str):
+    if name == "softmax":
+        return lambda x: jax.nn.softmax(x, axis=-1)
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    return lambda x: x
+
+
+def _fds_fwd(cell_params, out_dense, init_states, start, T, activation,
+             out_activation, interpret):
+    out = fused_decode_scan(
+        cell_params, out_dense, init_states, start, T, activation,
+        out_activation, interpret,
+    )
+    return out, (cell_params, out_dense, init_states, start)
+
+
+def _fds_bwd(T, activation, out_activation, interpret, residuals, g):
+    cell_params, out_dense, init_states, start = residuals
+    act = _activation(activation)
+    out_act_fn = _out_act_fn(out_activation)
+    _, vjp = jax.vjp(
+        lambda cp, od, si, st: _decode_scan_reference(cp, od, si, st, T, act, out_act_fn),
+        cell_params, out_dense, init_states, start,
+    )
+    return vjp(g)
+
+
+fused_decode_scan.defvjp(_fds_fwd, _fds_bwd)

@@ -62,3 +62,45 @@ class TestFusedGRU:
         got = fused_gru.gru_step(x, h, p["w"], p["u"], p["b"], interpret=True)
         expected, _ = GRUCell.step(p, GRUCell.x_proj(p, x), (h,), jnp.tanh)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=1e-5)
+
+
+class TestFusedDecoderScan:
+    def test_matches_reference_2layer(self):
+        from midi_vae_tpu.models.cells import GRUCell, dense_init
+        from midi_vae_tpu.ops import fused_decoder as fd
+
+        B, D, H, T = 4, 12, 16, 6
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        cells = [GRUCell.init(ks[0], D, H), GRUCell.init(ks[1], H, H)]
+        out_dense = dense_init(ks[2], H, D)
+        rng = np.random.RandomState(0)
+        states = [jnp.asarray(rng.randn(B, H), jnp.float32) * 0.1 for _ in range(2)]
+        start = jnp.zeros((B, D), jnp.float32)
+        ref = fd._decode_scan_reference(
+            cells, out_dense, states, start, T,
+            fd._activation("tanh"), fd._out_act_fn("softmax"),
+        )
+        got = fd.fused_decode_scan(cells, out_dense, states, start, T,
+                                   "tanh", "softmax", True)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_inference_decode_matches_training_decode(self):
+        """The whole-scan inference path must equal the training decode."""
+        from midi_vae_tpu.config import small_test_config
+        from midi_vae_tpu.models import MidiVAE
+
+        cfg = small_test_config()
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        z = jnp.asarray(np.random.RandomState(0).randn(3, cfg.latent_dim),
+                        jnp.float32)
+        out_train = model.decode(params, z)
+        out_inf = model.decode(params, z, inference=True)
+        for name in out_train:
+            np.testing.assert_allclose(
+                np.asarray(out_inf[name][0]), np.asarray(out_train[name][0]),
+                rtol=2e-5, atol=2e-6, err_msg=name,
+            )
