@@ -35,7 +35,11 @@ class GenerationContext:
     def __init__(self, cfg: Config, model: MidiVAE, params):
         self.cfg = cfg
         self.model = model
-        self.params = params
+        # params may be host-committed (init_params initializes on CPU);
+        # place them on the compute device ONCE with an EXPLICIT target
+        # (a bare device_put is a no-op for committed arrays) -- otherwise
+        # every jitted call re-streams the whole tree over the TPU tunnel
+        self.params = jax.device_put(params, jax.devices()[0])
 
         def decode_fn(params, z, H, A):
             outs = model.decode(
@@ -48,17 +52,29 @@ class GenerationContext:
         def encode_fn(params, batch):
             return model.encode(params, batch)  # deterministic z_mean
 
+        def decode_argmax_fn(params, z, H, A):
+            outs = model.decode(
+                params, z, history=H,
+                additional=A if cfg.decoder_additional_input else None,
+                inference=True,
+            )
+            res = {"notes_idx": jnp.argmax(outs["notes"][0], axis=-1)}
+            if "instrument" in outs:
+                res["inst_idx"] = jnp.argmax(outs["instrument"][0], axis=-1)
+            if "velocity" in outs:
+                res["vel"] = outs["velocity"][0][..., 0]
+            if "held" in outs:
+                res["held_idx"] = jnp.argmax(outs["held"][0], axis=-1)
+            if "next" in outs:
+                res["next_idx"] = jnp.argmax(outs["next"][0], axis=-1)
+            return res
+
         self._decode = jax.jit(decode_fn)
+        self._decode_argmax = jax.jit(decode_argmax_fn)
         self._encode = jax.jit(encode_fn)
 
     # ------------------------------------------------------------------
-    def decode_batch(
-        self,
-        z: np.ndarray,
-        history: np.ndarray | None = None,
-        additional: np.ndarray | None = None,
-    ) -> dict[str, np.ndarray]:
-        """Decode (B, latent) -> head probability arrays, batched on device."""
+    def _decode_padded(self, fn, z, history, additional) -> dict[str, np.ndarray]:
         cfg = self.cfg
         z = np.atleast_2d(np.asarray(z, np.float32))
         n = z.shape[0]
@@ -72,8 +88,17 @@ class GenerationContext:
         Ap = np.zeros((b, max(1, cfg.decoder_additional_input_dim)), np.float32)
         if additional is not None:
             Ap[:n] = np.atleast_2d(additional)[:n]
-        outs = self._decode(self.params, jnp.asarray(zp), jnp.asarray(Hp), jnp.asarray(Ap))
+        outs = fn(self.params, jnp.asarray(zp), jnp.asarray(Hp), jnp.asarray(Ap))
         return {k: np.asarray(v)[:n] for k, v in outs.items()}
+
+    def decode_batch(
+        self,
+        z: np.ndarray,
+        history: np.ndarray | None = None,
+        additional: np.ndarray | None = None,
+    ) -> dict[str, np.ndarray]:
+        """Decode (B, latent) -> head probability arrays, batched on device."""
+        return self._decode_padded(self._decode, z, history, additional)
 
     def encode_song(
         self, X: np.ndarray, I: np.ndarray, V: np.ndarray, D: np.ndarray
@@ -108,6 +133,10 @@ class GenerationContext:
         sample_method: str = "argmax",
         rng=None,
     ):
+        if sample_method == "argmax":
+            # argmax on device: fetch indices, not probability tensors
+            idx = self._decode_padded(self._decode_argmax, z, history, additional)
+            return sampling.process_argmax_outputs(idx, self.cfg)
         outs = self.decode_batch(z, history, additional)
         return sampling.process_decoder_outputs(outs, sample_method, self.cfg, rng)
 

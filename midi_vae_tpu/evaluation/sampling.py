@@ -224,3 +224,67 @@ def add_silent_column(Y: np.ndarray, cfg: Config) -> np.ndarray:
     out = np.concatenate([Y, np.zeros((Y.shape[0], 1), Y.dtype)], axis=1)
     out[out.sum(axis=1) == 0, -1] = 1
     return out
+
+
+def process_argmax_outputs(
+    idx: dict[str, np.ndarray], cfg: Config
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Device-argmaxed head indices -> (Y, I, V, D, N).
+
+    Mirror of ``process_decoder_outputs`` for the argmax sample method when
+    the argmax already ran on the accelerator (GenerationContext fetches
+    per-step indices instead of full probability tensors -- ~60x less
+    host<->device traffic on the evaluation paths).
+
+    idx keys: notes_idx (B, T) int; optional inst_idx (B, mv), vel (B, T),
+    held_idx (B, T), next_idx (B, T).
+    """
+    notes_idx = np.asarray(idx["notes_idx"])
+    B, T = notes_idx.shape
+
+    def notes_onehot(ni):
+        flat = ni.reshape(-1)
+        out = np.zeros((flat.shape[0], cfg.new_num_notes), np.float32)
+        keep = flat < cfg.new_num_notes
+        if cfg.include_silent_note:
+            keep &= flat != (cfg.output_dim - 1)
+        rows = np.nonzero(keep)[0]
+        out[rows, flat[rows]] = 1
+        return out
+
+    Y = notes_onehot(notes_idx)
+    I = V = D = N = None
+
+    if "inst_idx" in idx:
+        ii = np.asarray(idx["inst_idx"]).reshape(-1)
+        flat = np.zeros((ii.shape[0], cfg.meta_instrument_dim), np.float32)
+        flat[np.arange(len(ii)), ii] = 1
+        I = flat.reshape(B, cfg.max_voices, cfg.meta_instrument_dim)
+
+    if "vel" in idx:
+        V = np.asarray(idx["vel"], np.float64).reshape(-1)
+        V[Y.sum(axis=1) == 0] = 0
+        if cfg.override_sampled_pitches_based_on_velocity_info:
+            V = override_pitches_from_velocity(Y, V, cfg)
+
+    if "held_idx" in idx:
+        D = np.asarray(idx["held_idx"], np.float32).reshape(-1)
+
+    if "next_idx" in idx:
+        N = notes_onehot(np.asarray(idx["next_idx"]))
+
+    length = Y.shape[0]
+    if I is None:
+        I = np.zeros((B, cfg.max_voices, cfg.meta_instrument_dim), np.float32)
+        I[:, :, 0] = 1
+    if V is None:
+        V = np.ones((length,)) * (
+            cfg.velocity_threshold + (1.0 - cfg.velocity_threshold) * 0.5
+        )
+    if D is None:
+        D = np.ones((length,))
+        if "vel" in idx:
+            D[np.asarray(V) > cfg.velocity_threshold] = 0
+    if N is None:
+        N = np.zeros_like(Y)
+    return Y, I, np.asarray(V, np.float32), np.asarray(D, np.float32), N

@@ -281,3 +281,19 @@ class TestArgmaxFastPaths:
         np.testing.assert_array_equal(
             fast, probs.reshape(-1, 2).argmax(-1).astype(np.float32)
         )
+
+
+class TestDeviceArgmaxPath:
+    def test_matches_probs_path(self, tiny_setup):
+        cfg, model, params, ds = tiny_setup
+        ctx = GenerationContext(cfg, model, params)
+        rngz = np.random.RandomState(0)
+        z = rngz.randn(3, cfg.latent_dim).astype(np.float32)
+        # probs path (force through process_decoder_outputs)
+        outs = ctx.decode_batch(z)
+        ref = sampling.process_decoder_outputs(outs, "argmax", cfg)
+        got = ctx.decode_and_process(z, sample_method="argmax")
+        for a, b, name in zip(got, ref, "YIVDN"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
+            )
