@@ -122,8 +122,41 @@ def sample_held_notes_prediction(D: np.ndarray, sample_method: str, cfg: Config,
 
 
 def override_pitches_from_velocity(Y: np.ndarray, V: np.ndarray, cfg: Config) -> np.ndarray:
-    """Velocity/pitch consistency pass (vae_definition.py:1161-1190), in place
-    on V; returns V."""
+    """Velocity/pitch consistency pass (vae_definition.py:1161-1190).
+
+    Vectorized per voice: previous_velocity is a forward-fill of the last
+    non-silent velocity, previous_pitch a one-step shift. Returns V (new
+    array)."""
+    thr = cfg.velocity_threshold
+    mv = cfg.max_voices
+    V = np.asarray(V, np.float64).copy()
+    steps = Y.shape[0] // mv
+    if steps == 0:
+        return V
+    pitch = np.where(Y.sum(axis=1) > 0, Y.argmax(axis=1), -1).reshape(steps, mv)
+    vel = V.reshape(steps, mv)
+    vel_silent = vel < thr
+    prev_pitch = np.vstack([np.full((1, mv), -1, pitch.dtype), pitch[:-1]])
+    # previous loud velocity: forward-fill of vel where loud, shifted by one
+    loud = ~vel_silent
+    idx = np.where(loud, np.arange(steps)[:, None], -1)
+    idx = np.maximum.accumulate(idx, axis=0)
+    idx_prev = np.vstack([np.full((1, mv), -1), idx[:-1]])
+    prev_vel = np.where(
+        idx_prev >= 0,
+        np.take_along_axis(vel, np.maximum(idx_prev, 0), axis=0),
+        0.0,
+    )
+    pitch_silent = pitch < 0
+    rule1 = vel_silent & ~pitch_silent & (prev_pitch > 0) & (prev_pitch != pitch)
+    rule2 = ~vel_silent & pitch_silent
+    out = np.where(rule1, prev_vel, vel)
+    out = np.where(rule2, 0.0, out)
+    return out.reshape(-1)
+
+
+def _override_pitches_from_velocity_loop(Y: np.ndarray, V: np.ndarray, cfg: Config) -> np.ndarray:
+    """Reference per-step loop (kept for the equivalence test)."""
     thr = cfg.velocity_threshold
     mv = cfg.max_voices
     for voice in range(mv):

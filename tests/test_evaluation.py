@@ -297,3 +297,19 @@ class TestDeviceArgmaxPath:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
             )
+
+
+class TestVelocityOverrideVectorized:
+    def test_matches_loop(self):
+        cfg = Config()
+        rng = np.random.RandomState(0)
+        for trial in range(5):
+            T = 128
+            Y = np.zeros((T, 60), np.float32)
+            for i in range(T):
+                if rng.rand() < 0.7:
+                    Y[i, rng.randint(60)] = 1
+            V = rng.rand(T)
+            got = sampling.override_pitches_from_velocity(Y, V.copy(), cfg)
+            ref = sampling._override_pitches_from_velocity_loop(Y, V.copy(), cfg)
+            np.testing.assert_allclose(got, ref, err_msg=f"trial {trial}")
