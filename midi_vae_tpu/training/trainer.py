@@ -317,6 +317,47 @@ class VAETrainer:
             agg.update(metrics, weight=w)
         return agg
 
+    def run_epoch_distributed(
+        self,
+        state: TrainState,
+        flat: FlatSplit,
+        shuffle: bool = True,
+        H: np.ndarray | None = None,
+    ) -> EpochMetrics:
+        """One epoch across jax processes: every process holds the SAME flat
+        dataset, computes the same shuffled order (seeded from the shared
+        rng), and contributes its slice of each global batch
+        (parallel.distributed.global_batch_from_local)."""
+        from ..parallel import distributed as dist
+
+        cfg = self.cfg
+        n = flat.num_windows
+        order = np.arange(n)
+        if shuffle:
+            seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
+            np.random.RandomState(seed).shuffle(order)
+        agg = EpochMetrics()
+        bs = cfg.batch_size
+        k = jax.process_count()
+        assert bs % k == 0, "batch_size must divide by process count"
+        per = bs // k
+        i = jax.process_index()
+        pending = []
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            batch = _slice_batch(flat, idx, cfg, H)
+            batch, mask = pmesh.pad_batch_to(batch, bs)
+            batch["M"] = mask
+            local = {k2: v[i * per : (i + 1) * per] for k2, v in batch.items()}
+            gbatch = dist.global_batch_from_local(local, self.mesh)
+            state.params, state.opt_state, state.rng, metrics = self.train_step(
+                state.params, state.opt_state, gbatch, state.rng
+            )
+            pending.append((metrics, float(mask.sum())))
+        for metrics, w in pending:
+            agg.update(metrics, weight=w)
+        return agg
+
     def evaluate(
         self, state: TrainState, flat: FlatSplit, H: np.ndarray | None = None
     ) -> EpochMetrics:

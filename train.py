@@ -45,7 +45,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.coordinator:
+        from midi_vae_tpu.parallel import distributed as dist
+
+        dist.initialize(args.coordinator, args.num_processes, args.process_id)
 
     if args.cpu:
         import jax
