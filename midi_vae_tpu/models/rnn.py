@@ -36,6 +36,7 @@ def encode_sequence(
     activation: str = "tanh",
     bidirectional: bool = False,
     fused: bool = False,
+    whole_scan: bool = False,
 ) -> jnp.ndarray:
     """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
 
@@ -47,33 +48,47 @@ def encode_sequence(
     """
     cell = get_cell(cell_type)
     fused = fused and cell_type == "GRU"
+    whole_scan = whole_scan and fused
     h = xs
     n_layers = len(layer_params)
     for i, p in enumerate(layer_params):
         is_last = i == n_layers - 1
         if bidirectional and not is_last:
-            fwd = _scan_layer(cell, p["fwd"], h, activation, True, fused)
+            fwd = _scan_layer(cell, p["fwd"], h, activation, True, fused, whole_scan)
             bwd = _scan_layer(
-                cell, p["bwd"], h[:, ::-1, :], activation, True, fused
+                cell, p["bwd"], h[:, ::-1, :], activation, True, fused, whole_scan
             )[:, ::-1, :]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
-            h = _scan_layer(cell, p, h, activation, not is_last, fused)
+            h = _scan_layer(cell, p, h, activation, not is_last, fused, whole_scan)
     return h
 
 
 def _scan_layer(
     cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
-    fused: bool = False,
+    fused: bool = False, whole_scan: bool = False,
 ):
     """One RNN layer over (B, T, D). x-projection batched across time; the
-    recurrent part optionally runs as a fused Pallas step (ops/fused_gru)."""
+    recurrent part optionally runs as fused Pallas steps (ops/fused_gru) or,
+    on inference paths, as one whole-layer kernel (fused_encoder_scan --
+    fastest forward, but its VJP recomputes the scan)."""
     act = activation_fn(activation)
     B, T, _D = xs.shape
     hidden = p["u"].shape[0]
     # (B, T, gates) in one matmul -- the MXU-friendly layout
     xp = cell.x_proj(p, xs.reshape(B * T, -1)).reshape(B, T, -1)
     init = zero_states(cell, B, hidden, xs.dtype)
+
+    if whole_scan:
+        from ..ops.fused_decoder import fused_encoder_scan
+
+        out = fused_encoder_scan(
+            jnp.swapaxes(xp, 0, 1), init[0], p["u"], activation,
+            return_sequences,
+        )
+        if return_sequences:
+            return jnp.swapaxes(out, 0, 1)
+        return out
 
     if fused:
         from ..ops.fused_gru import gru_recurrent_step

@@ -177,30 +177,37 @@ class MidiVAE:
     # ------------------------------------------------------------------
     # Encoder
     # ------------------------------------------------------------------
-    def encode_stats(self, params: Params, batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """X/I/V/D -> (z_mean, z_log_var)."""
+    def encode_stats(
+        self, params: Params, batch: dict, inference: bool = False
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """X/I/V/D -> (z_mean, z_log_var). ``inference`` enables the
+        whole-layer encoder kernels (fast forward, remat backward)."""
         cfg = self.cfg
         enc = params["encoder"]
         x = batch["X"]
         fused = self._pallas_enabled()
+        # whole-layer kernels: always on inference paths; in training only
+        # under bf16, where the fused forward outweighs the remat backward
+        # (measured: bf16 2.89M vs 2.09M note-steps/s; f32 2.07M vs 2.31M)
+        ws = inference or (fused and cfg.compute_dtype == "bfloat16")
         if cfg.use_embedding:
             x = dense_apply(enc["embedding"], x)
         h = encode_sequence(
             enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
-            cfg.bidirectional, fused=fused,
+            cfg.bidirectional, fused=fused, whole_scan=ws,
         )
         parts = [h]
         if cfg.meta_instrument:
             parts.append(
-                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused)
+                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws)
             )
         if cfg.meta_velocity:
             parts.append(
-                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused)
+                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws)
             )
         if cfg.meta_held_notes:
             parts.append(
-                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused)
+                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws)
             )
         if len(parts) > 1:
             h = jnp.concatenate(parts, axis=-1)
@@ -239,8 +246,10 @@ class MidiVAE:
         rng: jax.Array | None = None,
         epsilon_std: float = 0.0,
     ) -> jnp.ndarray:
-        """The reference ``encoder.predict`` equivalent: returns z."""
-        z_mean, z_log_var = self.encode_stats(params, batch)
+        """The reference ``encoder.predict`` equivalent: returns z.
+
+        Inference-only entry point -- uses the whole-layer encoder kernels."""
+        z_mean, z_log_var = self.encode_stats(params, batch, inference=True)
         return self.sample_z(z_mean, z_log_var, rng, epsilon_std)
 
     # ------------------------------------------------------------------

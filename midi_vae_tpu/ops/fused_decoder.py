@@ -270,3 +270,135 @@ def _fds_bwd(T, activation, out_activation, interpret, residuals, g):
 
 
 fused_decode_scan.defvjp(_fds_fwd, _fds_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-scan ENCODER kernel: one pallas_call per RNN layer over the full
+# sequence. xp (the precomputed x-projections, models/rnn.py _scan_layer) is
+# streamed block-per-step by the grid; U stays in VMEM; h carries in scratch.
+# ---------------------------------------------------------------------------
+
+def _encoder_kernel(xp_ref, h0_ref, u_ref, out_ref, h_s, *, act, return_sequences):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_s[:] = h0_ref[:]
+
+    h = h_s[:]
+    xp = xp_ref[0]
+    H = h.shape[-1]
+    hu_zr = jnp.dot(h, u_ref[:, : 2 * H], preferred_element_type=jnp.float32)
+    z = jax.nn.sigmoid(xp[:, :H] + hu_zr[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu_zr[:, H:])
+    hh = act(
+        xp[:, 2 * H :]
+        + jnp.dot(r * h, u_ref[:, 2 * H :], preferred_element_type=jnp.float32)
+    )
+    new_h = z * h + (1.0 - z) * hh
+    h_s[:] = new_h.astype(h_s.dtype)
+    if return_sequences:
+        out_ref[0] = new_h.astype(out_ref.dtype)
+    else:
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _final():
+            out_ref[:] = new_h.astype(out_ref.dtype)
+
+
+def _encoder_vmem_ok(B: int, H: int) -> bool:
+    floats = H * 3 * H + 3 * B * H + B * 3 * H + 4 * B * 3 * H
+    return floats * 4 < _VMEM_LIMIT_BYTES
+
+
+def _encoder_scan_reference(xp, h0, u, act, return_sequences):
+    def step(h, xp_t):
+        H = h.shape[-1]
+        hu_zr = h @ u[:, : 2 * H]
+        z = jax.nn.sigmoid(xp_t[:, :H] + hu_zr[:, :H])
+        r = jax.nn.sigmoid(xp_t[:, H : 2 * H] + hu_zr[:, H:])
+        hh = act(xp_t[:, 2 * H :] + (r * h) @ u[:, 2 * H :])
+        new_h = (z * h + (1.0 - z) * hh).astype(h.dtype)
+        return new_h, (new_h if return_sequences else None)
+
+    final, seq = jax.lax.scan(step, h0, xp)
+    return seq if return_sequences else final
+
+
+def _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, _ = xp.shape
+    H = h0.shape[-1]
+    kernel = functools.partial(
+        _encoder_kernel, act=act, return_sequences=return_sequences
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, H), xp.dtype)
+        if return_sequences
+        else jax.ShapeDtypeStruct((B, H), xp.dtype)
+    )
+    out_spec = (
+        pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+        if False
+        else (
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+            if return_sequences
+            else pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM)
+        )
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((B, H), xp.dtype)],
+        interpret=interpret,
+    )(xp, h0, u)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_encoder_scan(
+    xp, h0, u, activation: str = "tanh", return_sequences: bool = False,
+    interpret: bool = False,
+):
+    """GRU layer over a full sequence in one kernel.
+
+    xp: (T, B, 3H) precomputed x-projections (time-major); h0: (B, H);
+    returns (T, B, H) if return_sequences else (B, H)."""
+    act = _activation(activation)
+    B = xp.shape[1]
+    H = h0.shape[-1]
+    if not interpret and (
+        jax.default_backend() != "tpu" or not _encoder_vmem_ok(B, H)
+    ):
+        return _encoder_scan_reference(xp, h0, u, act, return_sequences)
+    return _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret)
+
+
+def _fes_fwd(xp, h0, u, activation, return_sequences, interpret):
+    return (
+        fused_encoder_scan(xp, h0, u, activation, return_sequences, interpret),
+        (xp, h0, u),
+    )
+
+
+def _fes_bwd(activation, return_sequences, interpret, residuals, g):
+    xp, h0, u = residuals
+    act = _activation(activation)
+    _, vjp = jax.vjp(
+        lambda a, b, c: _encoder_scan_reference(a, b, c, act, return_sequences),
+        xp, h0, u,
+    )
+    return vjp(g)
+
+
+fused_encoder_scan.defvjp(_fes_fwd, _fes_bwd)
