@@ -1,1 +1,2 @@
 from . import fused_gru
+from . import fused_decoder
