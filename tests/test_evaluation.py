@@ -313,3 +313,69 @@ class TestVelocityOverrideVectorized:
             got = sampling.override_pitches_from_velocity(Y, V.copy(), cfg)
             ref = sampling._override_pitches_from_velocity_loop(Y, V.copy(), cfg)
             np.testing.assert_allclose(got, ref, err_msg=f"trial {trial}")
+
+
+class TestStatsModule:
+    def test_program_statistics(self):
+        from midi_vae_tpu.data.dataset import Dataset
+        from midi_vae_tpu.evaluation import stats
+
+        cfg = Config()
+        ds = Dataset(cfg=cfg)
+        # two songs per class, known programs
+        for c, programs in ((0, [0, 0]), (1, [40, 48])):
+            for prog in programs:
+                import numpy as np
+
+                I = np.zeros((4, 16), np.float32)
+                I[0, prog // 8] = 1
+                ds.I_train.append(I)
+                ds.C_train.append(c)
+                ds.X_train.append(np.zeros((2, 64, 61), np.float32))
+        s = stats.program_statistics(ds, cfg)
+        assert s.programs_for_each_class[0] == [0, 0][:1] or 0 in s.programs_for_each_class[0]
+        assert 40 in s.programs_for_each_class[1] and 48 in s.programs_for_each_class[1]
+        # probabilities normalized
+        for d in s.program_probability_dict_for_each_class:
+            if d:
+                assert sum(d.values()) <= 1.0 + 1e-9
+        sw = stats.switch_percentage_between_classes(s, cfg)
+        # voice 0 differs across classes; voices 1-3 are phantom program-0
+        # rows on both sides (reference zip semantics) -> 1/4 switched
+        assert sw[0, 1] == 0.25
+
+    def test_frankenstein_baselines(self):
+        from midi_vae_tpu.evaluation import stats
+
+        cfg = Config()
+        rng = np.random.RandomState(0)
+        spm = stats.frankenstein_random_pitches(cfg, total_evaluations=5, rng=rng)
+        assert spm.shape == (4, 4)
+        Y_list = [np.zeros((2, 64, 61), np.float32) for _ in range(4)]
+        for Y in Y_list:
+            for w in range(2):
+                for t in range(0, 64, 4):
+                    Y[w, t, rng.randint(60)] = 1
+        spm2 = stats.frankenstein_from_songs(Y_list, cfg, total_evaluations=5, rng=rng)
+        assert spm2.shape == (4, 4)
+
+
+class TestProbesModule:
+    def test_chord_window_layout(self):
+        from midi_vae_tpu.evaluation import probes
+
+        cfg = Config()
+        X, I, V, D = probes.chord_window((0, 4, 7), 5, cfg)
+        assert X.shape == (1, 64, 61)
+        # voices 0..2 carry the triad, voice 3 is silent
+        assert X[0, 0, 60 - cfg.low_crop] == 1
+        assert X[0, 1, 64 - cfg.low_crop] == 1
+        assert X[0, 2, 67 - cfg.low_crop] == 1
+        assert X[0, 3, -1] == 1
+        assert D[0, 0] == 0 and D[0, 1] == 1
+
+    def test_pitch_to_name(self):
+        from midi_vae_tpu.evaluation.probes import pitch_to_name
+
+        assert pitch_to_name(60) == "C5"
+        assert pitch_to_name(69) == "A5"

@@ -42,7 +42,9 @@ STYLES = {
 }
 
 
-def make_song(style: dict, rng: np.random.RandomState, bars: int = 16) -> smf.MidiFile:
+def make_song(
+    style: dict, rng: np.random.RandomState, bars: int = 16, chords: bool = False
+) -> smf.MidiFile:
     mid = smf.MidiFile(initial_tempo=style["bpm"])
     sixteenth = 60.0 / style["bpm"] / 4.0
     n_voices = int(rng.randint(1, 3))
@@ -63,6 +65,14 @@ def make_song(style: dict, rng: np.random.RandomState, bars: int = 16) -> smf.Mi
             start = step * sixteenth
             end = (step + dur) * sixteenth
             inst.notes.append(smf.Note(int(pitch), vel, start, end))
+            if chords and v == 0 and rng.rand() < 0.5:
+                # stack a triad on the melody voice (exercises the
+                # polyphony->voice splitting of the tensorizer)
+                for offset in (style["scale"][(degree + 2) % len(style["scale"])],
+                               style["scale"][(degree + 4) % len(style["scale"])]):
+                    cp = style["base_pitch"] + 12 * octave + offset - 6 * v
+                    if cp != pitch:
+                        inst.notes.append(smf.Note(int(cp), vel, start, end))
             step += dur
         mid.instruments.append(inst)
     return mid
@@ -73,6 +83,7 @@ def main(argv=None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--songs-per-style", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chords", action="store_true", help="polyphonic melodies")
     args = p.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
@@ -80,7 +91,9 @@ def main(argv=None) -> int:
         d = os.path.join(args.out_dir, style_name)
         os.makedirs(d, exist_ok=True)
         for s in range(args.songs_per_style):
-            make_song(style, rng).write(os.path.join(d, f"{style_name}_{s:03d}.mid"))
+            make_song(style, rng, chords=args.chords).write(
+                os.path.join(d, f"{style_name}_{s:03d}.mid")
+            )
     print(f"wrote {args.songs_per_style} songs per style to {args.out_dir}")
     return 0
 
