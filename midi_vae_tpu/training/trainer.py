@@ -109,10 +109,13 @@ class VAETrainer:
         model: MidiVAE | None = None,
     ):
         self.cfg = cfg
-        self.model = model or MidiVAE(cfg)
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(
             n_model=cfg.mesh_model_axis
         )
+        # route Pallas enablement by the mesh's actual device platform: a CPU
+        # mesh in a TPU-default process must take the jnp fallback
+        mesh_platform = self.mesh.devices.flat[0].platform
+        self.model = model or MidiVAE(cfg, platform=mesh_platform)
         self.optimizer = make_optimizer(cfg)
         self._build_steps()
 

@@ -8,6 +8,11 @@ initialization.
 """
 import os
 
+# the platform the session was launched with, before this conftest forces
+# cpu -- lets tests reproduce the driver environment in subprocesses
+ORIG_JAX_PLATFORMS = os.environ.get("JAX_PLATFORMS")
+ORIG_XLA_FLAGS = os.environ.get("XLA_FLAGS")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

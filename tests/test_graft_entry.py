@@ -1,0 +1,92 @@
+"""Regression tests for the driver entry points (__graft_entry__.py).
+
+Round-1 failure mode (VERDICT.md weak #1): ``dryrun_multichip(8)`` crashed in
+the driver environment because (a) the single tunneled-TPU default backend
+was used as-is, (b) the model axis was computed from the *requested* device
+count, and (c) Pallas enablement keyed off ``jax.default_backend()`` instead
+of the compute devices' platform, dispatching real Pallas kernels onto a CPU
+mesh. These tests pin all three fixes.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import conftest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestPallasRouting:
+    def test_platform_hint_overrides_default_backend(self, monkeypatch):
+        """A CPU-platform model must take the jnp fallback even when the
+        process default backend is TPU (models/vae.py _pallas_enabled)."""
+        import jax
+
+        from midi_vae_tpu.config import small_test_config
+        from midi_vae_tpu.models import MidiVAE
+
+        cfg = small_test_config(use_pallas="auto")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert MidiVAE(cfg, platform="cpu")._pallas_enabled() is False
+        assert MidiVAE(cfg, platform="tpu")._pallas_enabled() is True
+        # no hint -> falls back to the (patched) default backend
+        assert MidiVAE(cfg)._pallas_enabled() is True
+
+    def test_trainer_routes_by_mesh_platform(self, monkeypatch):
+        """VAETrainer must hand the mesh's device platform to the model."""
+        import jax
+
+        from midi_vae_tpu.config import small_test_config
+        from midi_vae_tpu.training import VAETrainer
+
+        trainer = VAETrainer(small_test_config(use_pallas="auto"))
+        assert trainer.model.platform == "cpu"
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert trainer.model._pallas_enabled() is False
+
+
+class TestDryrunMultichip:
+    def _run(self, env: dict) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=REPO,
+            env=env,
+        )
+
+    def test_dryrun_8_devices(self):
+        """The driver's exact invocation must succeed on a fresh process."""
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        res = self._run(env)
+        assert res.returncode == 0, res.stderr[-4000:]
+        assert "dryrun_multichip OK" in res.stdout
+
+    def test_dryrun_8_devices_driver_platform(self):
+        """Same, but with the platform pin the driver environment uses
+        (e.g. JAX_PLATFORMS=axon -> a single tunneled TPU): the entry must
+        detect the shortfall and fall back to a virtual CPU mesh."""
+        if not conftest.ORIG_JAX_PLATFORMS:
+            import pytest
+
+            pytest.skip("session launched without a JAX_PLATFORMS pin")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = conftest.ORIG_JAX_PLATFORMS
+        if conftest.ORIG_XLA_FLAGS is None:
+            env.pop("XLA_FLAGS", None)
+        else:
+            env["XLA_FLAGS"] = conftest.ORIG_XLA_FLAGS
+        res = self._run(env)
+        assert res.returncode == 0, res.stderr[-4000:]
+        assert "dryrun_multichip OK" in res.stdout
+        # 8 virtual devices -> a real 4x2 (data, model) mesh
+        assert "'data': 4" in res.stdout and "'model': 2" in res.stdout
