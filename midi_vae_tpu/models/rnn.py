@@ -47,7 +47,7 @@ def encode_sequence(
     (vae_definition.py:447-453).
     """
     cell = get_cell(cell_type)
-    fused = fused and cell_type == "GRU"
+    fused = fused and cell_type in ("GRU", "LSTM")
     whole_scan = whole_scan and fused
     h = xs
     n_layers = len(layer_params)
@@ -80,17 +80,33 @@ def _scan_layer(
     init = zero_states(cell, B, hidden, xs.dtype)
 
     if whole_scan:
-        from ..ops.fused_decoder import fused_encoder_scan
+        if cell.num_states == 2:  # LSTM
+            from ..ops.fused_lstm import fused_lstm_encoder_scan
 
-        out = fused_encoder_scan(
-            jnp.swapaxes(xp, 0, 1), init[0], p["u"], activation,
-            return_sequences,
-        )
+            out = fused_lstm_encoder_scan(
+                jnp.swapaxes(xp, 0, 1), init[0], init[1], p["u"], activation,
+                return_sequences,
+            )
+        else:
+            from ..ops.fused_decoder import fused_encoder_scan
+
+            out = fused_encoder_scan(
+                jnp.swapaxes(xp, 0, 1), init[0], p["u"], activation,
+                return_sequences,
+            )
         if return_sequences:
             return jnp.swapaxes(out, 0, 1)
         return out
 
-    if fused:
+    if fused and cell.num_states == 2:  # LSTM
+        from ..ops.fused_lstm import lstm_recurrent_step
+
+        def step(states, xp_t):
+            h, c = states
+            new_h, new_c = lstm_recurrent_step(xp_t, h, c, p["u"], activation)
+            return (new_h, new_c), (new_h if return_sequences else None)
+
+    elif fused:
         from ..ops.fused_gru import gru_recurrent_step
 
         def step(states, xp_t):

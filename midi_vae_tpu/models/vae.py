@@ -46,17 +46,28 @@ Params = dict[str, Any]
 class MidiVAE:
     """Functional model wrapper: holds config, no state."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, platform: str | None = None):
+        """``platform``: the platform of the devices this model will actually
+        run on (e.g. ``mesh.devices.flat[0].platform``). Pallas enablement
+        must key off the COMPUTE devices, not the process default backend --
+        a CPU mesh inside a TPU-default process would otherwise dispatch
+        real Pallas kernels on CPU and crash ("Only interpret mode is
+        supported on CPU backend"). None = use the default backend."""
         self.cfg = cfg
+        self.platform = platform
         self.cell = get_cell(cfg.cell_type)
 
     def _pallas_enabled(self) -> bool:
-        """Fused Pallas GRU kernels: 'auto' enables them on TPU backends."""
+        """Fused Pallas GRU/LSTM kernels: 'auto' enables them on TPU
+        platforms. SimpleRNN has no kernel -- its step is one matmul + one
+        activation, which XLA already emits as a single fusion."""
         cfg = self.cfg
-        if cfg.cell_type != "GRU" or cfg.use_pallas == "off":
+        if cfg.cell_type not in ("GRU", "LSTM") or cfg.use_pallas == "off":
             return False
         if cfg.use_pallas == "on":
             return True
+        if self.platform is not None:
+            return self.platform == "tpu"
         import jax as _jax
 
         return _jax.default_backend() == "tpu"
@@ -290,7 +301,10 @@ class MidiVAE:
 
         fused_step = None
         if self._pallas_enabled():
-            from ..ops.fused_gru import make_fused_decoder_step
+            if cfg.cell_type == "LSTM":
+                from ..ops.fused_lstm import make_fused_decoder_step
+            else:
+                from ..ops.fused_gru import make_fused_decoder_step
 
             fused_step = make_fused_decoder_step(cfg.lstm_activation)
 
@@ -312,18 +326,37 @@ class MidiVAE:
                 and gt is None
                 and out_activation in ("softmax", "sigmoid", "linear")
             ):
-                from ..ops.fused_decoder import (
-                    decoder_scan_supported,
-                    fused_decode_scan,
-                )
-
-                flat_states = [s[0] for s in states]  # GRU: one state per layer
-                if decoder_scan_supported(h["cells"], start, flat_states):
-                    probs, logits = fused_decode_scan(
-                        h["cells"], h["out"], flat_states, start, length,
-                        cfg.lstm_activation, out_activation,
+                if cfg.cell_type == "LSTM":
+                    from ..ops.fused_lstm import (
+                        decoder_scan_supported,
+                        fused_lstm_decode_scan,
                     )
-                    return jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1)
+
+                    if decoder_scan_supported(h["cells"], start, states):
+                        probs, logits = fused_lstm_decode_scan(
+                            h["cells"], h["out"], states, start, length,
+                            cfg.lstm_activation, out_activation,
+                        )
+                        return (
+                            jnp.swapaxes(probs, 0, 1),
+                            jnp.swapaxes(logits, 0, 1),
+                        )
+                else:
+                    from ..ops.fused_decoder import (
+                        decoder_scan_supported,
+                        fused_decode_scan,
+                    )
+
+                    flat_states = [s[0] for s in states]  # GRU: 1 state/layer
+                    if decoder_scan_supported(h["cells"], start, flat_states):
+                        probs, logits = fused_decode_scan(
+                            h["cells"], h["out"], flat_states, start, length,
+                            cfg.lstm_activation, out_activation,
+                        )
+                        return (
+                            jnp.swapaxes(probs, 0, 1),
+                            jnp.swapaxes(logits, 0, 1),
+                        )
             return decode_autoregressive(
                 h["cells"],
                 h["out"],
