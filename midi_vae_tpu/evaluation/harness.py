@@ -431,8 +431,9 @@ class Evaluator:
             return
         metrics_rows: list[dict] = []
         mean_row: dict = defaultdict(float)
+        mean_counts: dict = defaultdict(int)
         mean_row["song_name"] = "Mean"
-        mean_row["class"] = "both"
+        mean_row["class"] = "all"
 
         k = cfg.num_classes
         original_sig_per_class = [[] for _ in range(k)]
@@ -604,10 +605,25 @@ class Evaluator:
                     )
 
             # --- style switch (vae_eval.py:2448-2625) ---
+            # Each (C -> C_switch) pair gets its OWN row columns
+            # (``..._{C}to{C_switch}``); the unsuffixed key is the per-song
+            # mean over all switch targets, which for 2-class runs (the
+            # reference's shipped configurations) equals the single pair
+            # value. The reference keeps per-pair data only in pickled lists
+            # and overwrites its CSV columns per C_switch
+            # (vae_evaluation.py:2552-2604) -- lossy for >= 3 classes; fixed
+            # here.
             if sec.switch_styles and cfg.include_composer_decoder:
+                pair_stats: dict[str, list[float]] = defaultdict(list)
+
+                def record_pair(key_base: str, value: float, pair: str) -> None:
+                    row[f"{key_base}_{pair}"] = value
+                    pair_stats[key_base].append(value)
+
                 for C_switch in range(len(cfg.classes)):
                     if C_switch == C:
                         continue
+                    pair = f"{C}to{C_switch}"
                     switched = np.copy(z)
                     switched[:, C] = z[:, C_switch]
                     switched[:, C_switch] = z[:, C]
@@ -620,19 +636,37 @@ class Evaluator:
                     sw_with_silent = np.stack(
                         [sampling.add_silent_column(w, cfg) for w in sw_windows]
                     )
-                    ps = record("switched", "pitch", sw_with_silent)
-                    vs = record(
-                        "switched", "velocity",
+
+                    def judge_pair(kind, x):
+                        res = self._classify(kind, x, C)
+                        if res is None:
+                            return None
+                        acc, conf, probs = res
+                        record_pair(
+                            f"switched_{kind}_classifier_accuracy", acc, pair
+                        )
+                        record_pair(
+                            f"switched_{kind}_classifier_confidence", conf, pair
+                        )
+                        return probs
+
+                    ps = judge_pair("pitch", sw_with_silent)
+                    vs = judge_pair(
+                        "velocity",
                         V_sw.reshape(num_samples, cfg.output_length, 1),
                     ) if cfg.meta_velocity else None
-                    is_ = record("switched", "instrument", I_sw) if cfg.meta_instrument else None
+                    is_ = judge_pair("instrument", I_sw) if cfg.meta_instrument else None
                     if ps is not None and vs is not None and is_ is not None:
                         ens = ensemble_prediction(ps, is_, vs)
-                        row["switched_ensemble_classifier_accuracy"] = float(
-                            np.mean(np.argmax(ens, -1) == C)
+                        record_pair(
+                            "switched_ensemble_classifier_accuracy",
+                            float(np.mean(np.argmax(ens, -1) == C)),
+                            pair,
                         )
-                        row["switched_ensemble_classifier_confidence"] = float(
-                            np.mean(ens[:, C])
+                        record_pair(
+                            "switched_ensemble_classifier_confidence",
+                            float(np.mean(ens[:, C])),
+                            pair,
                         )
                     switched_sigs = []
                     for w_i, w in enumerate(sw_windows):
@@ -668,18 +702,25 @@ class Evaluator:
                             Y_sw, switched_programs_song, V_sw, D_sw, sec.bpm,
                         )
 
+                # per-song aggregate = mean over this song's switch targets
+                for key_base, vals in pair_stats.items():
+                    row[key_base] = float(np.mean(vals))
+
             previous_latent = z
             previous_song_name = song_name
             for key, value in row.items():
                 if key not in ("song_name", "class"):
                     mean_row[key] += value
+                    mean_counts[key] += 1
             metrics_rows.append(row)
 
         # ---- aggregation (vae_eval.py:2638-2909) ----
-        n_songs = len(metrics_rows)
+        # each key is averaged over the rows that actually contain it (e.g.
+        # per-pair switch columns exist only for songs of class C, and a
+        # song's class determines which pairs appear)
         for key in list(mean_row.keys()):
             if key not in ("song_name", "class"):
-                mean_row[key] /= max(n_songs, 1)
+                mean_row[key] /= max(mean_counts[key], 1)
         metrics_rows.append(dict(mean_row))
 
         import warnings

@@ -40,6 +40,77 @@ def workdir(tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def workdir3(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e3")
+    run(
+        [os.path.join(REPO, "tools/make_demo_corpus.py"),
+         str(d / "corpus"), "--songs-per-style", "4", "--styles", "3"],
+        cwd=str(d),
+    )
+    return d
+
+
+def test_three_class_switch_matrix(workdir3):
+    """>= 3 classes: per-(C -> C_switch) columns must all survive -- the
+    reference overwrites its switched_* CSV columns per C_switch
+    (vae_evaluation.py:2552-2604), lossy for 3+ classes; we record each
+    pair."""
+    d = workdir3
+    classes = "style1,style2,style3"
+    run(
+        [os.path.join(REPO, "train.py"), "--source", str(d / "corpus"),
+         "--output", str(d / "vae"), "--cache", str(d / "cache"),
+         "--classes", classes,
+         "--epochs", "2", "--cpu", "--set", "save_step=1"] + SMALL,
+        cwd=str(d),
+    )
+    run(
+        [os.path.join(REPO, "classify.py"), "--source", str(d / "corpus"),
+         "--output", str(d / "clf"), "--cache", str(d / "cache"),
+         "--classes", classes,
+         "--epochs", "1", "--cpu", "--lstm-size", "24",
+         "--batch-size", "16", "--kinds", "pitch,velocity,instrument"],
+        cwd=str(d),
+    )
+    run(
+        [os.path.join(REPO, "evaluate.py"), "--source", str(d / "corpus"),
+         "--model", str(d / "vae"), "--classifiers", str(d / "clf"),
+         "--output", str(d / "eval"), "--cache", str(d / "cache"),
+         "--cpu", "--sections", "autoencoding", "--num-songs", "3"],
+        cwd=str(d),
+    )
+    results = json.load(open(d / "eval" / "results.json"))
+    rows = results["autoencoding_metrics"]
+    song_rows = [r for r in rows if r.get("song_name") != "Mean"]
+    class_index = {"style1": 0, "style2": 1, "style3": 2}
+    pair_cols_seen = set()
+    for r in song_rows:
+        C = class_index[r["class"]]
+        targets = [t for t in range(3) if t != C]
+        for t in targets:
+            key = f"switched_ensemble_classifier_accuracy_{C}to{t}"
+            assert key in r, (C, t, sorted(r))
+            pair_cols_seen.add(key)
+        # the aggregate is the mean of this song's pair values
+        pair_vals = [
+            r[f"switched_ensemble_classifier_accuracy_{C}to{t}"]
+            for t in targets
+        ]
+        assert r["switched_ensemble_classifier_accuracy"] == pytest.approx(
+            sum(pair_vals) / len(pair_vals)
+        )
+    # both switch targets appear for at least one class
+    assert len(pair_cols_seen) >= 2
+    # mean row averages each pair column over the rows that contain it
+    mean = next(r for r in rows if r.get("song_name") == "Mean")
+    for key in pair_cols_seen:
+        contributors = [r[key] for r in song_rows if key in r]
+        assert mean[key] == pytest.approx(
+            sum(contributors) / len(contributors)
+        )
+
+
 def test_train_classify_evaluate(workdir):
     d = workdir
     out = run(

@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Generate a synthetic two-style MIDI corpus for demos and smoke tests.
+"""Generate a synthetic multi-style MIDI corpus for demos and smoke tests.
 
 The styles are separable on every judged modality, mirroring what the
 reference's style pairs (Jazz-vs-Pop etc.) look like to the classifiers:
 
   style1: low register, piano programs, quiet, long legato notes, minor-ish
   style2: high register, string programs, loud, short staccato notes, major
+  style3: mid register, reed/brass programs, medium, dotted rhythms, pentatonic
+          (only with --styles 3; exercises the full >= 3-class switch matrix)
 
 Usage: python tools/make_demo_corpus.py OUT_DIR [--songs-per-style 30]
+       [--styles 3] [--chords]
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ STYLES = {
         durations=[1, 1, 2],           # staccato
         scale=[0, 2, 4, 5, 7, 9, 11],  # major
         bpm=130.0,
+    ),
+    "style3": dict(
+        programs=[64, 65, 56],         # soprano/alto sax, trumpet
+        base_pitch=52, pitch_range=18,
+        velocity=(60, 90),
+        durations=[1, 3, 3, 4],        # dotted / syncopated
+        scale=[0, 3, 5, 7, 10],        # minor pentatonic
+        bpm=110.0,
     ),
 }
 
@@ -84,10 +95,15 @@ def main(argv=None) -> int:
     p.add_argument("--songs-per-style", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chords", action="store_true", help="polyphonic melodies")
+    p.add_argument(
+        "--styles", type=int, default=2, choices=range(1, len(STYLES) + 1),
+        help="number of styles to generate (default 2)",
+    )
     args = p.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
-    for style_name, style in STYLES.items():
+    chosen = dict(list(STYLES.items())[: args.styles])
+    for style_name, style in chosen.items():
         d = os.path.join(args.out_dir, style_name)
         os.makedirs(d, exist_ok=True)
         for s in range(args.songs_per_style):
