@@ -213,6 +213,17 @@ class Config:
                 "combine_velocity_and_held_notes forces meta_held_notes off "
                 "(settings.py:222-224)"
             )
+        if self.include_composer_feature:
+            # a retired reference flag: it widens input_dim
+            # (settings.py:128-129, :207) but nothing ever appends the
+            # composer one-hot to the note vectors in either codebase, so
+            # enabling it would only feed zero columns to the encoder.
+            raise ValueError(
+                "include_composer_feature is a dead reference flag (it widens "
+                "input_dim but no code path appends the composer one-hot; "
+                "settings.py:128-129). Use include_composer_decoder (the "
+                "latent probe) or decoder_input_composer instead."
+            )
 
     # ---------------- derived quantities ----------------
     @property

@@ -187,9 +187,9 @@ def _quantize_instrument(
         # import_midi.py:122: off-grid notes shorter than one tick are dropped
         if decimal < 10e-3 or b - a >= 1:
             if b > a:
-                # count overlap only where not already active at this pitch
-                # (reference adds +1 per note regardless; the count is only
-                # used as max concurrency which we compute from layered adds)
+                # +1 per note regardless of pitch overlap, exactly like the
+                # reference (import_midi.py:127): two overlapping notes on
+                # the SAME pitch still count 2 concurrent
                 concurrent[a:b] += 1
                 active[a:b, note.pitch] = True
             if 0 <= a < total_ticks:

@@ -55,6 +55,12 @@ class TestConfig:
         with pytest.raises(ValueError):
             Config(cell_type="Transformer")
 
+    def test_include_composer_feature_rejected(self):
+        """Dead reference flag (settings.py:128-129): widens input_dim but
+        nothing appends the composer one-hot -- enabling it must error."""
+        with pytest.raises(ValueError, match="include_composer_feature"):
+            Config(include_composer_feature=True)
+
 
 class TestSMF:
     def test_roundtrip(self, tmp_path):
@@ -215,6 +221,110 @@ class TestLoadRolls:
         flat = song.Y.reshape(-1, 61)
         assert flat[0, 50 - 24] == 1  # voice 0 row = strings pitch
         assert flat[1, 60 - 24] == 1  # voice 1 row = piano pitch
+
+    # ---- adversarial goldens: hand-computed reference semantics for the
+    # fiddly edge cases (import_midi.py:69-75, :94-152) ----
+
+    def test_overlapping_same_pitch_notes(self):
+        """Two overlapping notes on the SAME pitch (import_midi.py:115-129):
+        the active roll is their union, per-note +1 makes max_concurrent 2,
+        but voice-splitting sees ONE distinct pitch, so voice 1 stays silent;
+        the second onset re-articulates (held=0) with its own velocity."""
+        cfg = self.cfg()
+        # 120bpm -> tick=0.125s. A: ticks 0-4 vel 80; B: ticks 2-6 vel 120.
+        mid = make_midi({0: [(60, 80, 0.0, 0.5), (60, 120, 0.25, 0.75)]})
+        song = tensorize.load_rolls(mid, cfg)
+        flat = song.Y.reshape(-1, 61)
+        flatV = song.V.reshape(-1)
+        flatD = song.D.reshape(-1)
+        # union: pitch 60 active ticks 0..5 on voice 0
+        for step in range(6):
+            assert flat[step * 4, 60 - 24] == 1, step
+        assert flat[6 * 4, 60] == 1  # silent after
+        # voice 1 never sounds (one distinct pitch despite concurrency 2)
+        for step in range(6):
+            assert flat[step * 4 + 1, 60] == 1, step
+        # re-articulation at tick 2: not held, velocity = note B's
+        scale = lambda v: 0.5 + (v / 127) * 0.5  # noqa: E731
+        np.testing.assert_allclose(flatV[0], scale(80), rtol=1e-6)
+        assert flatV[1 * 4] == 0 and flatD[1 * 4] == 1          # held
+        np.testing.assert_allclose(flatV[2 * 4], scale(120), rtol=1e-6)
+        assert flatD[2 * 4] == 0                                 # restart
+        assert flatD[3 * 4] == 1 and flatD[5 * 4] == 1           # held again
+
+    def test_adjacent_same_pitch_notes_rearticulate(self):
+        """Note-off and note-on at the same tick (back-to-back same-pitch
+        notes): the piano roll is continuous but the duration dict marks the
+        second onset as a start (import_midi.py:143-148) -> held=0 there."""
+        cfg = self.cfg()
+        mid = make_midi({0: [(60, 90, 0.0, 0.25), (60, 90, 0.25, 0.5)]})
+        song = tensorize.load_rolls(mid, cfg)
+        flat = song.Y.reshape(-1, 61)
+        flatD = song.D.reshape(-1)
+        for step in range(4):
+            assert flat[step * 4, 60 - 24] == 1
+        assert flatD[0] == 0 and flatD[1 * 4] == 1   # start, held
+        assert flatD[2 * 4] == 0 and flatD[3 * 4] == 1  # re-start, held
+
+    def test_multi_tempo_longest_span_wins(self):
+        """Multi-tempo file (import_midi.py:30-67): only notes fully inside
+        the LONGEST steady-tempo span survive, shifted to t=0, quantized at
+        that span's tempo."""
+        cfg = self.cfg()
+        # 2s at 120bpm, then 6s at 60bpm (longest) -> fs = 60/60/4*16 = 4/s
+        mid = make_midi({0: [
+            (72, 90, 0.0, 1.0),    # inside the 120bpm span: dropped
+            (60, 90, 2.0, 4.0),    # inside 60bpm span -> ticks 0..8
+            (64, 90, 4.0, 5.0),    # inside 60bpm span -> ticks 8..12
+        ]})
+        mid.set_tempo_changes([0.0, 2.0], [120.0, 60.0])
+        song = tensorize.load_rolls(mid, cfg)
+        assert song.tempo == 60.0
+        flat = song.Y.reshape(-1, 61)
+        assert flat[:, 72 - 24].sum() == 0          # cropped away
+        for step in range(8):
+            assert flat[step * 4, 60 - 24] == 1, step
+        for step in range(8, 12):
+            assert flat[step * 4, 64 - 24] == 1, step
+
+    def test_drum_track_ordered_last(self):
+        """Drums count 0 activity (pretty_midi's piano roll is all-zero for
+        drums, import_midi.py:71-74) so a busy drum track still sorts AFTER
+        any melodic track; its notes are then quantized normally when voices
+        remain (the reference quantizes instrument.notes regardless)."""
+        cfg = self.cfg()
+        mid = smf.MidiFile(initial_tempo=120.0)
+        drums = smf.Instrument(program=0, is_drum=True)
+        for k in range(16):
+            drums.notes.append(smf.Note(40, 100, k * 0.125, (k + 1) * 0.125))
+        melodic = smf.Instrument(program=40)
+        melodic.notes.append(smf.Note(60, 90, 0.0, 0.25))
+        mid.instruments = [drums, melodic]
+        song = tensorize.load_rolls(mid, cfg)
+        # melodic (strings, cat 5) claims voice 0 despite 8x fewer notes
+        assert song.I[0, 5] == 1
+        flat = song.Y.reshape(-1, 61)
+        assert flat[0, 60 - 24] == 1    # voice 0 = melodic
+        assert flat[1, 40 - 24] == 1    # voice 1 = drum notes (quantized)
+
+    def test_activity_count_same_pitch_overlap(self):
+        """_activity_counts approximates pretty_midi's 100Hz nonzero-cell
+        count: overlapping same-pitch notes must count their UNION of cells
+        (pretty_midi sums velocities in place -- cells stay nonzero), not
+        2x the span."""
+        mid = make_midi({
+            # union 0..0.75s = 75 cells; naive per-note sum would be 100
+            0: [(60, 80, 0.0, 0.5), (60, 120, 0.25, 0.75)],
+            # 80 cells, distinct pitches
+            40: [(50, 90, 0.0, 0.5), (52, 90, 0.25, 0.55)],
+        })
+        counts = tensorize._activity_counts(mid)
+        assert counts[0] == 75
+        assert counts[1] == 80
+        song = tensorize.load_rolls(mid, Config())
+        # instrument 40 (80 cells) outranks instrument 0 (75 cells): a
+        # per-note count (100 vs 80) would flip this ordering
+        assert song.I[0, 5] == 1
 
 
 class TestRollsToMidiRoundtrip:
