@@ -107,12 +107,18 @@ def _scan_layer(
             return (new_h, new_c), (new_h if return_sequences else None)
 
     elif fused:
-        from ..ops.fused_gru import gru_recurrent_step
+        # GRU training path: whole-layer kernels BOTH ways (fused forward +
+        # fused scan-transpose backward, ops/fused_train) -- 2 kernel
+        # launches per layer instead of T per-step dispatches each way
+        from ..ops.fused_train import gru_layer_train
 
-        def step(states, xp_t):
-            (h,) = states
-            new_h = gru_recurrent_step(xp_t, h, p["u"], activation)
-            return (new_h,), (new_h if return_sequences else None)
+        out = gru_layer_train(
+            jnp.swapaxes(xp, 0, 1), init[0], p["u"], activation,
+            return_sequences,
+        )
+        if return_sequences:
+            return jnp.swapaxes(out, 0, 1)
+        return out
 
     else:
 
