@@ -50,14 +50,21 @@ def main() -> None:
         )
     jax.block_until_ready(metrics["loss"])
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state.params, state.opt_state, state.rng, metrics = trainer.train_step(
-            state.params, state.opt_state, batch, state.rng
-        )
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # median over repeated windows: a tunneled/shared chip shows multi-x
+    # run-to-run variance, a single window is not representative
+    iters, reps = 10, 7
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state.params, state.opt_state, state.rng, metrics = (
+                trainer.train_step(
+                    state.params, state.opt_state, batch, state.rng
+                )
+            )
+        jax.block_until_ready(metrics["loss"])
+        times.append((time.perf_counter() - t0) / iters)
+    dt = sorted(times)[len(times) // 2]
 
     note_steps = cfg.batch_size * cfg.output_length
     per_chip = note_steps / dt / n_chips

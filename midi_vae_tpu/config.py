@@ -160,6 +160,15 @@ class Config:
     # one scan for all T-length decoder heads; measured slightly slower than
     # separate scans when the Pallas fused steps are on, so default off
     merge_decoder_scans: bool = False
+    # whole-layer train kernels (fused fwd + fused scan-transpose bwd,
+    # ops/fused_train) for the ENCODER layers / the wide (dim >= 8) DECODER
+    # heads; independently A/B-able against the per-step kernel paths.
+    # Interleaved medians on v5e (B=256, f32): encoder kernels 2.53 -> 3.27M
+    # note-steps/s/chip; decoder kernels a further ~12% on the notes head
+    # (3.99 vs 4.51 ms/grad). Narrow heads (velocity D=1) keep the per-step
+    # path -- their stream blocks lane-pad to 128 and lose.
+    fused_train_encoder: bool = True
+    fused_train_decoder: bool = True
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -37,6 +37,7 @@ def encode_sequence(
     bidirectional: bool = False,
     fused: bool = False,
     whole_scan: bool = False,
+    fused_train: bool = True,
 ) -> jnp.ndarray:
     """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
 
@@ -54,19 +55,26 @@ def encode_sequence(
     for i, p in enumerate(layer_params):
         is_last = i == n_layers - 1
         if bidirectional and not is_last:
-            fwd = _scan_layer(cell, p["fwd"], h, activation, True, fused, whole_scan)
+            fwd = _scan_layer(
+                cell, p["fwd"], h, activation, True, fused, whole_scan,
+                fused_train,
+            )
             bwd = _scan_layer(
-                cell, p["bwd"], h[:, ::-1, :], activation, True, fused, whole_scan
+                cell, p["bwd"], h[:, ::-1, :], activation, True, fused,
+                whole_scan, fused_train,
             )[:, ::-1, :]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
-            h = _scan_layer(cell, p, h, activation, not is_last, fused, whole_scan)
+            h = _scan_layer(
+                cell, p, h, activation, not is_last, fused, whole_scan,
+                fused_train,
+            )
     return h
 
 
 def _scan_layer(
     cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
-    fused: bool = False, whole_scan: bool = False,
+    fused: bool = False, whole_scan: bool = False, fused_train: bool = True,
 ):
     """One RNN layer over (B, T, D). x-projection batched across time; the
     recurrent part optionally runs as fused Pallas steps (ops/fused_gru) or,
@@ -106,7 +114,7 @@ def _scan_layer(
             new_h, new_c = lstm_recurrent_step(xp_t, h, c, p["u"], activation)
             return (new_h, new_c), (new_h if return_sequences else None)
 
-    elif fused:
+    elif fused and fused_train:
         # GRU training path: whole-layer kernels BOTH ways (fused forward +
         # fused scan-transpose backward, ops/fused_train) -- 2 kernel
         # launches per layer instead of T per-step dispatches each way
@@ -119,6 +127,14 @@ def _scan_layer(
         if return_sequences:
             return jnp.swapaxes(out, 0, 1)
         return out
+
+    elif fused:
+        from ..ops.fused_gru import gru_recurrent_step
+
+        def step(states, xp_t):
+            (h,) = states
+            new_h = gru_recurrent_step(xp_t, h, p["u"], activation)
+            return (new_h,), (new_h if return_sequences else None)
 
     else:
 

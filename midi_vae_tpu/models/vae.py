@@ -203,22 +203,23 @@ class MidiVAE:
         ws = inference or (fused and cfg.compute_dtype == "bfloat16")
         if cfg.use_embedding:
             x = dense_apply(enc["embedding"], x)
+        ftr = cfg.fused_train_encoder
         h = encode_sequence(
             enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
-            cfg.bidirectional, fused=fused, whole_scan=ws,
+            cfg.bidirectional, fused=fused, whole_scan=ws, fused_train=ftr,
         )
         parts = [h]
         if cfg.meta_instrument:
             parts.append(
-                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws)
+                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr)
             )
         if cfg.meta_velocity:
             parts.append(
-                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws)
+                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr)
             )
         if cfg.meta_held_notes:
             parts.append(
-                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws)
+                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr)
             )
         if len(parts) > 1:
             h = jnp.concatenate(parts, axis=-1)
@@ -357,6 +358,25 @@ class MidiVAE:
                             jnp.swapaxes(probs, 0, 1),
                             jnp.swapaxes(logits, 0, 1),
                         )
+            if (
+                not inference
+                and cfg.fused_train_decoder
+                and fused_step is not None
+                and cfg.cell_type == "GRU"
+                and gt is None
+                and out_activation in ("softmax", "sigmoid", "linear")
+                and head_dim >= 8  # narrow heads: per-step wins (fused_train)
+            ):
+                # training path: whole-head kernels BOTH ways (fused forward
+                # + fused scan-transpose backward, ops/fused_train)
+                from ..ops.fused_train import gru_decode_train
+
+                flat_states = [s[0] for s in states]
+                probs, logits = gru_decode_train(
+                    h["cells"], h["out"], flat_states, start, length,
+                    cfg.lstm_activation, out_activation,
+                )
+                return jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1)
             return decode_autoregressive(
                 h["cells"],
                 h["out"],

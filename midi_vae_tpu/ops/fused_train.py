@@ -287,3 +287,545 @@ def _glt_bwd(activation, return_sequences, interpret, residuals, g):
 
 
 gru_layer_train.defvjp(_glt_fwd, _glt_bwd)
+
+
+# ===========================================================================
+# Whole-head DECODER with fused training backward.
+#
+# The autoregressive readout decode (output fed back as next input,
+# vae_definition.py:519-570 semantics) in one forward kernel that also emits
+# the per-layer hidden sequences as residuals, plus one reverse-time backward
+# kernel that recomputes the gates and transposes through the cells, the
+# output Dense, AND the activation feedback path. Supports 1- and 2-layer
+# GRU heads with softmax / sigmoid / linear outputs -- the reference's
+# decoder zoo (notes/next = 2 layers softmax, velocity = 1 layer sigmoid,
+# instrument/held = 1 layer softmax).
+# ===========================================================================
+
+from .fused_decoder import _decode_scan_reference, _out_act_fn  # noqa: E402
+
+
+def _gru_cell_bwd(x, hp, w, u, b, dh):
+    """Backward through one GRU step given (x, h_prev) and the output grad.
+
+    Returns (dx, dh_prev, dW, dU, db) -- all f32."""
+    H = hp.shape[-1]
+    x = x.astype(jnp.float32)
+    hp = hp.astype(jnp.float32)
+    xp = _dot(x, w) + b.astype(jnp.float32)
+    hu = _dot(hp, u[:, : 2 * H])
+    z = jax.nn.sigmoid(xp[:, :H] + hu[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu[:, H:])
+    rh = r * hp
+    hh = jnp.tanh(xp[:, 2 * H :] + _dot(rh, u[:, 2 * H :]))
+
+    dz = dh * (hp - hh)
+    da = dh * (1.0 - z) * (1.0 - hh * hh)
+    drh = _dot_t(da, u[:, 2 * H :])
+    dr = drh * hp
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+    da_cat = jnp.concatenate([da_zr, da], axis=-1)
+
+    dx = _dot_t(da_cat, w)
+    dhp = dh * z + drh * r + _dot_t(da_zr, u[:, : 2 * H])
+    dW = _outer_acc(x, da_cat)
+    dU = jnp.concatenate([_outer_acc(hp, da_zr), _outer_acc(rh, da)], axis=-1)
+    db = jnp.sum(da_cat, axis=0, keepdims=True)
+    return dx, dhp, dW, dU, db
+
+
+def _dlogits_from(probs, gp_total, gl, out_act_name):
+    if out_act_name == "softmax":
+        inner = gp_total - jnp.sum(gp_total * probs, axis=-1, keepdims=True)
+        return probs * inner + gl
+    if out_act_name == "sigmoid":
+        return gp_total * probs * (1.0 - probs) + gl
+    return gp_total + gl  # linear
+
+
+# ---- forward kernels (training variant: also emit hidden sequences) ----
+
+def _dec_fwd2_kernel(
+    x0_ref, h1_ref, h2_ref,
+    w1_ref, u1_ref, b1_ref, w2_ref, u2_ref, b2_ref, wo_ref, bo_ref,
+    probs_ref, logits_ref, h1seq_ref, h2seq_ref,
+    h1_s, h2_s, x_s,
+    *, act, out_act_name,
+):
+    import jax.experimental.pallas as pl
+
+    from .fused_decoder import _gru_gates
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h1_s[:] = h1_ref[:]
+        h2_s[:] = h2_ref[:]
+        x_s[:] = x0_ref[:]
+
+    x = x_s[:]
+    h1 = _gru_gates(x, h1_s[:], w1_ref[:], u1_ref[:], b1_ref[:], act)
+    h2 = _gru_gates(h1, h2_s[:], w2_ref[:], u2_ref[:], b2_ref[:], act)
+    logits = jnp.dot(h2, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    if out_act_name == "softmax":
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif out_act_name == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = logits
+    probs_ref[0] = probs.astype(probs_ref.dtype)
+    logits_ref[0] = logits.astype(logits_ref.dtype)
+    h1seq_ref[0] = h1.astype(h1seq_ref.dtype)
+    h2seq_ref[0] = h2.astype(h2seq_ref.dtype)
+    h1_s[:] = h1.astype(h1_s.dtype)
+    h2_s[:] = h2.astype(h2_s.dtype)
+    x_s[:] = probs.astype(x_s.dtype)
+
+
+def _dec_fwd1_kernel(
+    x0_ref, h1_ref,
+    w1_ref, u1_ref, b1_ref, wo_ref, bo_ref,
+    probs_ref, logits_ref, h1seq_ref,
+    h1_s, x_s,
+    *, act, out_act_name,
+):
+    import jax.experimental.pallas as pl
+
+    from .fused_decoder import _gru_gates
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h1_s[:] = h1_ref[:]
+        x_s[:] = x0_ref[:]
+
+    x = x_s[:]
+    h1 = _gru_gates(x, h1_s[:], w1_ref[:], u1_ref[:], b1_ref[:], act)
+    logits = jnp.dot(h1, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    if out_act_name == "softmax":
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif out_act_name == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = logits
+    probs_ref[0] = probs.astype(probs_ref.dtype)
+    logits_ref[0] = logits.astype(logits_ref.dtype)
+    h1seq_ref[0] = h1.astype(h1seq_ref.dtype)
+    h1_s[:] = h1.astype(h1_s.dtype)
+    x_s[:] = probs.astype(x_s.dtype)
+
+
+def _dec_fwd_pallas(cell_params, out_dense, init_states, start, T,
+                    activation, out_activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    n_layers = len(cell_params)
+    B, D = start.shape
+    H = init_states[0].shape[-1]
+    seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if n_layers == 2:
+        kernel = functools.partial(
+            _dec_fwd2_kernel, act=act, out_act_name=out_activation
+        )
+        inputs = (
+            start, init_states[0], init_states[1],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            cell_params[1]["w"], cell_params[1]["u"], cell_params[1]["b"],
+            out_dense["w"], out_dense["b"],
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, H), start.dtype),
+            jax.ShapeDtypeStruct((T, B, H), start.dtype),
+        )
+        out_specs = (seq(D), seq(D), seq(H), seq(H))
+        scratch = [
+            pltpu.VMEM((B, H), start.dtype),
+            pltpu.VMEM((B, H), start.dtype),
+            pltpu.VMEM((B, D), start.dtype),
+        ]
+    else:
+        kernel = functools.partial(
+            _dec_fwd1_kernel, act=act, out_act_name=out_activation
+        )
+        inputs = (
+            start, init_states[0],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            out_dense["w"], out_dense["b"],
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, H), start.dtype),
+        )
+        out_specs = (seq(D), seq(D), seq(H))
+        scratch = [
+            pltpu.VMEM((B, H), start.dtype),
+            pltpu.VMEM((B, D), start.dtype),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_shape=out_shape,
+        in_specs=[vm] * len(inputs),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+# ---- backward kernels ----
+
+def _dec_bwd2_kernel(
+    x_ref, h1_ref, h1p_ref, h2_ref, h2p_ref, probs_ref, gp_ref, gl_ref,
+    w1_ref, u1_ref, b1_ref, w2_ref, u2_ref, b2_ref, wo_ref,
+    dw1_ref, du1_ref, db1_ref, dw2_ref, du2_ref, db2_ref,
+    dwo_ref, dbo_ref, di1_ref, di2_ref, dstart_ref,
+    dh1_s, dh2_s, dx_s,
+    dw1_s, du1_s, db1_s, dw2_s, du2_s, db2_s, dwo_s, dbo_s,
+    *, out_act_name,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dh1_s[:] = jnp.zeros_like(dh1_s)
+        dh2_s[:] = jnp.zeros_like(dh2_s)
+        dx_s[:] = jnp.zeros_like(dx_s)
+        dw1_s[:] = jnp.zeros_like(dw1_s)
+        du1_s[:] = jnp.zeros_like(du1_s)
+        db1_s[:] = jnp.zeros_like(db1_s)
+        dw2_s[:] = jnp.zeros_like(dw2_s)
+        du2_s[:] = jnp.zeros_like(du2_s)
+        db2_s[:] = jnp.zeros_like(db2_s)
+        dwo_s[:] = jnp.zeros_like(dwo_s)
+        dbo_s[:] = jnp.zeros_like(dbo_s)
+
+    probs = probs_ref[0].astype(jnp.float32)
+    gp_total = gp_ref[0].astype(jnp.float32) + dx_s[:]
+    dlog = _dlogits_from(probs, gp_total, gl_ref[0].astype(jnp.float32),
+                         out_act_name)
+
+    h2 = h2_ref[0]
+    dwo_s[:] += _outer_acc(h2.astype(jnp.float32), dlog)
+    dbo_s[:] += jnp.sum(dlog, axis=0, keepdims=True)
+    dh2 = _dot_t(dlog, wo_ref[:]) + dh2_s[:]
+
+    h1 = h1_ref[0]
+    dx2, dh2p, dW2, dU2, db2 = _gru_cell_bwd(
+        h1, h2p_ref[0], w2_ref[:], u2_ref[:], b2_ref[:], dh2
+    )
+    dw2_s[:] += dW2
+    du2_s[:] += dU2
+    db2_s[:] += db2
+
+    dh1 = dx2 + dh1_s[:]
+    dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(
+        x_ref[0], h1p_ref[0], w1_ref[:], u1_ref[:], b1_ref[:], dh1
+    )
+    dw1_s[:] += dW1
+    du1_s[:] += dU1
+    db1_s[:] += db1
+
+    dh1_s[:] = dh1p
+    dh2_s[:] = dh2p
+    dx_s[:] = dx1
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        di1_ref[:] = dh1p.astype(di1_ref.dtype)
+        di2_ref[:] = dh2p.astype(di2_ref.dtype)
+        dstart_ref[:] = dx1.astype(dstart_ref.dtype)
+        dw1_ref[:] = dw1_s[:].astype(dw1_ref.dtype)
+        du1_ref[:] = du1_s[:].astype(du1_ref.dtype)
+        db1_ref[:] = db1_s[0].astype(db1_ref.dtype)
+        dw2_ref[:] = dw2_s[:].astype(dw2_ref.dtype)
+        du2_ref[:] = du2_s[:].astype(du2_ref.dtype)
+        db2_ref[:] = db2_s[0].astype(db2_ref.dtype)
+        dwo_ref[:] = dwo_s[:].astype(dwo_ref.dtype)
+        dbo_ref[:] = dbo_s[0].astype(dbo_ref.dtype)
+
+
+def _dec_bwd1_kernel(
+    x_ref, h1_ref, h1p_ref, probs_ref, gp_ref, gl_ref,
+    w1_ref, u1_ref, b1_ref, wo_ref,
+    dw1_ref, du1_ref, db1_ref, dwo_ref, dbo_ref, di1_ref, dstart_ref,
+    dh1_s, dx_s, dw1_s, du1_s, db1_s, dwo_s, dbo_s,
+    *, out_act_name,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dh1_s[:] = jnp.zeros_like(dh1_s)
+        dx_s[:] = jnp.zeros_like(dx_s)
+        dw1_s[:] = jnp.zeros_like(dw1_s)
+        du1_s[:] = jnp.zeros_like(du1_s)
+        db1_s[:] = jnp.zeros_like(db1_s)
+        dwo_s[:] = jnp.zeros_like(dwo_s)
+        dbo_s[:] = jnp.zeros_like(dbo_s)
+
+    probs = probs_ref[0].astype(jnp.float32)
+    gp_total = gp_ref[0].astype(jnp.float32) + dx_s[:]
+    dlog = _dlogits_from(probs, gp_total, gl_ref[0].astype(jnp.float32),
+                         out_act_name)
+
+    h1 = h1_ref[0]
+    dwo_s[:] += _outer_acc(h1.astype(jnp.float32), dlog)
+    dbo_s[:] += jnp.sum(dlog, axis=0, keepdims=True)
+    dh1 = _dot_t(dlog, wo_ref[:]) + dh1_s[:]
+
+    dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(
+        x_ref[0], h1p_ref[0], w1_ref[:], u1_ref[:], b1_ref[:], dh1
+    )
+    dw1_s[:] += dW1
+    du1_s[:] += dU1
+    db1_s[:] += db1
+    dh1_s[:] = dh1p
+    dx_s[:] = dx1
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        di1_ref[:] = dh1p.astype(di1_ref.dtype)
+        dstart_ref[:] = dx1.astype(dstart_ref.dtype)
+        dw1_ref[:] = dw1_s[:].astype(dw1_ref.dtype)
+        du1_ref[:] = du1_s[:].astype(du1_ref.dtype)
+        db1_ref[:] = db1_s[0].astype(db1_ref.dtype)
+        dwo_ref[:] = dwo_s[:].astype(dwo_ref.dtype)
+        dbo_ref[:] = dbo_s[0].astype(dbo_ref.dtype)
+
+
+def _dec_bwd_pallas(cell_params, out_dense, init_states, start,
+                    probs, logits_dtype, h_seqs, g_probs, g_logits,
+                    out_activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers = len(cell_params)
+    T, B, D = probs.shape
+    H = init_states[0].shape[-1]
+    f32 = jnp.float32
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
+    seq = lambda d: pl.BlockSpec((1, B, d), rev, memory_space=pltpu.VMEM)  # noqa: E731
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    mat = lambda s: pl.BlockSpec(s, lambda t: tuple(0 for _ in s),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+
+    x_seq = jnp.concatenate([start[None], probs[:-1]], axis=0)
+    hp_seqs = [
+        jnp.concatenate([init_states[i][None], h_seqs[i][:-1]], axis=0)
+        for i in range(n_layers)
+    ]
+
+    wd = lambda p: p.dtype  # noqa: E731
+
+    if n_layers == 2:
+        kernel = functools.partial(_dec_bwd2_kernel, out_act_name=out_activation)
+        inputs = (
+            x_seq, h_seqs[0], hp_seqs[0], h_seqs[1], hp_seqs[1],
+            probs, g_probs, g_logits,
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            cell_params[1]["w"], cell_params[1]["u"], cell_params[1]["b"],
+            out_dense["w"],
+        )
+        in_specs = [seq(D), seq(H), seq(H), seq(H), seq(H),
+                    seq(D), seq(D), seq(D)] + [vm] * 7
+        out_shape = (
+            jax.ShapeDtypeStruct((D, 3 * H), wd(cell_params[0]["w"])),   # dw1
+            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[0]["u"])),   # du1
+            jax.ShapeDtypeStruct((3 * H,), wd(cell_params[0]["b"])),     # db1
+            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[1]["w"])),   # dw2
+            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[1]["u"])),   # du2
+            jax.ShapeDtypeStruct((3 * H,), wd(cell_params[1]["b"])),     # db2
+            jax.ShapeDtypeStruct((H, D), wd(out_dense["w"])),            # dwo
+            jax.ShapeDtypeStruct((D,), wd(out_dense["b"])),              # dbo
+            jax.ShapeDtypeStruct((B, H), start.dtype),                   # di1
+            jax.ShapeDtypeStruct((B, H), start.dtype),                   # di2
+            jax.ShapeDtypeStruct((B, D), start.dtype),                   # dstart
+        )
+        out_specs = (
+            mat((D, 3 * H)), mat((H, 3 * H)), mat((3 * H,)),
+            mat((H, 3 * H)), mat((H, 3 * H)), mat((3 * H,)),
+            mat((H, D)), mat((D,)),
+            mat((B, H)), mat((B, H)), mat((B, D)),
+        )
+        scratch = [
+            pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((B, D), f32),
+            pltpu.VMEM((D, 3 * H), f32), pltpu.VMEM((H, 3 * H), f32),
+            pltpu.VMEM((1, 3 * H), f32),
+            pltpu.VMEM((H, 3 * H), f32), pltpu.VMEM((H, 3 * H), f32),
+            pltpu.VMEM((1, 3 * H), f32),
+            pltpu.VMEM((H, D), f32), pltpu.VMEM((1, D), f32),
+        ]
+    else:
+        kernel = functools.partial(_dec_bwd1_kernel, out_act_name=out_activation)
+        inputs = (
+            x_seq, h_seqs[0], hp_seqs[0], probs, g_probs, g_logits,
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            out_dense["w"],
+        )
+        in_specs = [seq(D), seq(H), seq(H), seq(D), seq(D), seq(D)] + [vm] * 4
+        out_shape = (
+            jax.ShapeDtypeStruct((D, 3 * H), wd(cell_params[0]["w"])),   # dw1
+            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[0]["u"])),   # du1
+            jax.ShapeDtypeStruct((3 * H,), wd(cell_params[0]["b"])),     # db1
+            jax.ShapeDtypeStruct((H, D), wd(out_dense["w"])),            # dwo
+            jax.ShapeDtypeStruct((D,), wd(out_dense["b"])),              # dbo
+            jax.ShapeDtypeStruct((B, H), start.dtype),                   # di1
+            jax.ShapeDtypeStruct((B, D), start.dtype),                   # dstart
+        )
+        out_specs = (
+            mat((D, 3 * H)), mat((H, 3 * H)), mat((3 * H,)),
+            mat((H, D)), mat((D,)),
+            mat((B, H)), mat((B, D)),
+        )
+        scratch = [
+            pltpu.VMEM((B, H), f32), pltpu.VMEM((B, D), f32),
+            pltpu.VMEM((D, 3 * H), f32), pltpu.VMEM((H, 3 * H), f32),
+            pltpu.VMEM((1, 3 * H), f32),
+            pltpu.VMEM((H, D), f32), pltpu.VMEM((1, D), f32),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def _dec_train_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
+    # the bwd kernel's VMEM residency: weights + (f32 grad accumulators +
+    # pinned grad outputs) + double-buffered per-step stream blocks + gate
+    # temporaries + f32 carries. Verified to compile at reference scale
+    # (B=256, D=61, H=256, 2 layers ~= 14.7 MB) on v5e (16 MB/core).
+    weights = (
+        D * 3 * H + (n_layers - 1) * H * 3 * H + n_layers * H * 3 * H + H * D
+    )
+    grads = 2 * weights + 2 * (n_layers * 3 * H + D)
+    streams = 2 * (4 * B * D + 2 * n_layers * B * H)
+    temps = 4 * B * 3 * H + 2 * B * H
+    carries = n_layers * B * H + B * D
+    total = (weights + grads + streams + temps + carries) * 4
+    return total < 15_500_000
+
+
+def _dec_use_pallas(cell_params, start, init_states, activation,
+                    out_activation, interpret) -> bool:
+    if interpret:
+        return True
+    if len(cell_params) not in (1, 2):
+        return False
+    B, D = start.shape
+    H = init_states[0].shape[-1]
+    # narrow heads (velocity D=1, held D=2) lose: six streamed blocks per
+    # step are lane-padded to 128, turning ~0 bytes into ~128KB/step of HBM
+    # traffic (measured 4.1ms fused vs 2.6ms per-step at D=1); the per-step
+    # path stays faster there
+    if D < 8:
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and activation == "tanh"
+        and out_activation in ("softmax", "sigmoid", "linear")
+        and _dec_train_vmem_ok(B, D, H, len(cell_params))
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def gru_decode_train(
+    cell_params, out_dense, init_states, start,
+    T: int, activation: str = "tanh", out_activation: str = "softmax",
+    interpret: bool = False,
+):
+    """Whole-head readout decode with fused fwd AND fused bwd.
+
+    Same contract as fused_decoder.fused_decode_scan -- init_states is a
+    list of per-layer h (B, H); returns (probs, logits), each (T, B, D)
+    time-major -- but meant for training paths: the backward is one Pallas
+    kernel instead of a jnp re-scan."""
+    act = _activation(activation)
+    out_act_fn = _out_act_fn(out_activation)
+    if not _dec_use_pallas(cell_params, start, init_states, activation,
+                           out_activation, interpret):
+        return _decode_scan_reference(
+            cell_params, out_dense, init_states, start, T, act, out_act_fn
+        )
+    out = _dec_fwd_pallas(
+        cell_params, out_dense, init_states, start, T, activation,
+        out_activation, interpret,
+    )
+    return out[0], out[1]
+
+
+def _gdt_fwd(cell_params, out_dense, init_states, start, T, activation,
+             out_activation, interpret):
+    act = _activation(activation)
+    out_act_fn = _out_act_fn(out_activation)
+    if not _dec_use_pallas(cell_params, start, init_states, activation,
+                           out_activation, interpret):
+        out, vjp = jax.vjp(
+            lambda cp, od, si, st: _decode_scan_reference(
+                cp, od, si, st, T, act, out_act_fn
+            ),
+            cell_params, out_dense, init_states, start,
+        )
+        return out, (vjp,)
+    res = _dec_fwd_pallas(
+        cell_params, out_dense, init_states, start, T, activation,
+        out_activation, interpret,
+    )
+    probs, logits = res[0], res[1]
+    h_seqs = list(res[2:])
+    return (probs, logits), (cell_params, out_dense, init_states, start,
+                             probs, h_seqs)
+
+
+def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
+    if len(residuals) == 1:  # jnp fallback path
+        (vjp,) = residuals
+        return vjp(g)
+    cell_params, out_dense, init_states, start, probs, h_seqs = residuals
+    g_probs, g_logits = g
+    outs = _dec_bwd_pallas(
+        cell_params, out_dense, init_states, start, probs, g_logits.dtype,
+        h_seqs, g_probs, g_logits, out_activation, interpret,
+    )
+    if len(cell_params) == 2:
+        (dw1, du1, db1, dw2, du2, db2, dwo, dbo, di1, di2, dstart) = outs
+        d_cells = [
+            {"w": dw1, "u": du1, "b": db1},
+            {"w": dw2, "u": du2, "b": db2},
+        ]
+        d_init = [di1, di2]
+    else:
+        (dw1, du1, db1, dwo, dbo, di1, dstart) = outs
+        d_cells = [{"w": dw1, "u": du1, "b": db1}]
+        d_init = [di1]
+    d_out = {"w": dwo, "b": dbo}
+    # match the container types of the primal inputs
+    d_cells = type(cell_params)(d_cells)
+    d_init = type(init_states)(d_init)
+    return d_cells, d_out, d_init, dstart
+
+
+gru_decode_train.defvjp(_gdt_fwd, _gdt_bwd)

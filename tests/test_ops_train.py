@@ -1,0 +1,169 @@
+"""Fused-training-backward kernel tests (ops/fused_train).
+
+The forward AND backward of these ops are single Pallas kernels; on CPU they
+run in interpret mode, checked against jax autodiff of the pure-jnp scans.
+The end-to-end speed claims are covered by bench.py on the real chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from midi_vae_tpu.models.cells import GRUCell, dense_init
+from midi_vae_tpu.ops import fused_train as ft
+from midi_vae_tpu.ops.fused_decoder import (
+    _decode_scan_reference,
+    _encoder_scan_reference,
+    _out_act_fn,
+)
+
+
+class TestGRULayerTrain:
+    def _data(self, T=7, B=4, H=16):
+        rng = np.random.RandomState(0)
+        xp = jnp.asarray(rng.randn(T, B, 3 * H).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        u = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32)) * 0.1
+        return xp, h0, u
+
+    @pytest.mark.parametrize("return_sequences", [True, False])
+    def test_forward_and_gradient_parity(self, return_sequences):
+        xp, h0, u = self._data()
+
+        def via_kernel(xp, h0, u):
+            out = ft.gru_layer_train(xp, h0, u, "tanh", return_sequences, True)
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(xp, h0, u):
+            out = _encoder_scan_reference(xp, h0, u, jnp.tanh, return_sequences)
+            return jnp.sum(jnp.sin(out))
+
+        np.testing.assert_allclose(
+            float(via_kernel(xp, h0, u)), float(via_ref(xp, h0, u)), rtol=1e-5
+        )
+        g1 = jax.grad(via_kernel, argnums=(0, 1, 2))(xp, h0, u)
+        g2 = jax.grad(via_ref, argnums=(0, 1, 2))(xp, h0, u)
+        for name, a, b in zip("xp h0 u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                err_msg=f"d{name}",
+            )
+
+    def test_fallback_gradients_match(self):
+        """Off-TPU/non-tanh the op must silently fall back to jnp autodiff
+        with identical gradients (interpret=False on CPU)."""
+        xp, h0, u = self._data()
+
+        def via_op(u):
+            return jnp.sum(ft.gru_layer_train(xp, h0, u, "tanh", True) ** 2)
+
+        def via_ref(u):
+            return jnp.sum(
+                _encoder_scan_reference(xp, h0, u, jnp.tanh, True) ** 2
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(via_op)(u)),
+            np.asarray(jax.grad(via_ref)(u)),
+            rtol=2e-5, atol=1e-6,
+        )
+
+    def test_reference_scale_vmem(self):
+        assert ft._train_vmem_ok(256, 256)
+
+
+class TestGRUDecodeTrain:
+    @pytest.mark.parametrize(
+        "n_layers,D,out_act",
+        [(2, 12, "softmax"), (1, 12, "softmax"), (1, 1, "sigmoid"),
+         (2, 12, "linear")],
+    )
+    def test_forward_and_gradient_parity(self, n_layers, D, out_act):
+        B, H, T = 4, 16, 6
+        rng = np.random.RandomState(0)
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        dims = [D] + [H] * (n_layers - 1)
+        cells = [GRUCell.init(ks[i], dims[i], H) for i in range(n_layers)]
+        out_dense = dense_init(ks[3], H, D)
+        states = [
+            jnp.asarray(rng.randn(B, H), jnp.float32) * 0.1
+            for _ in range(n_layers)
+        ]
+        start = jnp.zeros((B, D), jnp.float32)
+
+        def loss_kernel(cells, out_dense, states, start):
+            p, l = ft.gru_decode_train(
+                cells, out_dense, states, start, T, "tanh", out_act, True
+            )
+            return jnp.sum(jnp.sin(p)) + 0.3 * jnp.sum(jnp.cos(l))
+
+        def loss_ref(cells, out_dense, states, start):
+            p, l = _decode_scan_reference(
+                cells, out_dense, states, start, T, jnp.tanh,
+                _out_act_fn(out_act),
+            )
+            return jnp.sum(jnp.sin(p)) + 0.3 * jnp.sum(jnp.cos(l))
+
+        args = (cells, out_dense, states, start)
+        np.testing.assert_allclose(
+            float(loss_kernel(*args)), float(loss_ref(*args)), rtol=1e-5
+        )
+        g1 = jax.tree_util.tree_leaves(
+            jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(*args)
+        )
+        g2 = jax.tree_util.tree_leaves(
+            jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        )
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6
+            )
+
+    def test_reference_scale_vmem(self):
+        assert ft._dec_train_vmem_ok(256, 61, 256, 2)
+
+
+class TestModelLevelTrainKernels:
+    @pytest.mark.parametrize(
+        "enc,dec", [(True, False), (False, True), (True, True)]
+    )
+    def test_loss_and_grads_match_per_step(self, enc, dec):
+        """A training step with the whole-layer train kernels must produce
+        the same loss and gradients as the per-step path (on CPU both route
+        to mathematically identical jnp scans -- this pins the dispatch)."""
+        from midi_vae_tpu.config import small_test_config
+        from midi_vae_tpu.models import MidiVAE
+        from midi_vae_tpu.models.vae import loss_and_metrics
+        from midi_vae_tpu.utils.synthetic import synthetic_flat
+
+        cfg_a = small_test_config(
+            fused_train_encoder=enc, fused_train_decoder=dec, use_pallas="on"
+        )
+        cfg_b = small_test_config(
+            fused_train_encoder=False, fused_train_decoder=False,
+            use_pallas="on",
+        )
+        m_a, m_b = MidiVAE(cfg_a), MidiVAE(cfg_b)
+        params = m_a.init_params(jax.random.PRNGKey(0))
+        flat = synthetic_flat(cfg_a, n_songs=2, windows_per_song=2)
+        batch = {
+            k: jnp.asarray(getattr(flat, k))
+            for k in ("X", "Y", "I", "V", "D", "C", "S")
+        }
+
+        def loss_a(p):
+            return loss_and_metrics(m_a, p, batch, None, 0.0)[0]
+
+        def loss_b(p):
+            return loss_and_metrics(m_b, p, batch, None, 0.0)[0]
+
+        np.testing.assert_allclose(
+            float(loss_a(params)), float(loss_b(params)), rtol=1e-6
+        )
+        ga = jax.tree_util.tree_leaves(jax.grad(loss_a)(params))
+        gb = jax.tree_util.tree_leaves(jax.grad(loss_b)(params))
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7
+            )

@@ -115,6 +115,29 @@ class TestTrainer:
                 results[0][k], results[1][k], rtol=1e-3, err_msg=k
             )
 
+    def test_dp_multi_epoch_trajectory_matches(self, cfg):
+        """Beyond the first epoch: a full 3-epoch training TRAJECTORY (losses
+        and final parameters) must match between a 1-device and an 8-device
+        DP mesh at equal global batch -- gradient all-reduce over the mesh is
+        numerically a pure layout change (VERDICT r1 #8)."""
+        flat = synthetic_flat(cfg)
+        trajectories, finals = [], []
+        for devices in ([jax.devices()[0]], jax.devices()):
+            mesh = make_mesh(devices=devices)
+            trainer = VAETrainer(cfg, mesh=mesh)
+            state = trainer.init_state(seed=0)
+            losses = [
+                trainer.run_epoch(state, flat, shuffle=False).means()["loss"]
+                for _ in range(3)
+            ]
+            trajectories.append(losses)
+            finals.append(jax.tree_util.tree_leaves(state.params))
+        np.testing.assert_allclose(trajectories[0], trajectories[1], rtol=1e-3)
+        for a, b in zip(finals[0], finals[1]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+            )
+
     def test_device_epoch_matches_host_loop(self, cfg):
         """The device-resident epoch must reproduce the host-batched loop
         exactly (same rng chain, same batch order) when history is off."""
