@@ -197,10 +197,16 @@ class MidiVAE:
         enc = params["encoder"]
         x = batch["X"]
         fused = self._pallas_enabled()
-        # whole-layer kernels: always on inference paths; in training only
-        # under bf16, where the fused forward outweighs the remat backward
-        # (measured: bf16 2.89M vs 2.09M note-steps/s; f32 2.07M vs 2.31M)
-        ws = inference or (fused and cfg.compute_dtype == "bfloat16")
+        # whole-layer INFERENCE kernels (no residual output): inference paths
+        # only -- training uses the fused_train kernels (fused bwd) when
+        # fused_train_encoder is on, else per-step; the old rule "whole-scan
+        # + remat bwd for bf16 training" only still applies when the train
+        # kernels are explicitly disabled
+        ws = inference or (
+            fused
+            and not cfg.fused_train_encoder
+            and cfg.compute_dtype == "bfloat16"
+        )
         if cfg.use_embedding:
             x = dense_apply(enc["embedding"], x)
         ftr = cfg.fused_train_encoder

@@ -157,6 +157,62 @@ class TestTrainer:
         for k in m_host:
             np.testing.assert_allclose(m_dev[k], m_host[k], rtol=2e-4, err_msg=k)
 
+    def test_chunked_epochs_match_sequential(self, cfg):
+        """run_epochs_device (E epochs in ONE jitted call) must reproduce E
+        sequential run_epoch_device calls bit-for-bit (same rng chain) when
+        the shuffle order is fixed."""
+        flat = synthetic_flat(cfg)
+        mesh = make_mesh(devices=[jax.devices()[0]])
+
+        t_seq = VAETrainer(cfg, mesh=mesh)
+        s_seq = t_seq.init_state(seed=0)
+        data_seq = t_seq.prepare_device_data(flat)
+        seq_metrics = []
+        for e in range(3):
+            m = t_seq.run_epoch_device(
+                s_seq, data_seq, flat.num_windows, shuffle=False,
+                use_history=(e > 0),
+            ).means()
+            seq_metrics.append(m)
+
+        t_chk = VAETrainer(cfg, mesh=mesh)
+        s_chk = t_chk.init_state(seed=0)
+        data_chk = t_chk.prepare_device_data(flat)
+        chk_metrics = t_chk.run_epochs_device(
+            s_chk, data_chk, flat.num_windows, 3, shuffle=False,
+            first_epoch=0,
+        )
+        for e in range(3):
+            for k in seq_metrics[e]:
+                np.testing.assert_allclose(
+                    chk_metrics[e][k], seq_metrics[e][k], rtol=1e-5,
+                    err_msg=f"epoch {e} {k}",
+                )
+        a = jax.tree_util.tree_leaves(s_seq.params)
+        b = jax.tree_util.tree_leaves(s_chk.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            )
+
+    def test_fit_chunked_cadence(self, cfg, tmp_path):
+        """fit() with sparse test/save cadence chunks epochs between
+        boundaries and still records every epoch + the right test epochs."""
+        cfg2 = cfg.replace(test_step=3, save_step=6)
+        trainer = VAETrainer(cfg2, mesh=make_mesh())
+        state = trainer.init_state(seed=0)
+        flat = synthetic_flat(cfg2)
+        out = str(tmp_path / "run")
+        history = trainer.fit(
+            state, flat, test=flat, epochs=7, output_dir=out,
+            log_fn=lambda s: None, plot=False,
+        )
+        assert history["epoch"] == list(range(7))
+        assert len(history["train"]) == 7
+        assert [t["epoch"] for t in history["test"]] == [0, 3, 6]
+        restored = trainer.restore(out)
+        assert restored.epoch == 7
+
     def test_device_epoch_with_history(self, cfg):
         trainer = VAETrainer(cfg, mesh=make_mesh())
         state = trainer.init_state(seed=0)
