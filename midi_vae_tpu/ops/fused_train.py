@@ -743,6 +743,11 @@ def _dec_use_pallas(cell_params, start, init_states, activation,
     # path stays faster there
     if D < 8:
         return False
+    # f32 only: Mosaic rejects the decode kernels under bf16 ("offset not
+    # aligned to sublanes" on the v5e toolchain of this environment); bf16
+    # training keeps the proven per-step kernel path
+    if start.dtype != jnp.float32:
+        return False
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"

@@ -122,6 +122,79 @@ class ClassifierTrainer:
             weight += w
         return {k: v / weight for k, v in sums.items()} if weight else {}
 
+    # ------------------------------------------------------------------
+    # Device-resident chunked epochs: the dataset lives in HBM and E whole
+    # epochs run as ONE jitted call (same design as VAETrainer
+    # run_epochs_device) -- the per-call dispatch latency of a tunneled
+    # chip amortizes over the chunk.
+    # ------------------------------------------------------------------
+    def _device_epochs_fn(self, params, opt_state, data, orders, masks):
+        import jax.numpy as jnp
+
+        model = self.model
+        optimizer = self.optimizer
+
+        def batch_body(carry, xs):
+            params, opt_state = carry
+            idx, m = xs
+            safe = jnp.maximum(idx, 0)
+            x = jnp.take(data["x"], safe, axis=0)
+            c = jnp.take(data["c"], safe, axis=0)
+            from ..models.classifier import classifier_loss
+
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: classifier_loss(model, p, x, c, m), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        def epoch_body(carry, xs):
+            order, mask = xs
+            carry, metrics = jax.lax.scan(batch_body, carry, (order, mask))
+            w = mask.sum(axis=1)
+            tot = jnp.maximum(w.sum(), 1.0)
+            return carry, {k: jnp.sum(v * w) / tot for k, v in metrics.items()}
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_body, (params, opt_state), (orders, masks)
+        )
+        return params, opt_state, metrics
+
+    def run_epochs_device(
+        self, state: ClassifierState, data: dict, n: int, n_epochs: int,
+        shuffle: bool = True,
+    ) -> list[dict]:
+        """E epochs in one jitted call over device-resident (x, c) arrays."""
+        import jax.numpy as jnp
+
+        bs = self.spec.batch_size
+        n_batches = max(1, (n + bs - 1) // bs)
+        seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
+        state.rng = jax.random.split(state.rng)[0]
+        orders = np.empty((n_epochs, n_batches, bs), np.int32)
+        masks = np.empty((n_epochs, n_batches, bs), np.float32)
+        for e in range(n_epochs):
+            order = np.arange(n)
+            if shuffle:
+                np.random.RandomState((seed + e) % (2**31)).shuffle(order)
+            padded = np.full((n_batches * bs,), -1, np.int32)
+            padded[:n] = order
+            orders[e] = padded.reshape(n_batches, bs)
+            masks[e] = (orders[e] >= 0).astype(np.float32)
+        if not hasattr(self, "_device_epochs_jit"):
+            self._device_epochs_jit = jax.jit(
+                self._device_epochs_fn, donate_argnums=(0, 1)
+            )
+        state.params, state.opt_state, metrics = self._device_epochs_jit(
+            state.params, state.opt_state, data,
+            jnp.asarray(orders), jnp.asarray(masks),
+        )
+        host = {k: np.asarray(v) for k, v in metrics.items()}
+        return [
+            {k: float(v[e]) for k, v in host.items()} for e in range(n_epochs)
+        ]
+
     def evaluate(
         self, state: ClassifierState, inputs: np.ndarray, labels: np.ndarray
     ) -> dict:
@@ -169,20 +242,44 @@ class ClassifierTrainer:
         log_fn=print,
         class_names: list[str] | None = None,
     ) -> dict:
+        import jax.numpy as jnp
+
         history: dict[str, list] = {"train": [], "test": [], "epoch": []}
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
-        for e in range(state.epoch, epochs):
+
+        # dataset uploaded to device memory once; epochs chunked between
+        # test/save boundaries and run as single jitted calls
+        x_train = self.spec.preprocess_inputs(train_inputs)
+        onehot = np.eye(self.spec.num_classes, dtype=np.float32)[train_labels]
+        device_data = {"x": jnp.asarray(x_train), "c": jnp.asarray(onehot)}
+        n_train = x_train.shape[0]
+
+        def is_boundary(x: int) -> bool:
+            if test_inputs is not None and len(test_inputs) and x % test_step == 0:
+                return True
+            return bool(output_dir) and x % save_step == 0
+
+        e = state.epoch
+        while e < epochs:
             t0 = time.time()
-            train_metrics = self.run_epoch(state, train_inputs, train_labels)
+            b = e
+            while b < epochs - 1 and not is_boundary(b):
+                b += 1
+            per_epoch = self.run_epochs_device(
+                state, device_data, n_train, b - e + 1
+            )
+            train_metrics = per_epoch[-1]
             dt = time.time() - t0
             log_fn(
-                f"[{self.spec.kind}] epoch {e}: loss={train_metrics.get('loss', 0):.4f} "
+                f"[{self.spec.kind}] epoch {b}: loss={train_metrics.get('loss', 0):.4f} "
                 f"acc={train_metrics.get('acc', 0):.4f} ({dt:.1f}s)"
             )
-            history["epoch"].append(e)
-            history["train"].append(train_metrics)
-            state.epoch = e + 1
+            for i, m in enumerate(per_epoch):
+                history["epoch"].append(e + i)
+                history["train"].append(m)
+            state.epoch = b + 1
+            e = b
             if test_inputs is not None and len(test_inputs) and e % test_step == 0:
                 tm = self.evaluate(state, test_inputs, test_labels)
                 confusion = tm.pop("confusion")
@@ -204,6 +301,7 @@ class ClassifierTrainer:
                 self.save(output_dir, state)
                 with open(os.path.join(output_dir, "history.json"), "w") as f:
                     json.dump(history, f)
+            e = b + 1
         if output_dir:
             self.save(output_dir, state)
             with open(os.path.join(output_dir, "history.json"), "w") as f:

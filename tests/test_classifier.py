@@ -71,6 +71,53 @@ class TestClassifier:
         assert ev["confusion"].shape == (2, 2)
         assert ev["confusion"].sum() == len(x)
 
+    def test_chunked_device_epochs_match_host_loop(self):
+        """run_epochs_device (E epochs, one jitted call) must match E
+        sequential host-batched run_epoch calls when the shuffle is off."""
+        import jax.numpy as jnp
+
+        spec = self.spec()
+        x, c = separable_data(n=40)
+        onehot = np.eye(2, dtype=np.float32)[c]
+
+        t_host = ClassifierTrainer(spec)
+        s_host = t_host.init_state()
+        host_metrics = [
+            t_host.run_epoch(s_host, x, c, shuffle=False) for _ in range(3)
+        ]
+
+        t_dev = ClassifierTrainer(spec)
+        s_dev = t_dev.init_state()
+        data = {"x": jnp.asarray(x), "c": jnp.asarray(onehot)}
+        dev_metrics = t_dev.run_epochs_device(
+            s_dev, data, len(x), 3, shuffle=False
+        )
+        for e in range(3):
+            for k in host_metrics[e]:
+                np.testing.assert_allclose(
+                    dev_metrics[e][k], host_metrics[e][k], rtol=1e-4,
+                    err_msg=f"epoch {e} {k}",
+                )
+        a = jax.tree_util.tree_leaves(s_host.params)
+        b = jax.tree_util.tree_leaves(s_dev.params)
+        for p, q in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-6
+            )
+
+    def test_fit_chunked_cadence(self, tmp_path):
+        spec = self.spec()
+        trainer = ClassifierTrainer(spec)
+        state = trainer.init_state()
+        x, c = separable_data(n=40)
+        history = trainer.fit(
+            state, x, c, x, c, epochs=7, test_step=3, save_step=6,
+            output_dir=str(tmp_path / "clf"), log_fn=lambda s: None,
+        )
+        assert history["epoch"] == list(range(7))
+        assert [t["epoch"] for t in history["test"]] == [0, 3, 6]
+        assert history["test"][-1]["accuracy"] >= 0.4  # it ran for real
+
     def test_save_load_roundtrip(self, tmp_path):
         spec = self.spec()
         trainer = ClassifierTrainer(spec)
