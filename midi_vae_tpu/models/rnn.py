@@ -106,7 +106,18 @@ def _scan_layer(
             return jnp.swapaxes(out, 0, 1)
         return out
 
-    if fused and cell.num_states == 2:  # LSTM
+    if fused and cell.num_states == 2 and fused_train:  # LSTM train kernels
+        from ..ops.fused_train import lstm_layer_train
+
+        out = lstm_layer_train(
+            jnp.swapaxes(xp, 0, 1), init[0], init[1], p["u"], activation,
+            return_sequences,
+        )
+        if return_sequences:
+            return jnp.swapaxes(out, 0, 1)
+        return out
+
+    elif fused and cell.num_states == 2:  # LSTM per-step
         from ..ops.fused_lstm import lstm_recurrent_step
 
         def step(states, xp_t):

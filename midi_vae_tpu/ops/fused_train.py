@@ -834,3 +834,251 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
 
 
 gru_decode_train.defvjp(_gdt_fwd, _gdt_bwd)
+
+
+# ===========================================================================
+# LSTM whole-layer training kernels (mirror of gru_layer_train).
+#
+# Backward math per reverse step t (standard LSTM, act = tanh, as in
+# models/cells.py LSTMCell):
+#   recompute: [i,f,g,o] from (xp[t], h_{t-1});  tc = tanh(c_t)
+#   dh = carry_h (+ dseq[t]);  dc = carry_c + dh*o*(1-tc^2)
+#   do = dh*tc; di = dc*g; df = dc*c_{t-1}; dg = dc*i
+#   da = [di*i(1-i), df*f(1-f), dg*(1-g^2), do*o(1-o)]
+#   dxp[t] = da;  dU += h_{t-1}^T . da
+#   carry_h = da . U^T;  carry_c = dc*f
+# ===========================================================================
+
+from .fused_lstm import (  # noqa: E402
+    _encoder_scan_reference as _lstm_scan_reference,
+)
+
+
+def _lstm_fwd_kernel(xp_ref, h0_ref, c0_ref, u_ref, hseq_ref, cseq_ref,
+                     h_s, c_s, *, act):
+    import jax.experimental.pallas as pl
+
+    from .fused_lstm import _lstm_gates
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    new_h, new_c = _lstm_gates(xp_ref[0], h_s[:], c_s[:], u_ref[:], act)
+    h_s[:] = new_h.astype(h_s.dtype)
+    c_s[:] = new_c.astype(c_s.dtype)
+    hseq_ref[0] = new_h.astype(hseq_ref.dtype)
+    cseq_ref[0] = new_c.astype(cseq_ref.dtype)
+
+
+def _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, _ = xp.shape
+    H = h0.shape[-1]
+    seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lstm_fwd_kernel, act=act),
+        grid=(T,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), xp.dtype),
+            jax.ShapeDtypeStruct((T, B, H), xp.dtype),
+        ),
+        in_specs=[
+            seq(4 * H),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(seq(H), seq(H)),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), xp.dtype),
+            pltpu.VMEM((B, H), xp.dtype),
+        ],
+        interpret=interpret,
+    )(xp, h0, c0, u)
+
+
+def _lstm_bwd_kernel(
+    xp_ref, hprev_ref, cprev_ref, cseq_ref, dseq_ref, dfinal_ref, u_ref,
+    dxp_ref, dh0_ref, dc0_ref, du_ref,
+    dh_s, dc_s, du_s,
+    *, return_sequences,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+    H = dh_s.shape[-1]
+
+    @pl.when(step == 0)
+    def _init():
+        du_s[:] = jnp.zeros_like(du_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+        if return_sequences:
+            dh_s[:] = jnp.zeros_like(dh_s)
+        else:
+            dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
+
+    xp = xp_ref[0].astype(jnp.float32)
+    hp = hprev_ref[0].astype(jnp.float32)
+    cp = cprev_ref[0].astype(jnp.float32)
+    ct = cseq_ref[0].astype(jnp.float32)
+    u = u_ref[:]
+
+    gates = xp + _dot(hp, u)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    tc = jnp.tanh(ct)
+
+    dh = dh_s[:].astype(jnp.float32)
+    if return_sequences:
+        dh = dh + dseq_ref[0].astype(jnp.float32)
+    dc = dc_s[:].astype(jnp.float32) + dh * o * (1.0 - tc * tc)
+
+    da = jnp.concatenate(
+        [
+            dc * g * i * (1.0 - i),
+            dc * cp * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            dh * tc * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    dxp_ref[0] = da.astype(dxp_ref.dtype)
+    du_s[:] += _outer_acc(hp, da)
+    new_dh = _dot_t(da, u)
+    new_dc = dc * f
+    dh_s[:] = new_dh
+    dc_s[:] = new_dc
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
+        dc0_ref[:] = new_dc.astype(dc0_ref.dtype)
+        du_ref[:] = du_s[:].astype(du_ref.dtype)
+
+
+def _lstm_bwd_pallas(xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u,
+                     return_sequences, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, _ = xp.shape
+    H = u.shape[0]
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, return_sequences=return_sequences),
+        grid=(T,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 4 * H), xp.dtype),   # dxp
+            jax.ShapeDtypeStruct((B, H), xp.dtype),          # dh0
+            jax.ShapeDtypeStruct((B, H), xp.dtype),          # dc0
+            jax.ShapeDtypeStruct((H, 4 * H), u.dtype),       # du
+        ),
+        in_specs=[
+            pl.BlockSpec((1, B, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, B, H),
+                rev if return_sequences else (lambda t: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((H, 4 * H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u)
+
+
+def _lstm_train_vmem_ok(B: int, H: int) -> bool:
+    from .fused_gru import _VMEM_LIMIT_BYTES
+
+    floats = 2 * H * 4 * H + 2 * B * H + 2 * (2 * B * 4 * H + 4 * B * H) + 8 * B * H
+    return floats * 4 < _VMEM_LIMIT_BYTES
+
+
+def _lstm_use_pallas(xp, h0, activation, interpret) -> bool:
+    if interpret:
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and activation == "tanh"
+        and xp.dtype == jnp.float32
+        and _lstm_train_vmem_ok(xp.shape[1], h0.shape[-1])
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def lstm_layer_train(
+    xp, h0, c0, u, activation: str = "tanh", return_sequences: bool = False,
+    interpret: bool = False,
+):
+    """LSTM layer over a full sequence: fused fwd AND fused bwd.
+
+    xp: (T, B, 4H) precomputed x-projections; h0/c0: (B, H); returns
+    (T, B, H) if return_sequences else the final h (B, H)."""
+    act = _activation(activation)
+    if not _lstm_use_pallas(xp, h0, activation, interpret):
+        return _lstm_scan_reference(xp, h0, c0, u, act, return_sequences)
+    h_seq, _ = _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret)
+    return h_seq if return_sequences else h_seq[-1]
+
+
+def _llt_fwd(xp, h0, c0, u, activation, return_sequences, interpret):
+    act = _activation(activation)
+    if not _lstm_use_pallas(xp, h0, activation, interpret):
+        out, vjp = jax.vjp(
+            lambda a, b, c, d: _lstm_scan_reference(
+                a, b, c, d, act, return_sequences
+            ),
+            xp, h0, c0, u,
+        )
+        return out, (vjp,)
+    h_seq, c_seq = _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret)
+    out = h_seq if return_sequences else h_seq[-1]
+    return out, (xp, h0, c0, u, h_seq, c_seq)
+
+
+def _llt_bwd(activation, return_sequences, interpret, residuals, g):
+    if len(residuals) == 1:
+        (vjp,) = residuals
+        return vjp(g)
+    xp, h0, c0, u, h_seq, c_seq = residuals
+    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    if return_sequences:
+        d_seq = g
+        d_final = jnp.zeros_like(h0)
+    else:
+        d_seq = jnp.zeros_like(h_seq[:1])  # dummy block, never read
+        d_final = g
+    dxp, dh0, dc0, du = _lstm_bwd_pallas(
+        xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u,
+        return_sequences, interpret,
+    )
+    return dxp, dh0, dc0, du
+
+
+lstm_layer_train.defvjp(_llt_fwd, _llt_bwd)

@@ -167,3 +167,78 @@ class TestModelLevelTrainKernels:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7
             )
+
+
+class TestLSTMLayerTrain:
+    def _data(self, T=7, B=4, H=16):
+        rng = np.random.RandomState(0)
+        xp = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        c0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        u = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32)) * 0.1
+        return xp, h0, c0, u
+
+    @pytest.mark.parametrize("return_sequences", [True, False])
+    def test_forward_and_gradient_parity(self, return_sequences):
+        from midi_vae_tpu.ops.fused_lstm import (
+            _encoder_scan_reference as lstm_ref,
+        )
+
+        xp, h0, c0, u = self._data()
+
+        def via_kernel(xp, h0, c0, u):
+            out = ft.lstm_layer_train(
+                xp, h0, c0, u, "tanh", return_sequences, True
+            )
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(xp, h0, c0, u):
+            out = lstm_ref(xp, h0, c0, u, jnp.tanh, return_sequences)
+            return jnp.sum(jnp.sin(out))
+
+        np.testing.assert_allclose(
+            float(via_kernel(xp, h0, c0, u)), float(via_ref(xp, h0, c0, u)),
+            rtol=1e-5,
+        )
+        g1 = jax.grad(via_kernel, argnums=(0, 1, 2, 3))(xp, h0, c0, u)
+        g2 = jax.grad(via_ref, argnums=(0, 1, 2, 3))(xp, h0, c0, u)
+        for name, a, b in zip("xp h0 c0 u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                err_msg=f"d{name}",
+            )
+
+    def test_lstm_model_train_kernels_match_per_step(self):
+        """An LSTM model trains identically with and without the whole-layer
+        train kernels (on CPU both reduce to the same jnp scans)."""
+        from midi_vae_tpu.config import small_test_config
+        from midi_vae_tpu.models import MidiVAE
+        from midi_vae_tpu.models.vae import loss_and_metrics
+        from midi_vae_tpu.utils.synthetic import synthetic_flat
+
+        cfg_a = small_test_config(
+            cell_type="LSTM", use_pallas="on", fused_train_encoder=True
+        )
+        cfg_b = small_test_config(
+            cell_type="LSTM", use_pallas="on", fused_train_encoder=False
+        )
+        m_a, m_b = MidiVAE(cfg_a), MidiVAE(cfg_b)
+        params = m_a.init_params(jax.random.PRNGKey(0))
+        flat = synthetic_flat(cfg_a, n_songs=2, windows_per_song=2)
+        batch = {
+            k: jnp.asarray(getattr(flat, k))
+            for k in ("X", "Y", "I", "V", "D", "C", "S")
+        }
+        la = loss_and_metrics(m_a, params, batch, None, 0.0)[0]
+        lb = loss_and_metrics(m_b, params, batch, None, 0.0)[0]
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+        ga = jax.tree_util.tree_leaves(
+            jax.grad(lambda p: loss_and_metrics(m_a, p, batch, None, 0.0)[0])(params)
+        )
+        gb = jax.tree_util.tree_leaves(
+            jax.grad(lambda p: loss_and_metrics(m_b, p, batch, None, 0.0)[0])(params)
+        )
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7
+            )
