@@ -278,7 +278,7 @@ class Evaluator:
             k: list(v) for k, v in result["best_peaks"].items()
         }
         if sec.save_anything:
-            self._plot_sweep_influence(result)
+            self._plot_safely(self._plot_sweep_influence, result)
         # render sweeped MIDI for a few train songs (vae_eval.py:1224-1274)
         if sec.num_latent_sweep_evaluation_songs and self.train_representation_list:
             values = result["values"]
@@ -298,6 +298,15 @@ class Evaluator:
                             f"sweep_{safe}_dim{best_dim}_song{idx}",
                             Y, programs, V, D, sec.bpm,
                         )
+
+    def _plot_safely(self, fn, *args, **kwargs) -> None:
+        """Plots must never kill an evaluation run (a degenerate matrix once
+        crashed matplotlib's tick locator mid-harness); metrics and MIDI
+        artifacts always come first."""
+        try:
+            fn(*args, **kwargs)
+        except Exception as err:
+            print(f"plot failed ({getattr(fn, '__name__', fn)!s}): {err}")
 
     def _plot_sweep_influence(self, result: dict) -> None:
         import matplotlib
@@ -322,7 +331,8 @@ class Evaluator:
         if sec.save_anything and len(zs) >= 3:
             for method in ("tsne", "pca"):
                 emb = probes.embed_2d(zs, method)
-                probes.plot_chord_embedding(
+                self._plot_safely(
+                    probes.plot_chord_embedding,
                     names, emb, f"Chords: {method.upper()} of latent chord-songs",
                     os.path.join(self.save_folder, f"aaa_{method}_maj_min_chords.png"),
                 )
@@ -332,12 +342,14 @@ class Evaluator:
         self.results["pitch_latents"] = {"pitches": pitches, "z": zs}
         if sec.save_anything and len(zs) >= 3:
             emb1 = probes.embed_2d(zs, "pca", n_components=1)
-            probes.plot_pitch_embedding(
+            self._plot_safely(
+                probes.plot_pitch_embedding,
                 pitches, emb1, "PCA of latent pitch-songs",
                 os.path.join(self.save_folder, "aaa_pca_pitches.png"),
             )
             emb2 = probes.embed_2d(zs, "tsne", n_components=2)
-            probes.plot_pitch_embedding(
+            self._plot_safely(
+                probes.plot_pitch_embedding,
                 pitches, emb2, "Octaves: t-SNE of latent pitch-songs",
                 os.path.join(self.save_folder, "aaa_tsne_octaves.png"),
             )
@@ -353,7 +365,8 @@ class Evaluator:
             "scales": probes.DEFAULT_SCALES, "means": means, "stds": stds,
         }
         if sec.save_anything:
-            probes.plot_mahalanobis_curve(
+            self._plot_safely(
+                probes.plot_mahalanobis_curve,
                 probes.DEFAULT_SCALES, means, stds,
                 "Mahalanobis distance vs sampling scale",
                 os.path.join(self.save_folder, "aaa_signature_scales.png"),
@@ -366,7 +379,8 @@ class Evaluator:
             "locs": probes.DEFAULT_LOCS, "means": means, "stds": stds,
         }
         if sec.save_anything:
-            probes.plot_mahalanobis_curve(
+            self._plot_safely(
+                probes.plot_mahalanobis_curve,
                 [max(v, 1e-6) for v in probes.DEFAULT_LOCS], means, stds,
                 "Mahalanobis distance vs sampling loc",
                 os.path.join(self.save_folder, "aaa_signature_locs.png"),
@@ -515,7 +529,8 @@ class Evaluator:
                     # (data_class.draw_difference_pianoroll usage in the ref)
                     from ..utils.plotting import draw_difference_pianoroll
 
-                    draw_difference_pianoroll(
+                    self._plot_safely(
+                        draw_difference_pianoroll,
                         generation.prepare_for_drawing(song, cfg),
                         generation.prepare_for_drawing(Y_pred, cfg),
                         name_1=f"{song_name} original",
@@ -764,7 +779,7 @@ class Evaluator:
 
         if sec.save_anything:
             self._write_csv(metrics_rows)
-            self._plot_switch_matrices(switch_matrix)
+            self._plot_safely(self._plot_switch_matrices, switch_matrix)
 
     def _write_csv(self, rows: list[dict]) -> None:
         keys: list[str] = []
@@ -796,7 +811,13 @@ class Evaluator:
                     continue
                 switched = total - np.sum(np.diag(confusion))
                 row_sums = confusion.sum(axis=1, keepdims=True)
-                normed = np.divide(confusion, row_sums, where=row_sums > 0)
+                # out= is required: np.divide(..., where=...) leaves the
+                # unselected entries UNINITIALIZED (garbage/NaN), which
+                # crashed matplotlib's tick locator downstream
+                normed = np.divide(
+                    confusion, row_sums,
+                    out=np.zeros_like(confusion), where=row_sums > 0,
+                )
                 plt.figure()
                 plt.imshow(normed, interpolation="nearest")
                 plt.title(
