@@ -611,7 +611,7 @@ def _dec_bwd1_kernel(
 
 
 def _dec_bwd_pallas(cell_params, out_dense, init_states, start,
-                    probs, logits_dtype, h_seqs, g_probs, g_logits,
+                    probs, h_seqs, g_probs, g_logits,
                     out_activation, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -812,7 +812,7 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
     cell_params, out_dense, init_states, start, probs, h_seqs = residuals
     g_probs, g_logits = g
     outs = _dec_bwd_pallas(
-        cell_params, out_dense, init_states, start, probs, g_logits.dtype,
+        cell_params, out_dense, init_states, start, probs,
         h_seqs, g_probs, g_logits, out_activation, interpret,
     )
     if len(cell_params) == 2:

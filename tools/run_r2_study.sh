@@ -18,20 +18,20 @@ log() { echo "=== [$(date +%H:%M:%S)] $*"; }
 [ -d $R/tri ]  || python tools/make_demo_corpus.py $R/tri --songs-per-style 60 --styles 3 --chords --seed 2
 
 log "A1 f32 1500 epochs"
-python train.py --source $R/poly --output $R/vae_f32 --cache $R/cache_poly --epochs 1500 $CAD
+[ -f $R/vae_f32/history.json ] || python train.py --source $R/poly --output $R/vae_f32 --cache $R/cache_poly --epochs 1500 $CAD
 log "A2 bf16 1500 epochs"
-python train.py --source $R/poly --output $R/vae_bf16 --cache $R/cache_poly --epochs 1500 --set compute_dtype=bfloat16 $CAD
+[ -f $R/vae_bf16/history.json ] || python train.py --source $R/poly --output $R/vae_bf16 --cache $R/cache_poly --epochs 1500 --set compute_dtype=bfloat16 $CAD
 log "T teacher-forced 1500 epochs"
-python train.py --source $R/poly --output $R/vae_tf --cache $R/cache_poly --epochs 1500 --set teacher_force=True $CAD
+[ -f $R/vae_tf/history.json ] || python train.py --source $R/poly --output $R/vae_tf --cache $R/cache_poly --epochs 1500 --set teacher_force=True $CAD
 log "B big corpus 2000 epochs"
-python train.py --source $R/big --output $R/vae_big --cache $R/cache_big --epochs 2000 $CAD
+[ -f $R/vae_big/history.json ] || python train.py --source $R/big --output $R/vae_big --cache $R/cache_big --epochs 2000 $CAD
 log "C 3-class 1500 epochs"
-python train.py --source $R/tri --output $R/vae_tri --cache $R/cache_tri --classes style1,style2,style3 --epochs 1500 $CAD
+[ -f $R/vae_tri/history.json ] || python train.py --source $R/tri --output $R/vae_tri --cache $R/cache_tri --classes style1,style2,style3 --epochs 1500 $CAD
 
 log "judges"
-python classify.py --source $R/poly --output $R/clf_poly --cache $R/cache_poly --epochs 120
-python classify.py --source $R/big --output $R/clf_big --cache $R/cache_big --epochs 120
-python classify.py --source $R/tri --output $R/clf_tri --cache $R/cache_tri --classes style1,style2,style3 --epochs 120
+[ -d $R/clf_poly/instrument ] || python classify.py --source $R/poly --output $R/clf_poly --cache $R/cache_poly --epochs 120
+[ -d $R/clf_big/instrument ] || python classify.py --source $R/big --output $R/clf_big --cache $R/cache_big --epochs 120
+[ -d $R/clf_tri/instrument ] || python classify.py --source $R/tri --output $R/clf_tri --cache $R/cache_tri --classes style1,style2,style3 --epochs 120
 
 log "evaluations"
 python evaluate.py --source $R/poly --model $R/vae_f32 --classifiers $R/clf_poly --output $R/eval_f32 --cache $R/cache_poly --sections autoencoding
