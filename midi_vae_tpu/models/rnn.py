@@ -83,9 +83,25 @@ def _scan_layer(
     act = activation_fn(activation)
     B, T, _D = xs.shape
     hidden = p["u"].shape[0]
+    init = zero_states(cell, B, hidden, xs.dtype)
+
+    if fused and fused_train and not whole_scan and cell.num_states == 1:
+        # GRU training path: whole-layer kernels BOTH ways with IN-KERNEL
+        # x-projection (W/b resident in VMEM, x@W per step on the MXU) --
+        # no (T,B,3H) gate materialization in HBM at all. The step is
+        # HBM-bandwidth-bound, so this is the dominant win.
+        from ..ops.fused_train import gru_layer_train_x
+
+        out = gru_layer_train_x(
+            jnp.swapaxes(xs, 0, 1), init[0], p["w"], p["b"], p["u"],
+            activation, return_sequences,
+        )
+        if return_sequences:
+            return jnp.swapaxes(out, 0, 1)
+        return out
+
     # (B, T, gates) in one matmul -- the MXU-friendly layout
     xp = cell.x_proj(p, xs.reshape(B * T, -1)).reshape(B, T, -1)
-    init = zero_states(cell, B, hidden, xs.dtype)
 
     if whole_scan:
         if cell.num_states == 2:  # LSTM
@@ -124,20 +140,6 @@ def _scan_layer(
             h, c = states
             new_h, new_c = lstm_recurrent_step(xp_t, h, c, p["u"], activation)
             return (new_h, new_c), (new_h if return_sequences else None)
-
-    elif fused and fused_train:
-        # GRU training path: whole-layer kernels BOTH ways (fused forward +
-        # fused scan-transpose backward, ops/fused_train) -- 2 kernel
-        # launches per layer instead of T per-step dispatches each way
-        from ..ops.fused_train import gru_layer_train
-
-        out = gru_layer_train(
-            jnp.swapaxes(xp, 0, 1), init[0], p["u"], activation,
-            return_sequences,
-        )
-        if return_sequences:
-            return jnp.swapaxes(out, 0, 1)
-        return out
 
     elif fused:
         from ..ops.fused_gru import gru_recurrent_step

@@ -1082,3 +1082,255 @@ def _llt_bwd(activation, return_sequences, interpret, residuals, g):
 
 
 lstm_layer_train.defvjp(_llt_fwd, _llt_bwd)
+
+
+# ===========================================================================
+# In-kernel x-projection variants: the layer kernels above stream the
+# PRECOMPUTED xp (T, B, 3H/4H) -- at reference scale that materializes
+# ~50 MB per layer per direction in HBM (and a grotesque 768x inflation for
+# the 1-dim velocity encoder input). The step is HBM-bandwidth-bound (XLA
+# cost model: 24 GFLOP but 2.3 GB accessed -> 534 GB/s of the v5e's
+# ~819 GB/s at the measured 4.3 ms), so these variants keep W/b resident in
+# VMEM and compute x@W per step on the otherwise-idle MXU: the streams
+# shrink from (T,B,3H) to (T,B,Din) both ways.
+# ===========================================================================
+
+def _fwdx_kernel(x_ref, h0_ref, w_ref, b_ref, u_ref, seq_ref, h_s, *, act):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_s[:] = h0_ref[:]
+
+    h = h_s[:]
+    H = h.shape[-1]
+    xp = _dot(x_ref[0], w_ref[:]) + b_ref[:]
+    hu_zr = _dot(h, u_ref[:, : 2 * H])
+    z = jax.nn.sigmoid(xp[:, :H] + hu_zr[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu_zr[:, H:])
+    hh = act(xp[:, 2 * H :] + _dot(r * h, u_ref[:, 2 * H :]))
+    new_h = z * h + (1.0 - z) * hh
+    h_s[:] = new_h.astype(h_s.dtype)
+    seq_ref[0] = new_h.astype(seq_ref.dtype)
+
+
+def _fwdx_pallas(x, h0, w, b, u, activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, D = x.shape
+    H = h0.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_fwdx_kernel, act=act),
+        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        in_specs=[
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, H), x.dtype)],
+        interpret=interpret,
+    )(x, h0, w, b, u)
+
+
+def _bwdx_kernel(
+    x_ref, hprev_ref, dseq_ref, dfinal_ref, w_ref, b_ref, u_ref,
+    dx_ref, dh0_ref, dw_ref, db_ref, du_ref,
+    dh_s, dw_s, db_s, du_s,
+    *, return_sequences,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+    H = dh_s.shape[-1]
+
+    @pl.when(step == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s)
+        db_s[:] = jnp.zeros_like(db_s)
+        du_s[:] = jnp.zeros_like(du_s)
+        if return_sequences:
+            dh_s[:] = jnp.zeros_like(dh_s)
+        else:
+            dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
+
+    x = x_ref[0].astype(jnp.float32)
+    h = hprev_ref[0].astype(jnp.float32)
+    u = u_ref[:]
+
+    xp = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32)
+    hu_zr = _dot(h, u[:, : 2 * H])
+    z = jax.nn.sigmoid(xp[:, :H] + hu_zr[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu_zr[:, H:])
+    rh = r * h
+    hh = jnp.tanh(xp[:, 2 * H :] + _dot(rh, u[:, 2 * H :]))
+
+    dh = dh_s[:].astype(jnp.float32)
+    if return_sequences:
+        dh = dh + dseq_ref[0].astype(jnp.float32)
+
+    dz = dh * (h - hh)
+    da = dh * (1.0 - z) * (1.0 - hh * hh)
+    drh = _dot_t(da, u[:, 2 * H :])
+    dr = drh * h
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+    da_cat = jnp.concatenate([da_zr, da], axis=-1)
+
+    dx_ref[0] = _dot_t(da_cat, w_ref[:]).astype(dx_ref.dtype)
+    dw_s[:] += _outer_acc(x, da_cat)
+    db_s[:] += jnp.sum(da_cat, axis=0, keepdims=True)
+    du_s[:, : 2 * H] += _outer_acc(h, da_zr)
+    du_s[:, 2 * H :] += _outer_acc(rh, da)
+
+    new_dh = dh * z + drh * r + _dot_t(da_zr, u[:, : 2 * H])
+    dh_s[:] = new_dh.astype(dh_s.dtype)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
+        dw_ref[:] = dw_s[:].astype(dw_ref.dtype)
+        db_ref[:] = db_s[0].astype(db_ref.dtype)
+        du_ref[:] = du_s[:].astype(du_ref.dtype)
+
+
+def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
+                 interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, D = x.shape
+    H = u.shape[0]
+    f32 = jnp.float32
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        functools.partial(_bwdx_kernel, return_sequences=return_sequences),
+        grid=(T,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, D), x.dtype),        # dx
+            jax.ShapeDtypeStruct((B, H), x.dtype),           # dh0
+            jax.ShapeDtypeStruct((D, 3 * H), w.dtype),       # dw
+            jax.ShapeDtypeStruct((3 * H,), b.dtype),         # db
+            jax.ShapeDtypeStruct((H, 3 * H), u.dtype),       # du
+        ),
+        in_specs=[
+            pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, B, H),
+                rev if return_sequences else (lambda t: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # dfinal
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # u
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((D, 3 * H), f32),
+            pltpu.VMEM((1, 3 * H), f32),
+            pltpu.VMEM((H, 3 * H), f32),
+        ],
+        interpret=interpret,
+    )(x, h_prev_seq, d_seq, d_final, w, b, u)
+
+
+def _x_train_vmem_ok(B: int, D: int, H: int) -> bool:
+    from .fused_gru import _VMEM_LIMIT_BYTES
+
+    floats = (
+        2 * (D * 3 * H + H * 3 * H + 3 * H)   # w/u/b + dw/du/db (scratch)
+        + (D * 3 * H + H * 3 * H + 3 * H)     # pinned grad outputs
+        + 2 * (2 * B * D + 2 * B * H)         # double-buffered streams
+        + 8 * B * H + 2 * B * 3 * H           # temps + carry
+    )
+    return floats * 4 < _VMEM_LIMIT_BYTES
+
+
+def _x_use_pallas(x, h0, activation, interpret) -> bool:
+    if interpret:
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and activation == "tanh"
+        and x.dtype == jnp.float32
+        and _x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
+    )
+
+
+def _gru_layer_reference_x(x, h0, w, b, u, act, return_sequences):
+    T, B, D = x.shape
+    xp = (x.reshape(T * B, D) @ w + b).reshape(T, B, -1)
+    return _encoder_scan_reference(xp, h0, u, act, return_sequences)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gru_layer_train_x(
+    x, h0, w, b, u, activation: str = "tanh", return_sequences: bool = False,
+    interpret: bool = False,
+):
+    """GRU layer with IN-KERNEL x-projection: fused fwd AND fused bwd.
+
+    x: (T, B, D) raw time-major inputs (NOT the projected gates); W/b stay
+    resident in VMEM and x@W happens per step inside the kernel, so the HBM
+    streams are (T,B,D) instead of (T,B,3H) in both directions."""
+    act = _activation(activation)
+    if not _x_use_pallas(x, h0, activation, interpret):
+        return _gru_layer_reference_x(x, h0, w, b, u, act, return_sequences)
+    seq = _fwdx_pallas(x, h0, w, b, u, activation, interpret)
+    return seq if return_sequences else seq[-1]
+
+
+def _glx_fwd(x, h0, w, b, u, activation, return_sequences, interpret):
+    act = _activation(activation)
+    if not _x_use_pallas(x, h0, activation, interpret):
+        out, vjp = jax.vjp(
+            lambda a, b_, c, d, e: _gru_layer_reference_x(
+                a, b_, c, d, e, act, return_sequences
+            ),
+            x, h0, w, b, u,
+        )
+        return out, (vjp,)
+    seq = _fwdx_pallas(x, h0, w, b, u, activation, interpret)
+    out = seq if return_sequences else seq[-1]
+    return out, (x, h0, w, b, u, seq)
+
+
+def _glx_bwd(activation, return_sequences, interpret, residuals, g):
+    if len(residuals) == 1:
+        (vjp,) = residuals
+        return vjp(g)
+    x, h0, w, b, u, seq = residuals
+    h_prev_seq = jnp.concatenate([h0[None], seq[:-1]], axis=0)
+    if return_sequences:
+        d_seq = g
+        d_final = jnp.zeros_like(h0)
+    else:
+        d_seq = jnp.zeros_like(seq[:1])
+        d_final = g
+    dx, dh0, dw, db, du = _bwdx_pallas(
+        x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences, interpret
+    )
+    return dx, dh0, dw, db, du
+
+
+gru_layer_train_x.defvjp(_glx_fwd, _glx_bwd)
