@@ -85,17 +85,25 @@ def _scan_layer(
     hidden = p["u"].shape[0]
     init = zero_states(cell, B, hidden, xs.dtype)
 
-    if fused and fused_train and not whole_scan and cell.num_states == 1:
-        # GRU training path: whole-layer kernels BOTH ways with IN-KERNEL
+    if fused and fused_train and not whole_scan:
+        # training path: whole-layer kernels BOTH ways with IN-KERNEL
         # x-projection (W/b resident in VMEM, x@W per step on the MXU) --
-        # no (T,B,3H) gate materialization in HBM at all. The step is
+        # no (T,B,gates) materialization in HBM at all. The step is
         # HBM-bandwidth-bound, so this is the dominant win.
-        from ..ops.fused_train import gru_layer_train_x
+        if cell.num_states == 2:  # LSTM
+            from ..ops.fused_train import lstm_layer_train_x
 
-        out = gru_layer_train_x(
-            jnp.swapaxes(xs, 0, 1), init[0], p["w"], p["b"], p["u"],
-            activation, return_sequences,
-        )
+            out = lstm_layer_train_x(
+                jnp.swapaxes(xs, 0, 1), init[0], init[1], p["w"], p["b"],
+                p["u"], activation, return_sequences,
+            )
+        else:
+            from ..ops.fused_train import gru_layer_train_x
+
+            out = gru_layer_train_x(
+                jnp.swapaxes(xs, 0, 1), init[0], p["w"], p["b"], p["u"],
+                activation, return_sequences,
+            )
         if return_sequences:
             return jnp.swapaxes(out, 0, 1)
         return out
@@ -122,18 +130,7 @@ def _scan_layer(
             return jnp.swapaxes(out, 0, 1)
         return out
 
-    if fused and cell.num_states == 2 and fused_train:  # LSTM train kernels
-        from ..ops.fused_train import lstm_layer_train
-
-        out = lstm_layer_train(
-            jnp.swapaxes(xp, 0, 1), init[0], init[1], p["u"], activation,
-            return_sequences,
-        )
-        if return_sequences:
-            return jnp.swapaxes(out, 0, 1)
-        return out
-
-    elif fused and cell.num_states == 2:  # LSTM per-step
+    if fused and cell.num_states == 2:  # LSTM per-step
         from ..ops.fused_lstm import lstm_recurrent_step
 
         def step(states, xp_t):

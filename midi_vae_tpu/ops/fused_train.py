@@ -1255,15 +1255,14 @@ def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
 
 
 def _x_train_vmem_ok(B: int, D: int, H: int) -> bool:
-    from .fused_gru import _VMEM_LIMIT_BYTES
-
     floats = (
         2 * (D * 3 * H + H * 3 * H + 3 * H)   # w/u/b + dw/du/db (scratch)
         + (D * 3 * H + H * 3 * H + 3 * H)     # pinned grad outputs
         + 2 * (2 * B * D + 2 * B * H)         # double-buffered streams
         + 8 * B * H + 2 * B * 3 * H           # temps + carry
     )
-    return floats * 4 < _VMEM_LIMIT_BYTES
+    # verified to compile at reference scale on v5e (16 MB/core)
+    return floats * 4 < 15_500_000
 
 
 def _x_use_pallas(x, h0, activation, interpret) -> bool:
@@ -1275,6 +1274,15 @@ def _x_use_pallas(x, h0, activation, interpret) -> bool:
         and x.dtype == jnp.float32
         and _x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
     )
+
+
+def _gru_layer_fallback_x(x, h0, w, b, u, activation, return_sequences,
+                          interpret):
+    """When the in-kernel-projection variant doesn't fit VMEM, precompute xp
+    and use the xp-streaming kernel (which itself falls back to jnp)."""
+    T, B, D = x.shape
+    xp = (x.reshape(T * B, D) @ w + b).reshape(T, B, -1)
+    return gru_layer_train(xp, h0, u, activation, return_sequences, interpret)
 
 
 def _gru_layer_reference_x(x, h0, w, b, u, act, return_sequences):
@@ -1293,19 +1301,19 @@ def gru_layer_train_x(
     x: (T, B, D) raw time-major inputs (NOT the projected gates); W/b stay
     resident in VMEM and x@W happens per step inside the kernel, so the HBM
     streams are (T,B,D) instead of (T,B,3H) in both directions."""
-    act = _activation(activation)
     if not _x_use_pallas(x, h0, activation, interpret):
-        return _gru_layer_reference_x(x, h0, w, b, u, act, return_sequences)
+        return _gru_layer_fallback_x(
+            x, h0, w, b, u, activation, return_sequences, interpret
+        )
     seq = _fwdx_pallas(x, h0, w, b, u, activation, interpret)
     return seq if return_sequences else seq[-1]
 
 
 def _glx_fwd(x, h0, w, b, u, activation, return_sequences, interpret):
-    act = _activation(activation)
     if not _x_use_pallas(x, h0, activation, interpret):
         out, vjp = jax.vjp(
-            lambda a, b_, c, d, e: _gru_layer_reference_x(
-                a, b_, c, d, e, act, return_sequences
+            lambda a, b_, c, d, e: _gru_layer_fallback_x(
+                a, b_, c, d, e, activation, return_sequences, interpret
             ),
             x, h0, w, b, u,
         )
@@ -1334,3 +1342,266 @@ def _glx_bwd(activation, return_sequences, interpret, residuals, g):
 
 
 gru_layer_train_x.defvjp(_glx_fwd, _glx_bwd)
+
+
+# ---- LSTM analog of the in-kernel x-projection layer kernels ----
+
+def _lstm_fwdx_kernel(x_ref, h0_ref, c0_ref, w_ref, b_ref, u_ref,
+                      hseq_ref, cseq_ref, h_s, c_s, *, act):
+    import jax.experimental.pallas as pl
+
+    from .fused_lstm import _lstm_gates
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    xp = _dot(x_ref[0], w_ref[:]) + b_ref[:]
+    new_h, new_c = _lstm_gates(xp, h_s[:], c_s[:], u_ref[:], act)
+    h_s[:] = new_h.astype(h_s.dtype)
+    c_s[:] = new_c.astype(c_s.dtype)
+    hseq_ref[0] = new_h.astype(hseq_ref.dtype)
+    cseq_ref[0] = new_c.astype(cseq_ref.dtype)
+
+
+def _lstm_fwdx_pallas(x, h0, c0, w, b, u, activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, D = x.shape
+    H = h0.shape[-1]
+    seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lstm_fwdx_kernel, act=act),
+        grid=(T,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        ),
+        in_specs=[seq(D), vm, vm, vm, vm, vm],
+        out_specs=(seq(H), seq(H)),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), x.dtype),
+            pltpu.VMEM((B, H), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, h0, c0, w, b, u)
+
+
+def _lstm_bwdx_kernel(
+    x_ref, hprev_ref, cprev_ref, cseq_ref, dseq_ref, dfinal_ref,
+    w_ref, b_ref, u_ref,
+    dx_ref, dh0_ref, dc0_ref, dw_ref, db_ref, du_ref,
+    dh_s, dc_s, dw_s, db_s, du_s,
+    *, return_sequences,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+    H = dh_s.shape[-1]
+
+    @pl.when(step == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s)
+        db_s[:] = jnp.zeros_like(db_s)
+        du_s[:] = jnp.zeros_like(du_s)
+        dc_s[:] = jnp.zeros_like(dc_s)
+        if return_sequences:
+            dh_s[:] = jnp.zeros_like(dh_s)
+        else:
+            dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
+
+    x = x_ref[0].astype(jnp.float32)
+    hp = hprev_ref[0].astype(jnp.float32)
+    cp = cprev_ref[0].astype(jnp.float32)
+    ct = cseq_ref[0].astype(jnp.float32)
+    u = u_ref[:]
+
+    gates = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32) + _dot(hp, u)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    tc = jnp.tanh(ct)
+
+    dh = dh_s[:].astype(jnp.float32)
+    if return_sequences:
+        dh = dh + dseq_ref[0].astype(jnp.float32)
+    dc = dc_s[:].astype(jnp.float32) + dh * o * (1.0 - tc * tc)
+
+    da = jnp.concatenate(
+        [
+            dc * g * i * (1.0 - i),
+            dc * cp * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            dh * tc * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    dx_ref[0] = _dot_t(da, w_ref[:]).astype(dx_ref.dtype)
+    dw_s[:] += _outer_acc(x, da)
+    db_s[:] += jnp.sum(da, axis=0, keepdims=True)
+    du_s[:] += _outer_acc(hp, da)
+    new_dh = _dot_t(da, u)
+    new_dc = dc * f
+    dh_s[:] = new_dh
+    dc_s[:] = new_dc
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
+        dc0_ref[:] = new_dc.astype(dc0_ref.dtype)
+        dw_ref[:] = dw_s[:].astype(dw_ref.dtype)
+        db_ref[:] = db_s[0].astype(db_ref.dtype)
+        du_ref[:] = du_s[:].astype(du_ref.dtype)
+
+
+def _lstm_bwdx_pallas(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final,
+                      w, b, u, return_sequences, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, D = x.shape
+    H = u.shape[0]
+    f32 = jnp.float32
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
+
+    return pl.pallas_call(
+        functools.partial(
+            _lstm_bwdx_kernel, return_sequences=return_sequences
+        ),
+        grid=(T,),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, D), x.dtype),
+            jax.ShapeDtypeStruct((B, H), x.dtype),
+            jax.ShapeDtypeStruct((B, H), x.dtype),
+            jax.ShapeDtypeStruct((D, 4 * H), w.dtype),
+            jax.ShapeDtypeStruct((4 * H,), b.dtype),
+            jax.ShapeDtypeStruct((H, 4 * H), u.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, B, H),
+                rev if return_sequences else (lambda t: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * H,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((D, 4 * H), f32),
+            pltpu.VMEM((1, 4 * H), f32),
+            pltpu.VMEM((H, 4 * H), f32),
+        ],
+        interpret=interpret,
+    )(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, w, b, u)
+
+
+def _lstm_x_train_vmem_ok(B: int, D: int, H: int) -> bool:
+    floats = (
+        2 * (D * 4 * H + H * 4 * H + 4 * H)
+        + (D * 4 * H + H * 4 * H + 4 * H)
+        + 2 * (2 * B * D + 4 * B * H)
+        + 10 * B * H + 2 * B * 4 * H
+    )
+    # verified to compile at reference scale (D=H=256) on v5e (16 MB/core)
+    return floats * 4 < 15_500_000
+
+
+def _lstm_x_use_pallas(x, h0, activation, interpret) -> bool:
+    if interpret:
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and activation == "tanh"
+        and x.dtype == jnp.float32
+        and _lstm_x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
+    )
+
+
+def _lstm_layer_fallback_x(x, h0, c0, w, b, u, activation,
+                           return_sequences, interpret):
+    T, B, D = x.shape
+    xp = (x.reshape(T * B, D) @ w + b).reshape(T, B, -1)
+    return lstm_layer_train(
+        xp, h0, c0, u, activation, return_sequences, interpret
+    )
+
+
+def _lstm_layer_reference_x(x, h0, c0, w, b, u, act, return_sequences):
+    T, B, D = x.shape
+    xp = (x.reshape(T * B, D) @ w + b).reshape(T, B, -1)
+    return _lstm_scan_reference(xp, h0, c0, u, act, return_sequences)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def lstm_layer_train_x(
+    x, h0, c0, w, b, u, activation: str = "tanh",
+    return_sequences: bool = False, interpret: bool = False,
+):
+    """LSTM layer with IN-KERNEL x-projection: fused fwd AND fused bwd."""
+    if not _lstm_x_use_pallas(x, h0, activation, interpret):
+        return _lstm_layer_fallback_x(
+            x, h0, c0, w, b, u, activation, return_sequences, interpret
+        )
+    h_seq, _ = _lstm_fwdx_pallas(x, h0, c0, w, b, u, activation, interpret)
+    return h_seq if return_sequences else h_seq[-1]
+
+
+def _llx_fwd(x, h0, c0, w, b, u, activation, return_sequences, interpret):
+    if not _lstm_x_use_pallas(x, h0, activation, interpret):
+        out, vjp = jax.vjp(
+            lambda a, b_, c, d, e, f: _lstm_layer_fallback_x(
+                a, b_, c, d, e, f, activation, return_sequences, interpret
+            ),
+            x, h0, c0, w, b, u,
+        )
+        return out, (vjp,)
+    h_seq, c_seq = _lstm_fwdx_pallas(x, h0, c0, w, b, u, activation, interpret)
+    out = h_seq if return_sequences else h_seq[-1]
+    return out, (x, h0, c0, w, b, u, h_seq, c_seq)
+
+
+def _llx_bwd(activation, return_sequences, interpret, residuals, g):
+    if len(residuals) == 1:
+        (vjp,) = residuals
+        return vjp(g)
+    x, h0, c0, w, b, u, h_seq, c_seq = residuals
+    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    if return_sequences:
+        d_seq = g
+        d_final = jnp.zeros_like(h0)
+    else:
+        d_seq = jnp.zeros_like(h_seq[:1])
+        d_final = g
+    dx, dh0, dc0, dw, db, du = _lstm_bwdx_pallas(
+        x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, w, b, u,
+        return_sequences, interpret,
+    )
+    return dx, dh0, dc0, dw, db, du
+
+
+lstm_layer_train_x.defvjp(_llx_fwd, _llx_bwd)

@@ -242,3 +242,90 @@ class TestLSTMLayerTrain:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7
             )
+
+
+class TestGRULayerTrainX:
+    """In-kernel x-projection variant (streams raw x instead of xp)."""
+
+    def _data(self, T=7, B=4, D=5, H=16):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(T, B, D).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        w = jnp.asarray(rng.randn(D, 3 * H).astype(np.float32)) * 0.2
+        b = jnp.asarray(rng.randn(3 * H).astype(np.float32)) * 0.05
+        u = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32)) * 0.1
+        return x, h0, w, b, u
+
+    @pytest.mark.parametrize("return_sequences", [True, False])
+    def test_forward_and_gradient_parity(self, return_sequences):
+        x, h0, w, b, u = self._data()
+
+        def via_kernel(x, h0, w, b, u):
+            out = ft.gru_layer_train_x(
+                x, h0, w, b, u, "tanh", return_sequences, True
+            )
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(x, h0, w, b, u):
+            out = ft._gru_layer_reference_x(
+                x, h0, w, b, u, jnp.tanh, return_sequences
+            )
+            return jnp.sum(jnp.sin(out))
+
+        np.testing.assert_allclose(
+            float(via_kernel(x, h0, w, b, u)),
+            float(via_ref(x, h0, w, b, u)), rtol=1e-5,
+        )
+        g1 = jax.grad(via_kernel, argnums=(0, 1, 2, 3, 4))(x, h0, w, b, u)
+        g2 = jax.grad(via_ref, argnums=(0, 1, 2, 3, 4))(x, h0, w, b, u)
+        for name, a, b_ in zip("x h0 w b u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-4, atol=2e-6,
+                err_msg=f"d{name}",
+            )
+
+    def test_reference_scale_vmem(self):
+        # notes encoder layer 1 (D=61) and layer 2 (D=256)
+        assert ft._x_train_vmem_ok(256, 61, 256)
+        assert ft._x_train_vmem_ok(256, 256, 256)
+
+
+class TestLSTMLayerTrainX:
+    @pytest.mark.parametrize("return_sequences", [True, False])
+    def test_forward_and_gradient_parity(self, return_sequences):
+        rng = np.random.RandomState(0)
+        T, B, D, H = 7, 4, 5, 16
+        x = jnp.asarray(rng.randn(T, B, D).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        c0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        w = jnp.asarray(rng.randn(D, 4 * H).astype(np.float32)) * 0.2
+        b = jnp.asarray(rng.randn(4 * H).astype(np.float32)) * 0.05
+        u = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32)) * 0.1
+
+        def via_kernel(x, h0, c0, w, b, u):
+            out = ft.lstm_layer_train_x(
+                x, h0, c0, w, b, u, "tanh", return_sequences, True
+            )
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(x, h0, c0, w, b, u):
+            out = ft._lstm_layer_reference_x(
+                x, h0, c0, w, b, u, jnp.tanh, return_sequences
+            )
+            return jnp.sum(jnp.sin(out))
+
+        args = (x, h0, c0, w, b, u)
+        np.testing.assert_allclose(
+            float(via_kernel(*args)), float(via_ref(*args)), rtol=1e-5
+        )
+        g1 = jax.grad(via_kernel, argnums=tuple(range(6)))(*args)
+        g2 = jax.grad(via_ref, argnums=tuple(range(6)))(*args)
+        for name, a, b_ in zip("x h0 c0 w b u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-4, atol=2e-6,
+                err_msg=f"d{name}",
+            )
+
+    def test_reference_scale_vmem(self):
+        assert ft._lstm_x_train_vmem_ok(256, 61, 256)
+        assert ft._lstm_x_train_vmem_ok(256, 256, 256)

@@ -3,10 +3,13 @@
 
 Measures the full jitted training step (fwd + bwd + Adam) at reference scale
 (/root/reference/settings.py:108-140 geometry, LSTM cell per
-/root/reference/vae_definition.py:528-533) with use_pallas on vs off, and
-prints one JSON line per configuration plus the speedup.
+/root/reference/vae_definition.py:528-533) with use_pallas on vs off.
 
-Usage: python tools/bench_lstm.py [--batch 256] [--iters 20]
+Both configurations are set up first and their timing windows INTERLEAVED
+(the chip is time-sliced with other tenants; sequential phases can land in
+different contention regimes), reporting each configuration's best window.
+
+Usage: python tools/bench_lstm.py [--batch 256] [--iters 15] [--reps 4]
 """
 
 from __future__ import annotations
@@ -20,8 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config(cfg, iters: int) -> float:
-    import jax
+def setup(cfg):
     import numpy as np
 
     from midi_vae_tpu.parallel import make_mesh, shard_batch
@@ -30,59 +32,66 @@ def bench_config(cfg, iters: int) -> float:
     from midi_vae_tpu.training.trainer import _slice_batch
     from midi_vae_tpu.utils.synthetic import synthetic_flat
 
-    mesh = make_mesh()
-    trainer = VAETrainer(cfg, mesh=mesh)
+    trainer = VAETrainer(cfg, mesh=make_mesh())
     state = trainer.init_state(seed=0)
-
     flat = synthetic_flat(cfg, n_songs=8, windows_per_song=cfg.batch_size // 8)
-    idx = np.arange(cfg.batch_size)
-    batch = _slice_batch(flat, idx, cfg, None)
+    batch = _slice_batch(flat, np.arange(cfg.batch_size), cfg, None)
     batch, mask = pad_batch_to(batch, cfg.batch_size)
     batch["M"] = mask
-    batch = shard_batch(batch, mesh)
+    batch = shard_batch(batch, trainer.mesh)
+    return trainer, state, batch
 
-    for _ in range(3):
-        state.params, state.opt_state, state.rng, metrics = trainer.train_step(
-            state.params, state.opt_state, batch, state.rng
-        )
-    jax.block_until_ready(metrics["loss"])
+
+def window(trainer, state, batch, iters: int) -> float:
+    import jax
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        state.params, state.opt_state, state.rng, metrics = trainer.train_step(
+        state.params, state.opt_state, state.rng, m = trainer.train_step(
             state.params, state.opt_state, batch, state.rng
         )
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    return cfg.batch_size * cfg.output_length / dt / len(jax.devices())
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
+
+    import jax
 
     from midi_vae_tpu.config import Config
 
-    results = {}
+    rigs = {}
     for pallas in ("off", "on"):
-        cfg = Config(
-            cell_type="LSTM", batch_size=args.batch, use_pallas=pallas
-        )
-        rate = bench_config(cfg, args.iters)
-        results[pallas] = rate
+        cfg = Config(cell_type="LSTM", batch_size=args.batch, use_pallas=pallas)
+        rigs[pallas] = setup(cfg)
+        # warmup / compile
+        window(*rigs[pallas], iters=3)
+
+    best = {k: float("inf") for k in rigs}
+    for _ in range(args.reps):
+        for k in rigs:
+            best[k] = min(best[k], window(*rigs[k], iters=args.iters))
+
+    n_chips = len(jax.devices())
+    rates = {}
+    for k, dt in best.items():
+        rates[k] = args.batch * 64 / dt / n_chips
         print(
             json.dumps(
                 {
-                    "metric": f"lstm_train_note_steps_per_sec_per_chip_pallas_{pallas}",
-                    "value": round(rate, 1),
+                    "metric": f"lstm_train_note_steps_per_sec_per_chip_pallas_{k}",
+                    "value": round(rates[k], 1),
                     "unit": "note-steps/s/chip",
                 }
             ),
             flush=True,
         )
-    speedup = results["on"] / results["off"]
+    speedup = rates["on"] / rates["off"]
     print(json.dumps({"metric": "lstm_pallas_speedup", "value": round(speedup, 3)}))
     if speedup < 1.0:
         sys.exit(1)
