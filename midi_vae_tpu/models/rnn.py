@@ -4,17 +4,19 @@ This module is the TPU-native replacement for the reference's two recurrent
 engines:
 
 * Keras ``GRU/LSTM/SimpleRNN(return_sequences=...)`` encoder stacks
-  (/root/reference/vae_definition.py:443-480) become ``encode_sequence``:
-  the input projection for ALL timesteps is one large batched matmul feeding
-  a ``jax.lax.scan`` that only carries the recurrent part,
+  (/root/reference/vae_definition.py:443-480) become ``encode_sequence``;
+  on training paths a whole layer (forward AND backward) is one Pallas
+  kernel with the input projection computed in-kernel (ops/fused_train),
+  on inference paths a whole-layer forward kernel over the batched
+  projection, otherwise a ``jax.lax.scan`` over per-step cells,
 * recurrentshop's ``RecurrentModel(decode=True, readout_input=...,
   teacher_force=...)`` readout decoders (vae_definition.py:519-728) become
   ``decode_autoregressive``: a scan whose carry holds the per-layer states
   and the previous output, which is fed back as the next input (softmax
   probabilities, matching the reference's feedback of activation outputs);
-  teacher forcing swaps the feedback for the shifted ground truth.
-
-An optional Pallas-fused step path is plugged in from ``..ops.fused_gru``.
+  teacher forcing swaps the feedback for the shifted ground truth. Wide
+  heads take whole-head kernels instead (models/vae.py run_head ->
+  ops/fused_train.gru_decode_train / ops/fused_decoder.fused_decode_scan).
 """
 
 from __future__ import annotations
@@ -76,10 +78,18 @@ def _scan_layer(
     cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
     fused: bool = False, whole_scan: bool = False, fused_train: bool = True,
 ):
-    """One RNN layer over (B, T, D). x-projection batched across time; the
-    recurrent part optionally runs as fused Pallas steps (ops/fused_gru) or,
-    on inference paths, as one whole-layer kernel (fused_encoder_scan --
-    fastest forward, but its VJP recomputes the scan)."""
+    """One RNN layer over (B, T, D).
+
+    Dispatch (fastest first):
+      * training with ``fused_train`` (default): ONE whole-layer Pallas
+        kernel each way with the x-projection computed in-kernel
+        (ops/fused_train ``*_layer_train_x`` -- W resident in VMEM, streams
+        are (T,B,D) not (T,B,gates)),
+      * inference (``whole_scan``): whole-layer forward kernels over the
+        precomputed x-projection (ops/fused_decoder / ops/fused_lstm),
+      * ``fused`` without train kernels: per-step Pallas kernels inside a
+        lax.scan,
+      * otherwise: the plain jnp cell scan."""
     act = activation_fn(activation)
     B, T, _D = xs.shape
     hidden = p["u"].shape[0]
