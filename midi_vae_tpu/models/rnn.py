@@ -52,6 +52,7 @@ def encode_sequence(
     cell = get_cell(cell_type)
     fused = fused and cell_type in ("GRU", "LSTM")
     whole_scan = whole_scan and fused
+
     h = xs
     n_layers = len(layer_params)
     for i, p in enumerate(layer_params):

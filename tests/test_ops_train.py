@@ -329,3 +329,50 @@ class TestLSTMLayerTrainX:
     def test_reference_scale_vmem(self):
         assert ft._lstm_x_train_vmem_ok(256, 61, 256)
         assert ft._lstm_x_train_vmem_ok(256, 256, 256)
+
+
+class TestGRUStack2TrainX:
+    """2-layer encoder-stack kernel (kept as an op; the model uses the
+    per-layer dispatch -- measured equal end-to-end)."""
+
+    @pytest.mark.parametrize("return_sequences", [False, True])
+    def test_forward_and_gradient_parity(self, return_sequences):
+        rng = np.random.RandomState(0)
+        T, B, D, H = 7, 4, 5, 16
+        x = jnp.asarray(rng.randn(T, B, D).astype(np.float32)) * 0.3
+        h01 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        h02 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+
+        def mk(d):
+            return {
+                "w": jnp.asarray(rng.randn(d, 3 * H).astype(np.float32)) * 0.2,
+                "b": jnp.asarray(rng.randn(3 * H).astype(np.float32)) * 0.05,
+                "u": jnp.asarray(rng.randn(H, 3 * H).astype(np.float32)) * 0.1,
+            }
+
+        p1, p2 = mk(D), mk(H)
+
+        def via_kernel(x, h01, h02, p1, p2):
+            return jnp.sum(jnp.sin(ft.gru_stack2_train_x(
+                x, h01, h02, p1, p2, "tanh", return_sequences, True
+            )))
+
+        def via_ref(x, h01, h02, p1, p2):
+            return jnp.sum(jnp.sin(ft._stack2_reference(
+                x, h01, h02, p1, p2, jnp.tanh, return_sequences
+            )))
+
+        args = (x, h01, h02, p1, p2)
+        np.testing.assert_allclose(
+            float(via_kernel(*args)), float(via_ref(*args)), rtol=1e-5
+        )
+        g1 = jax.tree_util.tree_leaves(
+            jax.grad(via_kernel, argnums=tuple(range(5)))(*args)
+        )
+        g2 = jax.tree_util.tree_leaves(
+            jax.grad(via_ref, argnums=tuple(range(5)))(*args)
+        )
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6
+            )
