@@ -28,6 +28,11 @@ log "B big corpus 2000 epochs"
 log "C 3-class 1500 epochs"
 [ -f $R/vae_tri/history.json ] || python train.py --source $R/tri --output $R/vae_tri --cache $R/cache_tri --classes style1,style2,style3 --epochs 1500 $CAD
 
+log "XL 500-song corpus 2500 epochs"
+[ -d $R/xl ] || python tools/make_demo_corpus.py $R/xl --songs-per-style 250 --chords --seed 3
+[ -f $R/vae_xl/history.json ] || python train.py --source $R/xl --output $R/vae_xl --cache $R/cache_xl --epochs 2500 --set test_step=250 --set save_step=1250
+[ -d $R/clf_xl/instrument ] || python classify.py --source $R/xl --output $R/clf_xl --cache $R/cache_xl --epochs 120
+
 log "judges"
 [ -d $R/clf_poly/instrument ] || python classify.py --source $R/poly --output $R/clf_poly --cache $R/cache_poly --epochs 120
 [ -d $R/clf_big/instrument ] || python classify.py --source $R/big --output $R/clf_big --cache $R/cache_big --epochs 120
@@ -39,5 +44,6 @@ python evaluate.py --source $R/poly --model $R/vae_bf16 --classifiers $R/clf_pol
 python evaluate.py --source $R/poly --model $R/vae_tf --classifiers $R/clf_poly --output $R/eval_tf --cache $R/cache_poly --sections autoencoding
 python evaluate.py --source $R/big --model $R/vae_big --classifiers $R/clf_big --output $R/eval_big --cache $R/cache_big --sections autoencoding
 python evaluate.py --source $R/tri --model $R/vae_tri --classifiers $R/clf_tri --output $R/eval_tri --cache $R/cache_tri --sections autoencoding
+python evaluate.py --source $R/xl --model $R/vae_xl --classifiers $R/clf_xl --output $R/eval_xl --cache $R/cache_xl --sections autoencoding
 
 log "R2 STUDY DONE"
