@@ -166,7 +166,9 @@ class Config:
     # Interleaved medians on v5e (B=256, f32): encoder kernels 2.53 -> 3.27M
     # note-steps/s/chip; decoder kernels a further ~12% on the notes head
     # (3.99 vs 4.51 ms/grad). Narrow heads (velocity D=1) keep the per-step
-    # path -- their stream blocks lane-pad to 128 and lose.
+    # path -- their stream blocks lane-pad to 128 and lose. Both f32 and
+    # bf16 take these kernels (weight/bias grads are emitted f32 from the
+    # kernel and cast back to the compute dtype outside).
     fused_train_encoder: bool = True
     fused_train_decoder: bool = True
 

@@ -632,7 +632,12 @@ def _dec_bwd_pallas(cell_params, out_dense, init_states, start,
         for i in range(n_layers)
     ]
 
-    wd = lambda p: p.dtype  # noqa: E731
+    # weight/bias grads leave the kernel in f32 regardless of the compute
+    # dtype: Mosaic cannot mask bf16 stores along subelements (odd row
+    # counts like dw1's D=61, and the 1-row bias grads), and the
+    # accumulators are f32 scratch anyway. The VJP wrapper casts them back
+    # to the primal dtype outside the kernel.
+    wd = lambda p: jnp.float32  # noqa: E731
 
     if n_layers == 2:
         kernel = functools.partial(_dec_bwd2_kernel, out_act_name=out_activation)
@@ -743,11 +748,6 @@ def _dec_use_pallas(cell_params, start, init_states, activation,
     # path stays faster there
     if D < 8:
         return False
-    # f32 only: Mosaic rejects the decode kernels under bf16 ("offset not
-    # aligned to sublanes" on the v5e toolchain of this environment); bf16
-    # training keeps the proven per-step kernel path
-    if start.dtype != jnp.float32:
-        return False
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
@@ -827,8 +827,16 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
         d_cells = [{"w": dw1, "u": du1, "b": db1}]
         d_init = [di1]
     d_out = {"w": dwo, "b": dbo}
-    # match the container types of the primal inputs
-    d_cells = type(cell_params)(d_cells)
+    # weight/bias grads come out of the kernel in f32 (see _dec_bwd_pallas);
+    # cast back to the primal dtype, and match the primal container types
+    d_cells = type(cell_params)(
+        jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), d_cells, list(cell_params)
+        )
+    )
+    d_out = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), d_out, out_dense
+    )
     d_init = type(init_states)(d_init)
     return d_cells, d_out, d_init, dstart
 
@@ -1025,7 +1033,6 @@ def _lstm_use_pallas(xp, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and xp.dtype == jnp.float32
         and _lstm_train_vmem_ok(xp.shape[1], h0.shape[-1])
     )
 
@@ -1095,7 +1102,8 @@ lstm_layer_train.defvjp(_llt_fwd, _llt_bwd)
 # shrink from (T,B,3H) to (T,B,Din) both ways.
 # ===========================================================================
 
-def _fwdx_kernel(x_ref, h0_ref, w_ref, b_ref, u_ref, seq_ref, h_s, *, act):
+def _fwdx_kernel(x_ref, h0_ref, w_ref, b_ref, u_ref, seq_ref, h_s, *, act,
+                 cast_x=False):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
@@ -1106,7 +1114,12 @@ def _fwdx_kernel(x_ref, h0_ref, w_ref, b_ref, u_ref, seq_ref, h_s, *, act):
 
     h = h_s[:]
     H = h.shape[-1]
-    xp = _dot(x_ref[0], w_ref[:]) + b_ref[:]
+    # cast_x: degenerate-K projections (D < 8, e.g. the 1-dim velocity
+    # input) lower to a broadcast-multiply, and Mosaic cannot broadcast a
+    # bf16 operand into the f32 result -- run those in f32 (w/b are cast by
+    # the wrapper; K<8 gets no MXU benefit from bf16 anyway)
+    x = x_ref[0].astype(jnp.float32) if cast_x else x_ref[0]
+    xp = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32)
     hu_zr = _dot(h, u_ref[:, : 2 * H])
     z = jax.nn.sigmoid(xp[:, :H] + hu_zr[:, :H])
     r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu_zr[:, H:])
@@ -1121,10 +1134,16 @@ def _fwdx_pallas(x, h0, w, b, u, activation, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     act = _activation(activation)
+    # 1-D bias enters the kernel in f32: an in-kernel astype gets folded
+    # into the broadcast by Mosaic, producing invalid mixed-type IR
+    b = b.astype(jnp.float32)
     T, B, D = x.shape
+    cast_x = D < 8 and x.dtype != jnp.float32
+    if cast_x:
+        w = w.astype(jnp.float32)
     H = h0.shape[-1]
     return pl.pallas_call(
-        functools.partial(_fwdx_kernel, act=act),
+        functools.partial(_fwdx_kernel, act=act, cast_x=cast_x),
         grid=(T,),
         out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
         in_specs=[
@@ -1209,7 +1228,10 @@ def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    b = b.astype(jnp.float32)  # see _fwdx_pallas
     T, B, D = x.shape
+    if D < 8 and x.dtype != jnp.float32:
+        w = w.astype(jnp.float32)  # degenerate-K dot: see _fwdx_kernel
     H = u.shape[0]
     f32 = jnp.float32
     rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
@@ -1220,9 +1242,12 @@ def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
         out_shape=(
             jax.ShapeDtypeStruct((T, B, D), x.dtype),        # dx
             jax.ShapeDtypeStruct((B, H), x.dtype),           # dh0
-            jax.ShapeDtypeStruct((D, 3 * H), w.dtype),       # dw
-            jax.ShapeDtypeStruct((3 * H,), b.dtype),         # db
-            jax.ShapeDtypeStruct((H, 3 * H), u.dtype),       # du
+            # weight/bias grads in f32 (bf16 stores with odd row counts /
+            # 1-row bias rows hit Mosaic's unimplemented subelement masking;
+            # the accumulators are f32 scratch anyway) -- cast in _glx_bwd
+            jax.ShapeDtypeStruct((D, 3 * H), jnp.float32),   # dw
+            jax.ShapeDtypeStruct((3 * H,), jnp.float32),     # db
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),   # du
         ),
         in_specs=[
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
@@ -1271,7 +1296,6 @@ def _x_use_pallas(x, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and x.dtype == jnp.float32
         and _x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
     )
 
@@ -1338,7 +1362,7 @@ def _glx_bwd(activation, return_sequences, interpret, residuals, g):
     dx, dh0, dw, db, du = _bwdx_pallas(
         x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences, interpret
     )
-    return dx, dh0, dw, db, du
+    return dx, dh0, dw.astype(w.dtype), db.astype(b.dtype), du.astype(u.dtype)
 
 
 gru_layer_train_x.defvjp(_glx_fwd, _glx_bwd)
@@ -1347,7 +1371,7 @@ gru_layer_train_x.defvjp(_glx_fwd, _glx_bwd)
 # ---- LSTM analog of the in-kernel x-projection layer kernels ----
 
 def _lstm_fwdx_kernel(x_ref, h0_ref, c0_ref, w_ref, b_ref, u_ref,
-                      hseq_ref, cseq_ref, h_s, c_s, *, act):
+                      hseq_ref, cseq_ref, h_s, c_s, *, act, cast_x=False):
     import jax.experimental.pallas as pl
 
     from .fused_lstm import _lstm_gates
@@ -1359,7 +1383,8 @@ def _lstm_fwdx_kernel(x_ref, h0_ref, c0_ref, w_ref, b_ref, u_ref,
         h_s[:] = h0_ref[:]
         c_s[:] = c0_ref[:]
 
-    xp = _dot(x_ref[0], w_ref[:]) + b_ref[:]
+    x = x_ref[0].astype(jnp.float32) if cast_x else x_ref[0]
+    xp = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32)
     new_h, new_c = _lstm_gates(xp, h_s[:], c_s[:], u_ref[:], act)
     h_s[:] = new_h.astype(h_s.dtype)
     c_s[:] = new_c.astype(c_s.dtype)
@@ -1372,13 +1397,17 @@ def _lstm_fwdx_pallas(x, h0, c0, w, b, u, activation, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     act = _activation(activation)
+    b = b.astype(jnp.float32)  # see _fwdx_pallas
     T, B, D = x.shape
+    cast_x = D < 8 and x.dtype != jnp.float32
+    if cast_x:
+        w = w.astype(jnp.float32)  # degenerate-K dot: see _fwdx_kernel
     H = h0.shape[-1]
     seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0),  # noqa: E731
                                  memory_space=pltpu.VMEM)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_lstm_fwdx_kernel, act=act),
+        functools.partial(_lstm_fwdx_kernel, act=act, cast_x=cast_x),
         grid=(T,),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), x.dtype),
@@ -1467,7 +1496,10 @@ def _lstm_bwdx_pallas(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    b = b.astype(jnp.float32)  # see _fwdx_pallas
     T, B, D = x.shape
+    if D < 8 and x.dtype != jnp.float32:
+        w = w.astype(jnp.float32)  # degenerate-K dot: see _fwdx_kernel
     H = u.shape[0]
     f32 = jnp.float32
     rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
@@ -1481,9 +1513,10 @@ def _lstm_bwdx_pallas(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final,
             jax.ShapeDtypeStruct((T, B, D), x.dtype),
             jax.ShapeDtypeStruct((B, H), x.dtype),
             jax.ShapeDtypeStruct((B, H), x.dtype),
-            jax.ShapeDtypeStruct((D, 4 * H), w.dtype),
-            jax.ShapeDtypeStruct((4 * H,), b.dtype),
-            jax.ShapeDtypeStruct((H, 4 * H), u.dtype),
+            # weight/bias grads in f32 (see _bwdx_pallas) -- cast in _llx_bwd
+            jax.ShapeDtypeStruct((D, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((4 * H,), jnp.float32),
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
@@ -1536,7 +1569,6 @@ def _lstm_x_use_pallas(x, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and x.dtype == jnp.float32
         and _lstm_x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
     )
 
@@ -1601,7 +1633,8 @@ def _llx_bwd(activation, return_sequences, interpret, residuals, g):
         x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, w, b, u,
         return_sequences, interpret,
     )
-    return dx, dh0, dc0, dw, db, du
+    return (dx, dh0, dc0, dw.astype(w.dtype), db.astype(b.dtype),
+            du.astype(u.dtype))
 
 
 lstm_layer_train_x.defvjp(_llx_fwd, _llx_bwd)
@@ -1642,8 +1675,14 @@ def _stack2_fwd_kernel(
         hh = act(xp[:, 2 * H :] + _dot(r * h, u[:, 2 * H :]))
         return z * h + (1.0 - z) * hh
 
-    h1 = gru(_dot(x_ref[0], w1_ref[:]) + b1_ref[:], h1_s[:], u1_ref[:])
-    h2 = gru(_dot(h1, w2_ref[:]) + b2_ref[:], h2_s[:], u2_ref[:])
+    h1 = gru(
+        _dot(x_ref[0], w1_ref[:]) + b1_ref[:].astype(jnp.float32),
+        h1_s[:], u1_ref[:],
+    )
+    h2 = gru(
+        _dot(h1, w2_ref[:]) + b2_ref[:].astype(jnp.float32),
+        h2_s[:], u2_ref[:],
+    )
     h1_s[:] = h1.astype(h1_s.dtype)
     h2_s[:] = h2.astype(h2_s.dtype)
     h1seq_ref[0] = h1.astype(h1seq_ref.dtype)
@@ -1655,6 +1694,8 @@ def _stack2_fwd_pallas(x, h01, h02, p1, p2, activation, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     act = _activation(activation)
+    p1 = dict(p1, b=p1["b"].astype(jnp.float32))  # see _fwdx_pallas
+    p2 = dict(p2, b=p2["b"].astype(jnp.float32))
     T, B, D = x.shape
     H = h01.shape[-1]
     seq = lambda d: pl.BlockSpec((1, B, d), lambda t: (t, 0, 0),  # noqa: E731
@@ -1740,6 +1781,8 @@ def _stack2_bwd_pallas(x, h1_seq, h1p_seq, h2p_seq, d_seq, d_final, p1, p2,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    p1 = dict(p1, b=p1["b"].astype(jnp.float32))  # see _fwdx_pallas
+    p2 = dict(p2, b=p2["b"].astype(jnp.float32))
     T, B, D = x.shape
     H = p1["u"].shape[0]
     f32 = jnp.float32
@@ -1757,12 +1800,13 @@ def _stack2_bwd_pallas(x, h1_seq, h1p_seq, h2p_seq, d_seq, d_final, p1, p2,
             jax.ShapeDtypeStruct((T, B, D), x.dtype),        # dx
             jax.ShapeDtypeStruct((B, H), x.dtype),           # dh01
             jax.ShapeDtypeStruct((B, H), x.dtype),           # dh02
-            jax.ShapeDtypeStruct((D, 3 * H), p1["w"].dtype),
-            jax.ShapeDtypeStruct((3 * H,), p1["b"].dtype),
-            jax.ShapeDtypeStruct((H, 3 * H), p1["u"].dtype),
-            jax.ShapeDtypeStruct((H, 3 * H), p2["w"].dtype),
-            jax.ShapeDtypeStruct((3 * H,), p2["b"].dtype),
-            jax.ShapeDtypeStruct((H, 3 * H), p2["u"].dtype),
+            # weight/bias grads in f32 (see _bwdx_pallas) -- cast in _gs2_bwd
+            jax.ShapeDtypeStruct((D, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((3 * H,), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((3 * H,), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
@@ -1808,7 +1852,9 @@ def _stack2_use_pallas(x, h01, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and x.dtype == jnp.float32
+        # degenerate-K bf16 projections are handled in the per-layer
+        # kernels, not here; the stack op is only used for wide inputs
+        and (x.dtype == jnp.float32 or x.shape[2] >= 8)
         and _stack2_vmem_ok(x.shape[1], x.shape[2], h01.shape[-1])
     )
 
@@ -1872,6 +1918,8 @@ def _gs2_bwd(activation, return_sequences, interpret, residuals, g):
     )
     dp1 = {"w": dw1, "b": db1, "u": du1}
     dp2 = {"w": dw2, "b": db2, "u": du2}
+    dp1 = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype), dp1, dict(p1))
+    dp2 = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype), dp2, dict(p2))
     return dx, dh01, dh02, dp1, dp2
 
 

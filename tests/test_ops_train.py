@@ -376,3 +376,99 @@ class TestGRUStack2TrainX:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6
             )
+
+
+class TestBf16TrainKernels:
+    """bf16 variants of the fused-train kernels (interpret mode).
+
+    On the real chip the weight/bias grads leave the kernels in f32 (Mosaic
+    cannot mask bf16 stores along subelements) and are cast back to the
+    primal dtype by the VJP wrappers; these tests pin that contract -- grads
+    come back in the primal dtype and match the jnp scan within bf16
+    tolerance. The Mosaic-lowering side (incl. the degenerate-K D=1
+    projection) is exercised by bench/tools on the TPU itself.
+    """
+
+    def test_decode_train_bf16_grad_dtypes_and_parity(self):
+        B, D, H, T = 4, 12, 16, 6
+        rng = np.random.RandomState(0)
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        bf16 = jnp.bfloat16
+        cells = [
+            jax.tree_util.tree_map(
+                lambda a: a.astype(bf16), GRUCell.init(ks[i], d, H)
+            )
+            for i, d in enumerate([D, H])
+        ]
+        out_dense = jax.tree_util.tree_map(
+            lambda a: a.astype(bf16), dense_init(ks[3], H, D)
+        )
+        states = [jnp.asarray(rng.randn(B, H), bf16) * 0.1 for _ in range(2)]
+        start = jnp.zeros((B, D), bf16)
+
+        def loss_kernel(cells, out_dense, states, start):
+            p, l = ft.gru_decode_train(
+                cells, out_dense, states, start, T, "tanh", "softmax", True
+            )
+            return jnp.sum(jnp.sin(p.astype(jnp.float32)))
+
+        def loss_ref(cells, out_dense, states, start):
+            p, l = _decode_scan_reference(
+                cells, out_dense, states, start, T, jnp.tanh,
+                _out_act_fn("softmax"),
+            )
+            return jnp.sum(jnp.sin(p.astype(jnp.float32)))
+
+        args = (cells, out_dense, states, start)
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(*args)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        # cotangents must match the primal dtypes (custom_vjp contract)
+        for g, p in zip(
+            jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(args)
+        ):
+            assert g.dtype == p.dtype, (g.dtype, p.dtype)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gr)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0.15, atol=0.02,
+            )
+
+    @pytest.mark.parametrize("D", [1, 12])
+    def test_layer_train_x_bf16_grad_dtypes(self, D):
+        # D=1 is the velocity-encoder case: degenerate-K projection runs in
+        # f32 inside the kernel (wrapper casts w/b) -- grads still bf16 out
+        T, B, H = 6, 4, 16
+        rng = np.random.RandomState(1)
+        bf16 = jnp.bfloat16
+        x = jnp.asarray(rng.randn(T, B, D), bf16) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H), bf16) * 0.1
+        w = jnp.asarray(rng.randn(D, 3 * H), bf16) * 0.1
+        b = jnp.zeros((3 * H,), bf16)
+        u = jnp.asarray(rng.randn(H, 3 * H), bf16) * 0.1
+
+        def via_kernel(*a):
+            return jnp.sum(
+                jnp.sin(ft.gru_layer_train_x(*a, "tanh", True, True)
+                        .astype(jnp.float32))
+            )
+
+        def via_ref(x, h0, w, b, u):
+            return jnp.sum(
+                jnp.sin(
+                    ft._gru_layer_reference_x(x, h0, w, b, u, jnp.tanh, True)
+                    .astype(jnp.float32)
+                )
+            )
+
+        args = (x, h0, w, b, u)
+        gk = jax.grad(via_kernel, argnums=tuple(range(5)))(*args)
+        gr = jax.grad(via_ref, argnums=tuple(range(5)))(*args)
+        for g, p in zip(gk, args):
+            assert g.dtype == p.dtype, (g.dtype, p.dtype)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                rtol=0.15, atol=0.02,
+            )
