@@ -1,13 +1,22 @@
 #!/usr/bin/env python
 """Benchmark: VAE training throughput in note-steps/sec/chip.
 
-Runs the full jitted training step (fwd + bwd + Adam) at reference scale --
-GRU(256)x2 encoder/decoder, latent 256, batch 256 windows x 64 unrolled
-note-steps (settings.py:108-140 of the reference) -- on the available
-device(s) and prints ONE JSON line:
+Measures the framework's PRODUCTION training path -- the device-resident
+multi-epoch driver (``VAETrainer.run_epochs_device``: whole epochs per
+device dispatch, history pass + shuffle + optimizer scan inside one jitted
+program; this is what ``train.py`` runs) -- at reference scale: GRU(256)x2
+encoder/decoder, latent 256, batch 256 windows x 64 unrolled note-steps
+(settings.py:108-140 of the reference). Prints ONE JSON line:
 
     {"metric": "vae_train_note_steps_per_sec_per_chip", "value": N,
      "unit": "note-steps/s/chip", "vs_baseline": N / 50000.0}
+
+Methodology: the dataset (4096 windows) is uploaded once; each timed window
+runs E=10 full epochs in one device call. Per-dispatch overhead of the dev
+environment's tunneled TPU (a ~5 ms floor per host->device call, unrelated
+to the chip) is amortized away exactly as it is in real training. The BEST
+of 7 timing windows is reported: the shared chip is time-sliced with other
+tenants, so interference only ever adds time.
 
 Baseline: the driver north-star of >= 50k note-steps/sec/chip
 (/root/repo/BASELINE.json); the reference publishes no numbers (BASELINE.md).
@@ -21,14 +30,11 @@ import time
 
 def main() -> None:
     import jax
-    import numpy as np
 
     from midi_vae_tpu.config import Config
-    from midi_vae_tpu.parallel import make_mesh, shard_batch
+    from midi_vae_tpu.parallel import make_mesh
     from midi_vae_tpu.training import VAETrainer
     from midi_vae_tpu.utils.synthetic import synthetic_flat
-    from midi_vae_tpu.parallel.mesh import pad_batch_to
-    from midi_vae_tpu.training.trainer import _slice_batch
 
     n_chips = len(jax.devices())
     cfg = Config(batch_size=256 * n_chips)
@@ -36,39 +42,29 @@ def main() -> None:
     trainer = VAETrainer(cfg, mesh=mesh)
     state = trainer.init_state(seed=0)
 
-    flat = synthetic_flat(cfg, n_songs=8, windows_per_song=cfg.batch_size // 8)
-    idx = np.arange(cfg.batch_size)
-    batch = _slice_batch(flat, idx, cfg, None)
-    batch, mask = pad_batch_to(batch, cfg.batch_size)
-    batch["M"] = mask
-    batch = shard_batch(batch, mesh)
+    n_windows = 16 * cfg.batch_size  # 16 optimizer steps per epoch
+    flat = synthetic_flat(cfg, n_songs=64, windows_per_song=n_windows // 64)
+    data = trainer.prepare_device_data(flat)
 
-    # warmup / compile
-    for _ in range(3):
-        state.params, state.opt_state, state.rng, metrics = trainer.train_step(
-            state.params, state.opt_state, batch, state.rng
+    epochs_per_call = 10
+
+    def one_call():
+        return trainer.run_epochs_device(
+            state, data, flat.num_windows, epochs_per_call, shuffle=True
         )
-    jax.block_until_ready(metrics["loss"])
 
-    # BEST of repeated windows: the tunneled chip is time-sliced with other
-    # tenants and a shared host drives dispatch, so interference only ever
-    # ADDS time -- the fastest window is the closest unbiased estimate of
-    # the machine's actual step time (single windows swing 2-4x)
-    iters, reps = 10, 9
+    one_call()  # compile + warmup
     times = []
-    for _ in range(reps):
+    for _ in range(7):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state.params, state.opt_state, state.rng, metrics = (
-                trainer.train_step(
-                    state.params, state.opt_state, batch, state.rng
-                )
-            )
-        jax.block_until_ready(metrics["loss"])
-        times.append((time.perf_counter() - t0) / iters)
+        per_epoch = one_call()
+        # run_epochs_device fetches metrics eagerly; the state is updated
+        # in place and metrics are host-side -> the call is synchronous
+        assert len(per_epoch) == epochs_per_call
+        times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    note_steps = cfg.batch_size * cfg.output_length
+    note_steps = flat.num_windows * cfg.output_length * epochs_per_call
     per_chip = note_steps / dt / n_chips
     print(
         json.dumps(
