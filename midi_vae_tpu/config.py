@@ -161,14 +161,16 @@ class Config:
     # separate scans when the Pallas fused steps are on, so default off
     merge_decoder_scans: bool = False
     # whole-layer train kernels (fused fwd + fused scan-transpose bwd,
-    # ops/fused_train) for the ENCODER layers / the wide (dim >= 8) DECODER
+    # ops/fused_train) for the ENCODER layers / the DECODER
     # heads; independently A/B-able against the per-step kernel paths.
     # Interleaved medians on v5e (B=256, f32): encoder kernels 2.53 -> 3.27M
     # note-steps/s/chip; decoder kernels a further ~12% on the notes head
-    # (3.99 vs 4.51 ms/grad). Narrow heads (velocity D=1) keep the per-step
-    # path -- their stream blocks lane-pad to 128 and lose. Both f32 and
-    # bf16 take these kernels (weight/bias grads are emitted f32 from the
-    # kernel and cast back to the compute dtype outside).
+    # (3.99 vs 4.51 ms/grad). ALL heads take the whole-head kernels,
+    # including the narrow ones (velocity D=1, held D=2) -- device-side
+    # tracing shows the kernel pair beats the 64-iteration device loop the
+    # per-step path compiles to. Both f32 and bf16 take these kernels
+    # (weight/bias grads are emitted f32 from the kernel and cast back to
+    # the compute dtype outside).
     fused_train_encoder: bool = True
     fused_train_decoder: bool = True
 

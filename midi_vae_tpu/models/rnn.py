@@ -40,6 +40,7 @@ def encode_sequence(
     fused: bool = False,
     whole_scan: bool = False,
     fused_train: bool = True,
+    inference: bool = False,
 ) -> jnp.ndarray:
     """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
 
@@ -60,17 +61,17 @@ def encode_sequence(
         if bidirectional and not is_last:
             fwd = _scan_layer(
                 cell, p["fwd"], h, activation, True, fused, whole_scan,
-                fused_train,
+                fused_train, inference,
             )
             bwd = _scan_layer(
                 cell, p["bwd"], h[:, ::-1, :], activation, True, fused,
-                whole_scan, fused_train,
+                whole_scan, fused_train, inference,
             )[:, ::-1, :]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             h = _scan_layer(
                 cell, p, h, activation, not is_last, fused, whole_scan,
-                fused_train,
+                fused_train, inference,
             )
     return h
 
@@ -78,16 +79,21 @@ def encode_sequence(
 def _scan_layer(
     cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
     fused: bool = False, whole_scan: bool = False, fused_train: bool = True,
+    inference: bool = False,
 ):
     """One RNN layer over (B, T, D).
 
     Dispatch (fastest first):
+      * inference: ONE whole-layer forward kernel with the x-projection
+        computed in-kernel (ops/fused_train ``*_layer_infer_x`` -- no
+        (T,B,gates) xp materialized in HBM, no time-major transpose of it;
+        rs=False layers emit only the final h),
       * training with ``fused_train`` (default): ONE whole-layer Pallas
         kernel each way with the x-projection computed in-kernel
-        (ops/fused_train ``*_layer_train_x`` -- W resident in VMEM, streams
-        are (T,B,D) not (T,B,gates)),
-      * inference (``whole_scan``): whole-layer forward kernels over the
-        precomputed x-projection (ops/fused_decoder / ops/fused_lstm),
+        (ops/fused_train ``*_layer_train_x``),
+      * ``whole_scan`` without ``inference`` (bf16 with train kernels
+        disabled): whole-layer forward kernels over the precomputed
+        x-projection, remat backward (ops/fused_decoder / ops/fused_lstm),
       * ``fused`` without train kernels: per-step Pallas kernels inside a
         lax.scan,
       * otherwise: the plain jnp cell scan."""
@@ -95,6 +101,26 @@ def _scan_layer(
     B, T, _D = xs.shape
     hidden = p["u"].shape[0]
     init = zero_states(cell, B, hidden, xs.dtype)
+
+    if fused and inference:
+        # inference: in-kernel projection forward, no residuals, no xp HBM
+        if cell.num_states == 2:  # LSTM
+            from ..ops.fused_train import lstm_layer_infer_x
+
+            out = lstm_layer_infer_x(
+                jnp.swapaxes(xs, 0, 1), init[0], init[1], p["w"], p["b"],
+                p["u"], activation, return_sequences,
+            )
+        else:
+            from ..ops.fused_train import gru_layer_infer_x
+
+            out = gru_layer_infer_x(
+                jnp.swapaxes(xs, 0, 1), init[0], p["w"], p["b"], p["u"],
+                activation, return_sequences,
+            )
+        if return_sequences:
+            return jnp.swapaxes(out, 0, 1)
+        return out
 
     if fused and fused_train and not whole_scan:
         # training path: whole-layer kernels BOTH ways with IN-KERNEL

@@ -192,18 +192,18 @@ class MidiVAE:
         self, params: Params, batch: dict, inference: bool = False
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """X/I/V/D -> (z_mean, z_log_var). ``inference`` enables the
-        whole-layer encoder kernels (fast forward, remat backward)."""
+        in-kernel-projection whole-layer forward kernels (no residuals, no
+        xp materialized in HBM; rs=False layers emit only the final h)."""
         cfg = self.cfg
         enc = params["encoder"]
         x = batch["X"]
         fused = self._pallas_enabled()
-        # whole-layer INFERENCE kernels (no residual output): inference paths
-        # only -- training uses the fused_train kernels (fused bwd) when
-        # fused_train_encoder is on, else per-step; the old rule "whole-scan
-        # + remat bwd for bf16 training" only still applies when the train
-        # kernels are explicitly disabled
-        ws = inference or (
-            fused
+        # whole-scan-over-precomputed-xp kernels (remat backward) only still
+        # apply when bf16 training explicitly disables the train kernels;
+        # inference now takes the in-kernel-projection forward kernels
+        ws = (
+            not inference
+            and fused
             and not cfg.fused_train_encoder
             and cfg.compute_dtype == "bfloat16"
         )
@@ -213,19 +213,20 @@ class MidiVAE:
         h = encode_sequence(
             enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
             cfg.bidirectional, fused=fused, whole_scan=ws, fused_train=ftr,
+            inference=inference,
         )
         parts = [h]
         if cfg.meta_instrument:
             parts.append(
-                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr)
+                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr, inference=inference)
             )
         if cfg.meta_velocity:
             parts.append(
-                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr)
+                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr, inference=inference)
             )
         if cfg.meta_held_notes:
             parts.append(
-                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr)
+                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr, inference=inference)
             )
         if len(parts) > 1:
             h = jnp.concatenate(parts, axis=-1)
@@ -371,7 +372,6 @@ class MidiVAE:
                 and cfg.cell_type == "GRU"
                 and gt is None
                 and out_activation in ("softmax", "sigmoid", "linear")
-                and head_dim >= 8  # narrow heads: per-step wins (fused_train)
             ):
                 # training path: whole-head kernels BOTH ways (fused forward
                 # + fused scan-transpose backward, ops/fused_train)

@@ -115,26 +115,29 @@ def _fwd_pallas(xp, h0, u, activation, interpret):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    xp_ref, hprev_ref, dseq_ref, dfinal_ref, u_ref,
+    xp_ref, hseq_ref, h0_ref, dseq_ref, dfinal_ref, u_ref,
     dxp_ref, dh0_ref, du_ref,
-    dh_s, du_s,
+    dh_s,
     *, return_sequences,
 ):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)           # 0 .. T-1, walking t = T-1 .. 0
     H = dh_s.shape[-1]
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
-        du_s[:] = jnp.zeros_like(du_s)
+        du_ref[:] = jnp.zeros_like(du_ref)
         if return_sequences:
             dh_s[:] = jnp.zeros_like(dh_s)
         else:
             dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
 
     xp = xp_ref[0]
-    h = hprev_ref[0]                  # h_{t-1}
+    # h_{t-1} straight from the forward h sequence (shifted index map);
+    # h0 substituted at the final grid step (t=0) -- see _bwdx_kernel
+    h = jnp.where(step == last, h0_ref[:], hseq_ref[0])
     u = u_ref[:]
 
     # recompute gates (f32 math)
@@ -157,19 +160,18 @@ def _bwd_kernel(
     da_zr = jnp.concatenate([da_z, da_r], axis=-1)
 
     dxp_ref[0] = jnp.concatenate([da_zr, da], axis=-1).astype(dxp_ref.dtype)
-    du_s[:, : 2 * H] += _outer_acc(h, da_zr)
-    du_s[:, 2 * H :] += _outer_acc(rh, da)
+    du_ref[:, : 2 * H] += _outer_acc(h, da_zr)
+    du_ref[:, 2 * H :] += _outer_acc(rh, da)
 
     new_dh = dh * z + drh * r + _dot_t(da_zr, u[:, : 2 * H])
     dh_s[:] = new_dh.astype(dh_s.dtype)
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
-        du_ref[:] = du_s[:].astype(du_ref.dtype)
 
 
-def _bwd_pallas(xp, h_prev_seq, d_seq, d_final, u, return_sequences, interpret):
+def _bwd_pallas(xp, seq, h0, d_seq, d_final, u, return_sequences, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -180,7 +182,7 @@ def _bwd_pallas(xp, h_prev_seq, d_seq, d_final, u, return_sequences, interpret):
     out_shape = (
         jax.ShapeDtypeStruct((T, B, 3 * H), xp.dtype),   # dxp
         jax.ShapeDtypeStruct((B, H), xp.dtype),          # dh0
-        jax.ShapeDtypeStruct((H, 3 * H), u.dtype),       # du
+        jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),   # du (f32 accum)
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, return_sequences=return_sequences),
@@ -188,7 +190,8 @@ def _bwd_pallas(xp, h_prev_seq, d_seq, d_final, u, return_sequences, interpret):
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),  # xp
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),      # hprev
+            _hprev_spec(T, B, H),                                       # h seq
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # h0
             # the unread cotangent (static return_sequences guards it) is a
             # dummy pinned to block 0 -- no per-step HBM traffic for it
             pl.BlockSpec(
@@ -206,10 +209,9 @@ def _bwd_pallas(xp, h_prev_seq, d_seq, d_final, u, return_sequences, interpret):
         ),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),        # dh carry
-            pltpu.VMEM((H, 3 * H), jnp.float32),    # dU accumulator
         ],
         interpret=interpret,
-    )(xp, h_prev_seq, d_seq, d_final, u)
+    )(xp, seq, h0, d_seq, d_final, u)
 
 
 def _train_vmem_ok(B: int, H: int) -> bool:
@@ -273,7 +275,6 @@ def _glt_bwd(activation, return_sequences, interpret, residuals, g):
         (vjp,) = residuals
         return vjp(g)
     xp, h0, u, seq = residuals
-    h_prev_seq = jnp.concatenate([h0[None], seq[:-1]], axis=0)
     if return_sequences:
         d_seq = g
         d_final = jnp.zeros_like(h0)
@@ -281,9 +282,9 @@ def _glt_bwd(activation, return_sequences, interpret, residuals, g):
         d_seq = jnp.zeros_like(seq[:1])  # dummy block, never read
         d_final = g
     dxp, dh0, du = _bwd_pallas(
-        xp, h_prev_seq, d_seq, d_final, u, return_sequences, interpret
+        xp, seq, h0, d_seq, d_final, u, return_sequences, interpret
     )
-    return dxp, dh0, du
+    return dxp, dh0, du.astype(u.dtype)
 
 
 gru_layer_train.defvjp(_glt_fwd, _glt_bwd)
@@ -488,31 +489,32 @@ def _dec_fwd_pallas(cell_params, out_dense, init_states, start, T,
 # ---- backward kernels ----
 
 def _dec_bwd2_kernel(
-    x_ref, h1_ref, h1p_ref, h2_ref, h2p_ref, probs_ref, gp_ref, gl_ref,
+    xprev_ref, h1_ref, h1p_ref, h2_ref, h2p_ref, probs_ref, gp_ref, gl_ref,
+    start_ref, i1_ref, i2_ref,
     w1_ref, u1_ref, b1_ref, w2_ref, u2_ref, b2_ref, wo_ref,
     dw1_ref, du1_ref, db1_ref, dw2_ref, du2_ref, db2_ref,
     dwo_ref, dbo_ref, di1_ref, di2_ref, dstart_ref,
     dh1_s, dh2_s, dx_s,
-    dw1_s, du1_s, db1_s, dw2_s, du2_s, db2_s, dwo_s, dbo_s,
     *, out_act_name,
 ):
+    """Reverse-time decode transpose. Step-(t-1) feedback/hiddens come from
+    the forward sequences via SHIFTED index maps with start/init states
+    substituted at the last grid step (t=0); the weight/bias grads
+    accumulate directly in their pinned f32 output refs (no scratch
+    duplicates) -- see _bwdx_kernel."""
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
         dh1_s[:] = jnp.zeros_like(dh1_s)
         dh2_s[:] = jnp.zeros_like(dh2_s)
         dx_s[:] = jnp.zeros_like(dx_s)
-        dw1_s[:] = jnp.zeros_like(dw1_s)
-        du1_s[:] = jnp.zeros_like(du1_s)
-        db1_s[:] = jnp.zeros_like(db1_s)
-        dw2_s[:] = jnp.zeros_like(dw2_s)
-        du2_s[:] = jnp.zeros_like(du2_s)
-        db2_s[:] = jnp.zeros_like(db2_s)
-        dwo_s[:] = jnp.zeros_like(dwo_s)
-        dbo_s[:] = jnp.zeros_like(dbo_s)
+        for ref in (dw1_ref, du1_ref, db1_ref, dw2_ref, du2_ref, db2_ref,
+                    dwo_ref, dbo_ref):
+            ref[:] = jnp.zeros_like(ref)
 
     probs = probs_ref[0].astype(jnp.float32)
     gp_total = gp_ref[0].astype(jnp.float32) + dx_s[:]
@@ -520,65 +522,60 @@ def _dec_bwd2_kernel(
                          out_act_name)
 
     h2 = h2_ref[0]
-    dwo_s[:] += _outer_acc(h2.astype(jnp.float32), dlog)
-    dbo_s[:] += jnp.sum(dlog, axis=0, keepdims=True)
+    dwo_ref[:] += _outer_acc(h2.astype(jnp.float32), dlog)
+    dbo_ref[:] += jnp.sum(dlog, axis=0, keepdims=True)
     dh2 = _dot_t(dlog, wo_ref[:]) + dh2_s[:]
 
+    is_first_t = step == last
     h1 = h1_ref[0]
+    h2p = jnp.where(is_first_t, i2_ref[:], h2p_ref[0])
     dx2, dh2p, dW2, dU2, db2 = _gru_cell_bwd(
-        h1, h2p_ref[0], w2_ref[:], u2_ref[:], b2_ref[:], dh2
+        h1, h2p, w2_ref[:], u2_ref[:], b2_ref[:], dh2
     )
-    dw2_s[:] += dW2
-    du2_s[:] += dU2
-    db2_s[:] += db2
+    dw2_ref[:] += dW2
+    du2_ref[:] += dU2
+    db2_ref[:] += db2
 
     dh1 = dx2 + dh1_s[:]
+    x = jnp.where(is_first_t, start_ref[:], xprev_ref[0])
+    h1p = jnp.where(is_first_t, i1_ref[:], h1p_ref[0])
     dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(
-        x_ref[0], h1p_ref[0], w1_ref[:], u1_ref[:], b1_ref[:], dh1
+        x, h1p, w1_ref[:], u1_ref[:], b1_ref[:], dh1
     )
-    dw1_s[:] += dW1
-    du1_s[:] += dU1
-    db1_s[:] += db1
+    dw1_ref[:] += dW1
+    du1_ref[:] += dU1
+    db1_ref[:] += db1
 
     dh1_s[:] = dh1p
     dh2_s[:] = dh2p
     dx_s[:] = dx1
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         di1_ref[:] = dh1p.astype(di1_ref.dtype)
         di2_ref[:] = dh2p.astype(di2_ref.dtype)
         dstart_ref[:] = dx1.astype(dstart_ref.dtype)
-        dw1_ref[:] = dw1_s[:].astype(dw1_ref.dtype)
-        du1_ref[:] = du1_s[:].astype(du1_ref.dtype)
-        db1_ref[:] = db1_s[0].astype(db1_ref.dtype)
-        dw2_ref[:] = dw2_s[:].astype(dw2_ref.dtype)
-        du2_ref[:] = du2_s[:].astype(du2_ref.dtype)
-        db2_ref[:] = db2_s[0].astype(db2_ref.dtype)
-        dwo_ref[:] = dwo_s[:].astype(dwo_ref.dtype)
-        dbo_ref[:] = dbo_s[0].astype(dbo_ref.dtype)
 
 
 def _dec_bwd1_kernel(
-    x_ref, h1_ref, h1p_ref, probs_ref, gp_ref, gl_ref,
+    xprev_ref, h1_ref, h1p_ref, probs_ref, gp_ref, gl_ref,
+    start_ref, i1_ref,
     w1_ref, u1_ref, b1_ref, wo_ref,
     dw1_ref, du1_ref, db1_ref, dwo_ref, dbo_ref, di1_ref, dstart_ref,
-    dh1_s, dx_s, dw1_s, du1_s, db1_s, dwo_s, dbo_s,
+    dh1_s, dx_s,
     *, out_act_name,
 ):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
         dh1_s[:] = jnp.zeros_like(dh1_s)
         dx_s[:] = jnp.zeros_like(dx_s)
-        dw1_s[:] = jnp.zeros_like(dw1_s)
-        du1_s[:] = jnp.zeros_like(du1_s)
-        db1_s[:] = jnp.zeros_like(db1_s)
-        dwo_s[:] = jnp.zeros_like(dwo_s)
-        dbo_s[:] = jnp.zeros_like(dbo_s)
+        for ref in (dw1_ref, du1_ref, db1_ref, dwo_ref, dbo_ref):
+            ref[:] = jnp.zeros_like(ref)
 
     probs = probs_ref[0].astype(jnp.float32)
     gp_total = gp_ref[0].astype(jnp.float32) + dx_s[:]
@@ -586,28 +583,26 @@ def _dec_bwd1_kernel(
                          out_act_name)
 
     h1 = h1_ref[0]
-    dwo_s[:] += _outer_acc(h1.astype(jnp.float32), dlog)
-    dbo_s[:] += jnp.sum(dlog, axis=0, keepdims=True)
+    dwo_ref[:] += _outer_acc(h1.astype(jnp.float32), dlog)
+    dbo_ref[:] += jnp.sum(dlog, axis=0, keepdims=True)
     dh1 = _dot_t(dlog, wo_ref[:]) + dh1_s[:]
 
+    is_first_t = step == last
+    x = jnp.where(is_first_t, start_ref[:], xprev_ref[0])
+    h1p = jnp.where(is_first_t, i1_ref[:], h1p_ref[0])
     dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(
-        x_ref[0], h1p_ref[0], w1_ref[:], u1_ref[:], b1_ref[:], dh1
+        x, h1p, w1_ref[:], u1_ref[:], b1_ref[:], dh1
     )
-    dw1_s[:] += dW1
-    du1_s[:] += dU1
-    db1_s[:] += db1
+    dw1_ref[:] += dW1
+    du1_ref[:] += dU1
+    db1_ref[:] += db1
     dh1_s[:] = dh1p
     dx_s[:] = dx1
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         di1_ref[:] = dh1p.astype(di1_ref.dtype)
         dstart_ref[:] = dx1.astype(dstart_ref.dtype)
-        dw1_ref[:] = dw1_s[:].astype(dw1_ref.dtype)
-        du1_ref[:] = du1_s[:].astype(du1_ref.dtype)
-        db1_ref[:] = db1_s[0].astype(db1_ref.dtype)
-        dwo_ref[:] = dwo_s[:].astype(dwo_ref.dtype)
-        dbo_ref[:] = dbo_s[0].astype(dbo_ref.dtype)
 
 
 def _dec_bwd_pallas(cell_params, out_dense, init_states, start,
@@ -622,89 +617,79 @@ def _dec_bwd_pallas(cell_params, out_dense, init_states, start,
     f32 = jnp.float32
     rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
     seq = lambda d: pl.BlockSpec((1, B, d), rev, memory_space=pltpu.VMEM)  # noqa: E731
+    prev = lambda d: pl.BlockSpec(  # noqa: E731  -- t-1 via shifted map
+        (1, B, d), lambda s: (jnp.maximum(T - 2 - s, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     mat = lambda s: pl.BlockSpec(s, lambda t: tuple(0 for _ in s),  # noqa: E731
                                  memory_space=pltpu.VMEM)
 
-    x_seq = jnp.concatenate([start[None], probs[:-1]], axis=0)
-    hp_seqs = [
-        jnp.concatenate([init_states[i][None], h_seqs[i][:-1]], axis=0)
-        for i in range(n_layers)
-    ]
-
     # weight/bias grads leave the kernel in f32 regardless of the compute
     # dtype: Mosaic cannot mask bf16 stores along subelements (odd row
-    # counts like dw1's D=61, and the 1-row bias grads), and the
-    # accumulators are f32 scratch anyway. The VJP wrapper casts them back
-    # to the primal dtype outside the kernel.
-    wd = lambda p: jnp.float32  # noqa: E731
-
+    # counts like dw1's D=61, and the 1-row bias grads), and accumulation
+    # is f32 anyway (directly in the pinned output refs). The VJP wrapper
+    # casts them back to the primal dtype outside the kernel.
     if n_layers == 2:
         kernel = functools.partial(_dec_bwd2_kernel, out_act_name=out_activation)
         inputs = (
-            x_seq, h_seqs[0], hp_seqs[0], h_seqs[1], hp_seqs[1],
+            probs, h_seqs[0], h_seqs[0], h_seqs[1], h_seqs[1],
             probs, g_probs, g_logits,
+            start, init_states[0], init_states[1],
             cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
             cell_params[1]["w"], cell_params[1]["u"], cell_params[1]["b"],
             out_dense["w"],
         )
-        in_specs = [seq(D), seq(H), seq(H), seq(H), seq(H),
-                    seq(D), seq(D), seq(D)] + [vm] * 7
+        in_specs = [prev(D), seq(H), prev(H), seq(H), prev(H),
+                    seq(D), seq(D), seq(D)] + [vm] * 10
         out_shape = (
-            jax.ShapeDtypeStruct((D, 3 * H), wd(cell_params[0]["w"])),   # dw1
-            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[0]["u"])),   # du1
-            jax.ShapeDtypeStruct((3 * H,), wd(cell_params[0]["b"])),     # db1
-            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[1]["w"])),   # dw2
-            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[1]["u"])),   # du2
-            jax.ShapeDtypeStruct((3 * H,), wd(cell_params[1]["b"])),     # db2
-            jax.ShapeDtypeStruct((H, D), wd(out_dense["w"])),            # dwo
-            jax.ShapeDtypeStruct((D,), wd(out_dense["b"])),              # dbo
-            jax.ShapeDtypeStruct((B, H), start.dtype),                   # di1
-            jax.ShapeDtypeStruct((B, H), start.dtype),                   # di2
-            jax.ShapeDtypeStruct((B, D), start.dtype),                   # dstart
+            jax.ShapeDtypeStruct((D, 3 * H), f32),       # dw1
+            jax.ShapeDtypeStruct((H, 3 * H), f32),       # du1
+            jax.ShapeDtypeStruct((1, 3 * H), f32),       # db1
+            jax.ShapeDtypeStruct((H, 3 * H), f32),       # dw2
+            jax.ShapeDtypeStruct((H, 3 * H), f32),       # du2
+            jax.ShapeDtypeStruct((1, 3 * H), f32),       # db2
+            jax.ShapeDtypeStruct((H, D), f32),           # dwo
+            jax.ShapeDtypeStruct((1, D), f32),           # dbo
+            jax.ShapeDtypeStruct((B, H), start.dtype),   # di1
+            jax.ShapeDtypeStruct((B, H), start.dtype),   # di2
+            jax.ShapeDtypeStruct((B, D), start.dtype),   # dstart
         )
         out_specs = (
-            mat((D, 3 * H)), mat((H, 3 * H)), mat((3 * H,)),
-            mat((H, 3 * H)), mat((H, 3 * H)), mat((3 * H,)),
-            mat((H, D)), mat((D,)),
+            mat((D, 3 * H)), mat((H, 3 * H)), mat((1, 3 * H)),
+            mat((H, 3 * H)), mat((H, 3 * H)), mat((1, 3 * H)),
+            mat((H, D)), mat((1, D)),
             mat((B, H)), mat((B, H)), mat((B, D)),
         )
         scratch = [
             pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32),
             pltpu.VMEM((B, D), f32),
-            pltpu.VMEM((D, 3 * H), f32), pltpu.VMEM((H, 3 * H), f32),
-            pltpu.VMEM((1, 3 * H), f32),
-            pltpu.VMEM((H, 3 * H), f32), pltpu.VMEM((H, 3 * H), f32),
-            pltpu.VMEM((1, 3 * H), f32),
-            pltpu.VMEM((H, D), f32), pltpu.VMEM((1, D), f32),
         ]
     else:
         kernel = functools.partial(_dec_bwd1_kernel, out_act_name=out_activation)
         inputs = (
-            x_seq, h_seqs[0], hp_seqs[0], probs, g_probs, g_logits,
+            probs, h_seqs[0], h_seqs[0], probs, g_probs, g_logits,
+            start, init_states[0],
             cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
             out_dense["w"],
         )
-        in_specs = [seq(D), seq(H), seq(H), seq(D), seq(D), seq(D)] + [vm] * 4
+        in_specs = [prev(D), seq(H), prev(H), seq(D), seq(D), seq(D)] + [vm] * 6
         out_shape = (
-            jax.ShapeDtypeStruct((D, 3 * H), wd(cell_params[0]["w"])),   # dw1
-            jax.ShapeDtypeStruct((H, 3 * H), wd(cell_params[0]["u"])),   # du1
-            jax.ShapeDtypeStruct((3 * H,), wd(cell_params[0]["b"])),     # db1
-            jax.ShapeDtypeStruct((H, D), wd(out_dense["w"])),            # dwo
-            jax.ShapeDtypeStruct((D,), wd(out_dense["b"])),              # dbo
-            jax.ShapeDtypeStruct((B, H), start.dtype),                   # di1
-            jax.ShapeDtypeStruct((B, D), start.dtype),                   # dstart
+            jax.ShapeDtypeStruct((D, 3 * H), f32),       # dw1
+            jax.ShapeDtypeStruct((H, 3 * H), f32),       # du1
+            jax.ShapeDtypeStruct((1, 3 * H), f32),       # db1
+            jax.ShapeDtypeStruct((H, D), f32),           # dwo
+            jax.ShapeDtypeStruct((1, D), f32),           # dbo
+            jax.ShapeDtypeStruct((B, H), start.dtype),   # di1
+            jax.ShapeDtypeStruct((B, D), start.dtype),   # dstart
         )
         out_specs = (
-            mat((D, 3 * H)), mat((H, 3 * H)), mat((3 * H,)),
-            mat((H, D)), mat((D,)),
+            mat((D, 3 * H)), mat((H, 3 * H)), mat((1, 3 * H)),
+            mat((H, D)), mat((1, D)),
             mat((B, H)), mat((B, D)),
         )
         scratch = [
             pltpu.VMEM((B, H), f32), pltpu.VMEM((B, D), f32),
-            pltpu.VMEM((D, 3 * H), f32), pltpu.VMEM((H, 3 * H), f32),
-            pltpu.VMEM((1, 3 * H), f32),
-            pltpu.VMEM((H, D), f32), pltpu.VMEM((1, D), f32),
         ]
 
     return pl.pallas_call(
@@ -719,14 +704,15 @@ def _dec_bwd_pallas(cell_params, out_dense, init_states, start,
 
 
 def _dec_train_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
-    # the bwd kernel's VMEM residency: weights + (f32 grad accumulators +
-    # pinned grad outputs) + double-buffered per-step stream blocks + gate
-    # temporaries + f32 carries. Verified to compile at reference scale
-    # (B=256, D=61, H=256, 2 layers ~= 14.7 MB) on v5e (16 MB/core).
+    # the bwd kernel's VMEM residency: weights + pinned f32 grad outputs
+    # (accumulated in place, no scratch duplicates) + double-buffered
+    # per-step stream blocks + gate temporaries + f32 carries. Verified to
+    # compile at reference scale (B=256, D=61, H=256, 2 layers) on v5e
+    # (16 MB/core).
     weights = (
         D * 3 * H + (n_layers - 1) * H * 3 * H + n_layers * H * 3 * H + H * D
     )
-    grads = 2 * weights + 2 * (n_layers * 3 * H + D)
+    grads = weights + (n_layers * 3 * H + D)
     streams = 2 * (4 * B * D + 2 * n_layers * B * H)
     temps = 4 * B * 3 * H + 2 * B * H
     carries = n_layers * B * H + B * D
@@ -742,12 +728,11 @@ def _dec_use_pallas(cell_params, start, init_states, activation,
         return False
     B, D = start.shape
     H = init_states[0].shape[-1]
-    # narrow heads (velocity D=1, held D=2) lose: six streamed blocks per
-    # step are lane-padded to 128, turning ~0 bytes into ~128KB/step of HBM
-    # traffic (measured 4.1ms fused vs 2.6ms per-step at D=1); the per-step
-    # path stays faster there
-    if D < 8:
-        return False
+    # narrow heads (velocity D=1, held D=2) take this kernel too: earlier
+    # per-call timing suggested the lane-padded streams lose, but that
+    # measurement was dominated by the dev tunnel's per-dispatch floor --
+    # device-side tracing shows the whole-head kernel replaces a ~0.5 ms
+    # 64-iteration device loop with a ~0.3 ms kernel pair
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
@@ -818,15 +803,15 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
     if len(cell_params) == 2:
         (dw1, du1, db1, dw2, du2, db2, dwo, dbo, di1, di2, dstart) = outs
         d_cells = [
-            {"w": dw1, "u": du1, "b": db1},
-            {"w": dw2, "u": du2, "b": db2},
+            {"w": dw1, "u": du1, "b": db1[0]},
+            {"w": dw2, "u": du2, "b": db2[0]},
         ]
         d_init = [di1, di2]
     else:
         (dw1, du1, db1, dwo, dbo, di1, dstart) = outs
-        d_cells = [{"w": dw1, "u": du1, "b": db1}]
+        d_cells = [{"w": dw1, "u": du1, "b": db1[0]}]
         d_init = [di1]
-    d_out = {"w": dwo, "b": dbo}
+    d_out = {"w": dwo, "b": dbo[0]}
     # weight/bias grads come out of the kernel in f32 (see _dec_bwd_pallas);
     # cast back to the primal dtype, and match the primal container types
     d_cells = type(cell_params)(
@@ -914,19 +899,21 @@ def _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret):
 
 
 def _lstm_bwd_kernel(
-    xp_ref, hprev_ref, cprev_ref, cseq_ref, dseq_ref, dfinal_ref, u_ref,
+    xp_ref, hseq_ref, cseq_prev_ref, cseq_ref, dseq_ref, dfinal_ref,
+    h0_ref, c0_ref, u_ref,
     dxp_ref, dh0_ref, dc0_ref, du_ref,
-    dh_s, dc_s, du_s,
+    dh_s, dc_s,
     *, return_sequences,
 ):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
     H = dh_s.shape[-1]
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
-        du_s[:] = jnp.zeros_like(du_s)
+        du_ref[:] = jnp.zeros_like(du_ref)
         dc_s[:] = jnp.zeros_like(dc_s)
         if return_sequences:
             dh_s[:] = jnp.zeros_like(dh_s)
@@ -934,8 +921,11 @@ def _lstm_bwd_kernel(
             dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
 
     xp = xp_ref[0].astype(jnp.float32)
-    hp = hprev_ref[0].astype(jnp.float32)
-    cp = cprev_ref[0].astype(jnp.float32)
+    # h_{t-1}/c_{t-1} via shifted index maps on the forward sequences,
+    # h0/c0 substituted at the final grid step (t=0) -- see _bwdx_kernel
+    is_first_t = step == last
+    hp = jnp.where(is_first_t, h0_ref[:], hseq_ref[0]).astype(jnp.float32)
+    cp = jnp.where(is_first_t, c0_ref[:], cseq_prev_ref[0]).astype(jnp.float32)
     ct = cseq_ref[0].astype(jnp.float32)
     u = u_ref[:]
 
@@ -961,20 +951,19 @@ def _lstm_bwd_kernel(
         axis=-1,
     )
     dxp_ref[0] = da.astype(dxp_ref.dtype)
-    du_s[:] += _outer_acc(hp, da)
+    du_ref[:] += _outer_acc(hp, da)
     new_dh = _dot_t(da, u)
     new_dc = dc * f
     dh_s[:] = new_dh
     dc_s[:] = new_dc
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
         dc0_ref[:] = new_dc.astype(dc0_ref.dtype)
-        du_ref[:] = du_s[:].astype(du_ref.dtype)
 
 
-def _lstm_bwd_pallas(xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u,
+def _lstm_bwd_pallas(xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
                      return_sequences, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -990,20 +979,22 @@ def _lstm_bwd_pallas(xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u,
             jax.ShapeDtypeStruct((T, B, 4 * H), xp.dtype),   # dxp
             jax.ShapeDtypeStruct((B, H), xp.dtype),          # dh0
             jax.ShapeDtypeStruct((B, H), xp.dtype),          # dc0
-            jax.ShapeDtypeStruct((H, 4 * H), u.dtype),       # du
+            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),   # du (f32 accum)
         ),
         in_specs=[
             pl.BlockSpec((1, B, 4 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            _hprev_spec(T, B, H),                            # h seq (t-1)
+            _hprev_spec(T, B, H),                            # c seq (t-1)
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec(
                 (1, B, H),
                 rev if return_sequences else (lambda t: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # dfinal
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # h0
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # c0
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # u
         ],
         out_specs=(
             pl.BlockSpec((1, B, 4 * H), rev, memory_space=pltpu.VMEM),
@@ -1014,10 +1005,9 @@ def _lstm_bwd_pallas(xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((H, 4 * H), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u)
+    )(xp, h_seq, c_seq, c_seq, d_seq, d_final, h0, c0, u)
 
 
 def _lstm_train_vmem_ok(B: int, H: int) -> bool:
@@ -1073,8 +1063,6 @@ def _llt_bwd(activation, return_sequences, interpret, residuals, g):
         (vjp,) = residuals
         return vjp(g)
     xp, h0, c0, u, h_seq, c_seq = residuals
-    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
-    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
     if return_sequences:
         d_seq = g
         d_final = jnp.zeros_like(h0)
@@ -1082,10 +1070,10 @@ def _llt_bwd(activation, return_sequences, interpret, residuals, g):
         d_seq = jnp.zeros_like(h_seq[:1])  # dummy block, never read
         d_final = g
     dxp, dh0, dc0, du = _lstm_bwd_pallas(
-        xp, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, u,
+        xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
         return_sequences, interpret,
     )
-    return dxp, dh0, dc0, du
+    return dxp, dh0, dc0, du.astype(u.dtype)
 
 
 lstm_layer_train.defvjp(_llt_fwd, _llt_bwd)
@@ -1162,28 +1150,41 @@ def _fwdx_pallas(x, h0, w, b, u, activation, interpret):
 
 
 def _bwdx_kernel(
-    x_ref, hprev_ref, dseq_ref, dfinal_ref, w_ref, b_ref, u_ref,
+    x_ref, hseq_ref, h0_ref, dseq_ref, dfinal_ref, w_ref, b_ref, u_ref,
     dx_ref, dh0_ref, dw_ref, db_ref, du_ref,
-    dh_s, dw_s, db_s, du_s,
+    dh_s,
     *, return_sequences,
 ):
+    """Reverse-time scan transpose; grid step s walks t = T-1 .. 0.
+
+    h_{t-1} comes straight from the forward's h sequence via a SHIFTED block
+    index map (hseq_ref block = seq[max(T-2-s, 0)]), with h0 substituted at
+    the last grid step (t=0) -- no concatenated h_prev buffer in HBM. The
+    weight/bias grads accumulate directly in their pinned f32 output refs
+    (constant index maps keep them VMEM-resident) instead of a separate
+    scratch + final copy, halving the kernel's grad VMEM footprint."""
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
     H = dh_s.shape[-1]
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
-        dw_s[:] = jnp.zeros_like(dw_s)
-        db_s[:] = jnp.zeros_like(db_s)
-        du_s[:] = jnp.zeros_like(du_s)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
         if return_sequences:
             dh_s[:] = jnp.zeros_like(dh_s)
         else:
             dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
 
     x = x_ref[0].astype(jnp.float32)
-    h = hprev_ref[0].astype(jnp.float32)
+    h = jnp.where(
+        step == last,
+        h0_ref[:].astype(jnp.float32),
+        hseq_ref[0].astype(jnp.float32),
+    )
     u = u_ref[:]
 
     xp = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32)
@@ -1207,23 +1208,33 @@ def _bwdx_kernel(
     da_cat = jnp.concatenate([da_zr, da], axis=-1)
 
     dx_ref[0] = _dot_t(da_cat, w_ref[:]).astype(dx_ref.dtype)
-    dw_s[:] += _outer_acc(x, da_cat)
-    db_s[:] += jnp.sum(da_cat, axis=0, keepdims=True)
-    du_s[:, : 2 * H] += _outer_acc(h, da_zr)
-    du_s[:, 2 * H :] += _outer_acc(rh, da)
+    dw_ref[:] += _outer_acc(x, da_cat)
+    db_ref[:] += jnp.sum(da_cat, axis=0, keepdims=True)
+    du_ref[:, : 2 * H] += _outer_acc(h, da_zr)
+    du_ref[:, 2 * H :] += _outer_acc(rh, da)
 
     new_dh = dh * z + drh * r + _dot_t(da_zr, u[:, : 2 * H])
     dh_s[:] = new_dh.astype(dh_s.dtype)
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
-        dw_ref[:] = dw_s[:].astype(dw_ref.dtype)
-        db_ref[:] = db_s[0].astype(db_ref.dtype)
-        du_ref[:] = du_s[:].astype(du_ref.dtype)
 
 
-def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
+def _hprev_spec(T, B, H):
+    """Block spec reading seq[t-1] on the reverse grid (seq[0] at t=0 --
+    the kernel substitutes h0 there)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(
+        (1, B, H),
+        lambda s: (jnp.maximum(T - 2 - s, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _bwdx_pallas(x, seq, h0, d_seq, d_final, w, b, u, return_sequences,
                  interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1244,14 +1255,15 @@ def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
             jax.ShapeDtypeStruct((B, H), x.dtype),           # dh0
             # weight/bias grads in f32 (bf16 stores with odd row counts /
             # 1-row bias rows hit Mosaic's unimplemented subelement masking;
-            # the accumulators are f32 scratch anyway) -- cast in _glx_bwd
+            # the accumulation is f32 anyway) -- cast in _glx_bwd
             jax.ShapeDtypeStruct((D, 3 * H), jnp.float32),   # dw
-            jax.ShapeDtypeStruct((3 * H,), jnp.float32),     # db
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),   # db (2-D row)
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),   # du
         ),
         in_specs=[
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            _hprev_spec(T, B, H),                            # fwd h seq
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # h0
             pl.BlockSpec(
                 (1, B, H),
                 rev if return_sequences else (lambda t: (0, 0, 0)),
@@ -1266,17 +1278,14 @@ def _bwdx_pallas(x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences,
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 3 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * H,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 3 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, H), f32),
-            pltpu.VMEM((D, 3 * H), f32),
-            pltpu.VMEM((1, 3 * H), f32),
-            pltpu.VMEM((H, 3 * H), f32),
         ],
         interpret=interpret,
-    )(x, h_prev_seq, d_seq, d_final, w, b, u)
+    )(x, seq, h0, d_seq, d_final, w, b, u)
 
 
 def _x_train_vmem_ok(B: int, D: int, H: int) -> bool:
@@ -1352,7 +1361,6 @@ def _glx_bwd(activation, return_sequences, interpret, residuals, g):
         (vjp,) = residuals
         return vjp(g)
     x, h0, w, b, u, seq = residuals
-    h_prev_seq = jnp.concatenate([h0[None], seq[:-1]], axis=0)
     if return_sequences:
         d_seq = g
         d_final = jnp.zeros_like(h0)
@@ -1360,9 +1368,10 @@ def _glx_bwd(activation, return_sequences, interpret, residuals, g):
         d_seq = jnp.zeros_like(seq[:1])
         d_final = g
     dx, dh0, dw, db, du = _bwdx_pallas(
-        x, h_prev_seq, d_seq, d_final, w, b, u, return_sequences, interpret
+        x, seq, h0, d_seq, d_final, w, b, u, return_sequences, interpret
     )
-    return dx, dh0, dw.astype(w.dtype), db.astype(b.dtype), du.astype(u.dtype)
+    return (dx, dh0, dw.astype(w.dtype), db[0].astype(b.dtype),
+            du.astype(u.dtype))
 
 
 gru_layer_train_x.defvjp(_glx_fwd, _glx_bwd)
@@ -1424,22 +1433,23 @@ def _lstm_fwdx_pallas(x, h0, c0, w, b, u, activation, interpret):
 
 
 def _lstm_bwdx_kernel(
-    x_ref, hprev_ref, cprev_ref, cseq_ref, dseq_ref, dfinal_ref,
-    w_ref, b_ref, u_ref,
+    x_ref, hseq_ref, cseq_prev_ref, cseq_ref, dseq_ref, dfinal_ref,
+    h0_ref, c0_ref, w_ref, b_ref, u_ref,
     dx_ref, dh0_ref, dc0_ref, dw_ref, db_ref, du_ref,
-    dh_s, dc_s, dw_s, db_s, du_s,
+    dh_s, dc_s,
     *, return_sequences,
 ):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
     H = dh_s.shape[-1]
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
-        dw_s[:] = jnp.zeros_like(dw_s)
-        db_s[:] = jnp.zeros_like(db_s)
-        du_s[:] = jnp.zeros_like(du_s)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        du_ref[:] = jnp.zeros_like(du_ref)
         dc_s[:] = jnp.zeros_like(dc_s)
         if return_sequences:
             dh_s[:] = jnp.zeros_like(dh_s)
@@ -1447,8 +1457,9 @@ def _lstm_bwdx_kernel(
             dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
 
     x = x_ref[0].astype(jnp.float32)
-    hp = hprev_ref[0].astype(jnp.float32)
-    cp = cprev_ref[0].astype(jnp.float32)
+    is_first_t = step == last
+    hp = jnp.where(is_first_t, h0_ref[:], hseq_ref[0]).astype(jnp.float32)
+    cp = jnp.where(is_first_t, c0_ref[:], cseq_prev_ref[0]).astype(jnp.float32)
     ct = cseq_ref[0].astype(jnp.float32)
     u = u_ref[:]
 
@@ -1474,24 +1485,21 @@ def _lstm_bwdx_kernel(
         axis=-1,
     )
     dx_ref[0] = _dot_t(da, w_ref[:]).astype(dx_ref.dtype)
-    dw_s[:] += _outer_acc(x, da)
-    db_s[:] += jnp.sum(da, axis=0, keepdims=True)
-    du_s[:] += _outer_acc(hp, da)
+    dw_ref[:] += _outer_acc(x, da)
+    db_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+    du_ref[:] += _outer_acc(hp, da)
     new_dh = _dot_t(da, u)
     new_dc = dc * f
     dh_s[:] = new_dh
     dc_s[:] = new_dc
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
         dc0_ref[:] = new_dc.astype(dc0_ref.dtype)
-        dw_ref[:] = dw_s[:].astype(dw_ref.dtype)
-        db_ref[:] = db_s[0].astype(db_ref.dtype)
-        du_ref[:] = du_s[:].astype(du_ref.dtype)
 
 
-def _lstm_bwdx_pallas(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final,
+def _lstm_bwdx_pallas(x, h_seq, c_seq, h0, c0, d_seq, d_final,
                       w, b, u, return_sequences, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1515,41 +1523,40 @@ def _lstm_bwdx_pallas(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final,
             jax.ShapeDtypeStruct((B, H), x.dtype),
             # weight/bias grads in f32 (see _bwdx_pallas) -- cast in _llx_bwd
             jax.ShapeDtypeStruct((D, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((4 * H,), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            _hprev_spec(T, B, H),                            # h seq (t-1)
+            _hprev_spec(T, B, H),                            # c seq (t-1)
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec(
                 (1, B, H),
                 rev if return_sequences else (lambda t: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # dfinal
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # h0
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # c0
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # u
         ],
         out_specs=(
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * H,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, H), f32),
             pltpu.VMEM((B, H), f32),
-            pltpu.VMEM((D, 4 * H), f32),
-            pltpu.VMEM((1, 4 * H), f32),
-            pltpu.VMEM((H, 4 * H), f32),
         ],
         interpret=interpret,
-    )(x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, w, b, u)
+    )(x, h_seq, c_seq, c_seq, d_seq, d_final, h0, c0, w, b, u)
 
 
 def _lstm_x_train_vmem_ok(B: int, D: int, H: int) -> bool:
@@ -1621,8 +1628,6 @@ def _llx_bwd(activation, return_sequences, interpret, residuals, g):
         (vjp,) = residuals
         return vjp(g)
     x, h0, c0, w, b, u, h_seq, c_seq = residuals
-    h_prev_seq = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
-    c_prev_seq = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
     if return_sequences:
         d_seq = g
         d_final = jnp.zeros_like(h0)
@@ -1630,10 +1635,10 @@ def _llx_bwd(activation, return_sequences, interpret, residuals, g):
         d_seq = jnp.zeros_like(h_seq[:1])
         d_final = g
     dx, dh0, dc0, dw, db, du = _lstm_bwdx_pallas(
-        x, h_prev_seq, c_prev_seq, c_seq, d_seq, d_final, w, b, u,
+        x, h_seq, c_seq, h0, c0, d_seq, d_final, w, b, u,
         return_sequences, interpret,
     )
-    return (dx, dh0, dc0, dw.astype(w.dtype), db.astype(b.dtype),
+    return (dx, dh0, dc0, dw.astype(w.dtype), db[0].astype(b.dtype),
             du.astype(u.dtype))
 
 
@@ -1720,21 +1725,24 @@ def _stack2_fwd_pallas(x, h01, h02, p1, p2, activation, interpret):
 
 def _stack2_bwd_kernel(
     x_ref, h1_ref, h1p_ref, h2p_ref, dseq_ref, dfinal_ref,
+    h01_ref, h02_ref,
     w1_ref, b1_ref, u1_ref, w2_ref, b2_ref, u2_ref,
     dx_ref, dh01_ref, dh02_ref,
     dw1_ref, db1_ref, du1_ref, dw2_ref, db2_ref, du2_ref,
-    dh1_s, dh2_s, dw1_s, db1_s, du1_s, dw2_s, db2_s, du2_s,
+    dh1_s, dh2_s,
     *, return_sequences,
 ):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
     H = dh1_s.shape[-1]
+    last = pl.num_programs(0) - 1
 
     @pl.when(step == 0)
     def _init():
-        for s in (dw1_s, db1_s, du1_s, dw2_s, db2_s, du2_s, dh1_s):
-            s[:] = jnp.zeros_like(s)
+        for ref in (dw1_ref, db1_ref, du1_ref, dw2_ref, db2_ref, du2_ref):
+            ref[:] = jnp.zeros_like(ref)
+        dh1_s[:] = jnp.zeros_like(dh1_s)
         if return_sequences:
             dh2_s[:] = jnp.zeros_like(dh2_s)
         else:
@@ -1744,39 +1752,36 @@ def _stack2_bwd_kernel(
     if return_sequences:
         dh2 = dh2 + dseq_ref[0].astype(jnp.float32)
 
+    is_first_t = step == last
     h1 = h1_ref[0]
+    h2p = jnp.where(is_first_t, h02_ref[:], h2p_ref[0])
     dx2, dh2p, dW2, dU2, db2 = _gru_cell_bwd(
-        h1, h2p_ref[0], w2_ref[:], u2_ref[:], b2_ref[:], dh2
+        h1, h2p, w2_ref[:], u2_ref[:], b2_ref[:], dh2
     )
-    dw2_s[:] += dW2
-    du2_s[:] += dU2
-    db2_s[:] += db2
+    dw2_ref[:] += dW2
+    du2_ref[:] += dU2
+    db2_ref[:] += db2
 
     dh1 = dx2 + dh1_s[:].astype(jnp.float32)
+    h1p = jnp.where(is_first_t, h01_ref[:], h1p_ref[0])
     dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(
-        x_ref[0], h1p_ref[0], w1_ref[:], u1_ref[:], b1_ref[:], dh1
+        x_ref[0], h1p, w1_ref[:], u1_ref[:], b1_ref[:], dh1
     )
-    dw1_s[:] += dW1
-    du1_s[:] += dU1
-    db1_s[:] += db1
+    dw1_ref[:] += dW1
+    du1_ref[:] += dU1
+    db1_ref[:] += db1
 
     dx_ref[0] = dx1.astype(dx_ref.dtype)
     dh1_s[:] = dh1p
     dh2_s[:] = dh2p
 
-    @pl.when(step == pl.num_programs(0) - 1)
+    @pl.when(step == last)
     def _final():
         dh01_ref[:] = dh1p.astype(dh01_ref.dtype)
         dh02_ref[:] = dh2p.astype(dh02_ref.dtype)
-        dw1_ref[:] = dw1_s[:].astype(dw1_ref.dtype)
-        db1_ref[:] = db1_s[0].astype(db1_ref.dtype)
-        du1_ref[:] = du1_s[:].astype(du1_ref.dtype)
-        dw2_ref[:] = dw2_s[:].astype(dw2_ref.dtype)
-        db2_ref[:] = db2_s[0].astype(db2_ref.dtype)
-        du2_ref[:] = du2_s[:].astype(du2_ref.dtype)
 
 
-def _stack2_bwd_pallas(x, h1_seq, h1p_seq, h2p_seq, d_seq, d_final, p1, p2,
+def _stack2_bwd_pallas(x, h1_seq, h2_seq, h01, h02, d_seq, d_final, p1, p2,
                        return_sequences, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1802,39 +1807,35 @@ def _stack2_bwd_pallas(x, h1_seq, h1p_seq, h2p_seq, d_seq, d_final, p1, p2,
             jax.ShapeDtypeStruct((B, H), x.dtype),           # dh02
             # weight/bias grads in f32 (see _bwdx_pallas) -- cast in _gs2_bwd
             jax.ShapeDtypeStruct((D, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((3 * H,), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((3 * H,), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # h1_t
+            _hprev_spec(T, B, H),                                   # h1_{t-1}
+            _hprev_spec(T, B, H),                                   # h2_{t-1}
             pl.BlockSpec(
                 (1, B, H),
                 rev if return_sequences else (lambda t: (0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
-            vm, vm, vm, vm, vm, vm, vm,
+            vm, vm, vm, vm, vm, vm, vm, vm, vm,
         ],
         out_specs=(
             pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
             mat((B, H)), mat((B, H)),
-            mat((D, 3 * H)), mat((3 * H,)), mat((H, 3 * H)),
-            mat((H, 3 * H)), mat((3 * H,)), mat((H, 3 * H)),
+            mat((D, 3 * H)), mat((1, 3 * H)), mat((H, 3 * H)),
+            mat((H, 3 * H)), mat((1, 3 * H)), mat((H, 3 * H)),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32),
-            pltpu.VMEM((D, 3 * H), f32), pltpu.VMEM((1, 3 * H), f32),
-            pltpu.VMEM((H, 3 * H), f32),
-            pltpu.VMEM((H, 3 * H), f32), pltpu.VMEM((1, 3 * H), f32),
-            pltpu.VMEM((H, 3 * H), f32),
         ],
         interpret=interpret,
-    )(x, h1_seq, h1p_seq, h2p_seq, d_seq, d_final,
+    )(x, h1_seq, h1_seq, h2_seq, d_seq, d_final, h01, h02,
       p1["w"], p1["b"], p1["u"], p2["w"], p2["b"], p2["u"])
 
 
@@ -1904,8 +1905,6 @@ def _gs2_bwd(activation, return_sequences, interpret, residuals, g):
         (vjp,) = residuals
         return vjp(g)
     x, h01, h02, p1, p2, h1_seq, h2_seq = residuals
-    h1p_seq = jnp.concatenate([h01[None], h1_seq[:-1]], axis=0)
-    h2p_seq = jnp.concatenate([h02[None], h2_seq[:-1]], axis=0)
     if return_sequences:
         d_seq = g
         d_final = jnp.zeros_like(h02)
@@ -1913,14 +1912,172 @@ def _gs2_bwd(activation, return_sequences, interpret, residuals, g):
         d_seq = jnp.zeros_like(h2_seq[:1])
         d_final = g
     (dx, dh01, dh02, dw1, db1, du1, dw2, db2, du2) = _stack2_bwd_pallas(
-        x, h1_seq, h1p_seq, h2p_seq, d_seq, d_final, p1, p2,
+        x, h1_seq, h2_seq, h01, h02, d_seq, d_final, p1, p2,
         return_sequences, interpret,
     )
-    dp1 = {"w": dw1, "b": db1, "u": du1}
-    dp2 = {"w": dw2, "b": db2, "u": du2}
+    dp1 = {"w": dw1, "b": db1[0], "u": du1}
+    dp2 = {"w": dw2, "b": db2[0], "u": du2}
     dp1 = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype), dp1, dict(p1))
     dp2 = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype), dp2, dict(p2))
     return dx, dh01, dh02, dp1, dp2
 
 
 gru_stack2_train_x.defvjp(_gs2_fwd, _gs2_bwd)
+
+
+# ===========================================================================
+# INFERENCE variants of the in-kernel x-projection layer kernels.
+#
+# The whole-scan inference path (ops/fused_decoder.fused_encoder_scan /
+# ops/fused_lstm.fused_lstm_encoder_scan) streams a PRECOMPUTED xp
+# (T, B, gates): at reference scale that materializes ~50 MB per layer in
+# HBM plus a (B,T,gates)->(T,B,gates) transpose copy -- measured ~0.2 ms/
+# step of pure copies in the device-epoch history pass. These variants are
+# the inference twins of gru_layer_train_x / lstm_layer_train_x: W/b stay
+# resident in VMEM, x@W happens per step in-kernel, and (for the common
+# return_sequences=False encoder tail) only the FINAL h leaves the kernel.
+# ===========================================================================
+
+def _fwdx_last_kernel(x_ref, h0_ref, w_ref, b_ref, u_ref, out_ref, h_s,
+                      *, act, cast_x=False):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_s[:] = h0_ref[:]
+
+    h = h_s[:]
+    H = h.shape[-1]
+    x = x_ref[0].astype(jnp.float32) if cast_x else x_ref[0]
+    xp = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32)
+    hu_zr = _dot(h, u_ref[:, : 2 * H])
+    z = jax.nn.sigmoid(xp[:, :H] + hu_zr[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu_zr[:, H:])
+    hh = act(xp[:, 2 * H :] + _dot(r * h, u_ref[:, 2 * H :]))
+    new_h = z * h + (1.0 - z) * hh
+    h_s[:] = new_h.astype(h_s.dtype)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        out_ref[:] = new_h.astype(out_ref.dtype)
+
+
+def _fwdx_last_pallas(x, h0, w, b, u, activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    b = b.astype(jnp.float32)  # see _fwdx_pallas
+    T, B, D = x.shape
+    cast_x = D < 8 and x.dtype != jnp.float32
+    if cast_x:
+        w = w.astype(jnp.float32)
+    H = h0.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_fwdx_last_kernel, act=act, cast_x=cast_x),
+        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
+        in_specs=[
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, H), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, H), x.dtype)],
+        interpret=interpret,
+    )(x, h0, w, b, u)
+
+
+def gru_layer_infer_x(
+    x, h0, w, b, u, activation: str = "tanh", return_sequences: bool = False,
+    interpret: bool = False,
+):
+    """Inference GRU layer with in-kernel x-projection (no xp in HBM).
+
+    Same contract as gru_layer_train_x but NOT differentiable through a
+    fused backward (inference paths only; autodiff falls back to the jnp
+    scan via the fallback branch)."""
+    if not _x_use_pallas(x, h0, activation, interpret):
+        act = _activation(activation)
+        return _gru_layer_reference_x(x, h0, w, b, u, act, return_sequences)
+    if return_sequences:
+        return _fwdx_pallas(x, h0, w, b, u, activation, interpret)
+    return _fwdx_last_pallas(x, h0, w, b, u, activation, interpret)
+
+
+def _lstm_fwdx_last_kernel(x_ref, h0_ref, c0_ref, w_ref, b_ref, u_ref,
+                           out_ref, h_s, c_s, *, act, cast_x=False):
+    import jax.experimental.pallas as pl
+
+    from .fused_lstm import _lstm_gates
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    x = x_ref[0].astype(jnp.float32) if cast_x else x_ref[0]
+    xp = _dot(x, w_ref[:]) + b_ref[:].astype(jnp.float32)
+    new_h, new_c = _lstm_gates(xp, h_s[:], c_s[:], u_ref[:], act)
+    h_s[:] = new_h.astype(h_s.dtype)
+    c_s[:] = new_c.astype(c_s.dtype)
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _final():
+        out_ref[:] = new_h.astype(out_ref.dtype)
+
+
+def _lstm_fwdx_last_pallas(x, h0, c0, w, b, u, activation, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    b = b.astype(jnp.float32)  # see _fwdx_pallas
+    T, B, D = x.shape
+    cast_x = D < 8 and x.dtype != jnp.float32
+    if cast_x:
+        w = w.astype(jnp.float32)
+    H = h0.shape[-1]
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lstm_fwdx_last_kernel, act=act, cast_x=cast_x),
+        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
+        in_specs=[
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vm, vm, vm, vm, vm,
+        ],
+        out_specs=pl.BlockSpec((B, H), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), x.dtype),
+            pltpu.VMEM((B, H), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, h0, c0, w, b, u)
+
+
+def lstm_layer_infer_x(
+    x, h0, c0, w, b, u, activation: str = "tanh",
+    return_sequences: bool = False, interpret: bool = False,
+):
+    """Inference LSTM layer with in-kernel x-projection (no xp in HBM)."""
+    if not _lstm_x_use_pallas(x, h0, activation, interpret):
+        act = _activation(activation)
+        return _lstm_layer_reference_x(
+            x, h0, c0, w, b, u, act, return_sequences
+        )
+    if return_sequences:
+        h_seq, _ = _lstm_fwdx_pallas(x, h0, c0, w, b, u, activation,
+                                     interpret)
+        return h_seq
+    return _lstm_fwdx_last_pallas(x, h0, c0, w, b, u, activation, interpret)

@@ -18,6 +18,7 @@ called out in SURVEY.md §3.1). Here:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -171,17 +172,20 @@ class VAETrainer:
         data["first_in_song"] = jnp.asarray(flat.first_in_song)
         return data
 
-    def _device_epoch_fn(self, params, opt_state, rng, data, order, mask, h_scale):
+    def _device_epoch_fn(self, params, opt_state, rng, data, order, mask,
+                         h_scale, history_active=True):
         """order: (n_batches, B) int32 window ids (-1 = padding);
         mask: (n_batches, B) float validity; h_scale: 0.0 zeroes the history
-        latents (epoch 0 -- the encoder is untrained, vae_training.py:789)."""
+        latents (epoch 0 -- the encoder is untrained, vae_training.py:789).
+        ``history_active=False`` (static) skips the encode pass entirely --
+        used when every epoch in the chunk has h_scale=0."""
         cfg = self.cfg
         model = self.model
         optimizer = self.optimizer
         N = data["X"].shape[0]
         bs = cfg.batch_size
 
-        if cfg.history:
+        if cfg.history and history_active:
             # batched encoder pass over the whole split, natural order
             n_enc = (N + bs - 1) // bs
             pad = n_enc * bs - N
@@ -224,7 +228,7 @@ class VAETrainer:
         return params, opt_state, rng, metrics
 
     def _device_epochs_fn(self, params, opt_state, rng, data, orders, masks,
-                          h_scales):
+                          h_scales, history_active=True):
         """E epochs in ONE jitted call: lax.scan over whole epochs.
 
         orders/masks: (E, n_batches, B); h_scales: (E,). Amortizes the
@@ -236,7 +240,8 @@ class VAETrainer:
             params, opt_state, rng = carry
             order, mask, h_scale = xs
             params, opt_state, rng, metrics = self._device_epoch_fn(
-                params, opt_state, rng, data, order, mask, h_scale
+                params, opt_state, rng, data, order, mask, h_scale,
+                history_active,
             )
             # weighted per-epoch means (weights = real rows per batch)
             w = mask.sum(axis=1)
@@ -292,12 +297,22 @@ class VAETrainer:
         orders, masks, h_scales = self._epoch_orders(
             state, num_windows, n_epochs, shuffle, first_epoch, use_history
         )
+        # when every epoch in the chunk has h_scale=0 (epoch-0 chunks,
+        # use_history=False), compile a variant WITHOUT the per-epoch
+        # history encode pass instead of computing z for all windows and
+        # multiplying by zero
+        history_active = bool(h_scales.max() > 0.0)
         if not hasattr(self, "_device_epochs_jit"):
-            self._device_epochs_jit = jax.jit(
-                self._device_epochs_fn, donate_argnums=(0, 1)
+            self._device_epochs_jit = {}
+        if history_active not in self._device_epochs_jit:
+            self._device_epochs_jit[history_active] = jax.jit(
+                functools.partial(
+                    self._device_epochs_fn, history_active=history_active
+                ),
+                donate_argnums=(0, 1),
             )
         state.params, state.opt_state, state.rng, metrics = (
-            self._device_epochs_jit(
+            self._device_epochs_jit[history_active](
                 state.params, state.opt_state, state.rng, data,
                 jnp.asarray(orders), jnp.asarray(masks), jnp.asarray(h_scales),
             )
