@@ -415,14 +415,82 @@ class MidiVAE:
         outputs: dict = {}
         merge = cfg.merge_decoder_scans
         notes_tf = cfg.teacher_force and ground_truth is not None
-        if merge and not notes_tf:
+
+        # training fast path: ONE fused kernel pair for the 2-layer notes
+        # head AND every 1-layer T-length meta head together
+        # (ops/fused_train.gru_decode_multihead_train) -- the narrow heads'
+        # per-step work rides in the gaps of the notes head's serial chain
+        if (
+            not inference
+            and cfg.fused_train_decoder
+            and fused_step is not None
+            and cfg.cell_type == "GRU"
+            and not merge
+            and not notes_tf
+            and cfg.num_layers_decoder == 2
+            and cfg.activation in ("softmax", "sigmoid", "linear")
+        ):
+            side: list[tuple[str, int, str]] = []
+            if (
+                cfg.meta_velocity
+                and cfg.meta_velocity_length == cfg.output_length
+                and cfg.meta_velocity_activation in ("softmax", "sigmoid", "linear")
+            ):
+                side.append(("velocity", 1, cfg.meta_velocity_activation))
+            if (
+                cfg.meta_held_notes
+                and cfg.meta_held_notes_length == cfg.output_length
+                and cfg.meta_held_notes_activation in ("softmax", "sigmoid", "linear")
+            ):
+                side.append(("held", 2, cfg.meta_held_notes_activation))
+            if side:
+                from ..ops.fused_train import gru_decode_multihead_train
+
+                def arrays(name: str, head_dim: int) -> dict:
+                    h = dec[name]
+                    states = init_decoder_states(
+                        h["init"], new_encoded, cfg.cell_type,
+                        cfg.lstm_state_activation,
+                    )
+                    return {
+                        "cells": list(h["cells"]),
+                        "out": h["out"],
+                        "init": [s[0] for s in states],  # GRU: 1 state/layer
+                        "start": jnp.zeros((B, head_dim), z.dtype),
+                    }
+
+                from ..ops.fused_train import _mh_use_pallas
+
+                primary = arrays("notes", cfg.output_dim)
+                head_arrays = tuple(arrays(n, d) for n, d, _ in side)
+                out_acts = tuple(
+                    [cfg.activation] + [a for _, _, a in side]
+                )
+                # fall through to the per-head kernels when the combined
+                # kernel would not fit VMEM
+                if _mh_use_pallas(primary, head_arrays, cfg.lstm_activation,
+                                  out_acts, False):
+                    results = gru_decode_multihead_train(
+                        primary, head_arrays, cfg.output_length,
+                        cfg.lstm_activation, out_acts, False,
+                    )
+                    for (name, _, _), (p, l) in zip(
+                        [("notes", 0, "")] + side, results
+                    ):
+                        outputs[name] = (
+                            jnp.swapaxes(p, 0, 1), jnp.swapaxes(l, 0, 1)
+                        )
+
+        if "notes" in outputs:
+            pass
+        elif merge and not notes_tf:
             merged_specs["notes"] = head_spec("notes", cfg.output_dim, cfg.activation)
         else:
             outputs["notes"] = run_head(
                 "notes", cfg.output_dim, cfg.output_length, cfg.activation,
                 ground_truth if cfg.teacher_force else None,
             )
-        if cfg.meta_velocity:
+        if cfg.meta_velocity and "velocity" not in outputs:
             if merge:
                 merged_specs["velocity"] = head_spec(
                     "velocity", 1, cfg.meta_velocity_activation
@@ -432,7 +500,7 @@ class MidiVAE:
                     "velocity", 1, cfg.meta_velocity_length,
                     cfg.meta_velocity_activation, None,
                 )
-        if cfg.meta_held_notes:
+        if cfg.meta_held_notes and "held" not in outputs:
             if merge:
                 merged_specs["held"] = head_spec(
                     "held", 2, cfg.meta_held_notes_activation

@@ -2081,3 +2081,482 @@ def lstm_layer_infer_x(
                                      interpret)
         return h_seq
     return _lstm_fwdx_last_pallas(x, h0, c0, w, b, u, activation, interpret)
+
+
+# ===========================================================================
+# MULTI-HEAD decode train kernels: ONE kernel pair runs the 2-layer primary
+# head (notes) AND every 1-layer T-length head (velocity, held) together.
+#
+# The heads are independent readout decoders over the same T (they share no
+# state, vae_definition.py:519-683), but as separate kernels they serialize
+# on the single TensorCore and each pays the full per-step latency of its
+# serial cell chain. Inside one kernel the narrow heads' per-step work
+# issues back-to-back with the primary head's -- device-side tracing showed
+# the separate velocity kernel pair costing ~0.24 ms/step that this fusion
+# mostly hides.
+#
+# Grads accumulate directly in pinned f32 output refs and step-(t-1) values
+# come from the forward sequences via shifted index maps, as in the
+# single-head kernels above.
+# ===========================================================================
+
+def _mh_out_act(logits, name):
+    if name == "softmax":
+        return jax.nn.softmax(logits, axis=-1)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(logits)
+    return logits
+
+
+def _mh_fwd_kernel(*refs, n_heads, act, out_acts):
+    import jax.experimental.pallas as pl
+
+    from .fused_decoder import _gru_gates
+
+    K = n_heads
+    # inputs: start_p, i1, i2, w1,u1,b1, w2,u2,b2, wo,bo,
+    #         then per head: start_k, ik, wk,uk,bk, wok,bok       (7 each)
+    n_in = 11 + 7 * K
+    # outputs: probs_p, logits_p, h1seq, h2seq,
+    #          then per head: probs_k, logits_k, hkseq            (3 each)
+    n_out = 4 + 3 * K
+    ins, outs, scr = refs[:n_in], refs[n_in:n_in + n_out], refs[n_in + n_out:]
+    (start_p, i1, i2, w1, u1, b1, w2, u2, b2, wo, bo) = ins[:11]
+    probs_p_ref, logits_p_ref, h1seq_ref, h2seq_ref = outs[:4]
+    h1_s, h2_s, xp_s = scr[:3]  # then per head (hk_s, xk_s)
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        h1_s[:] = i1[:]
+        h2_s[:] = i2[:]
+        xp_s[:] = start_p[:]
+        for k in range(K):
+            scr[3 + 2 * k][:] = ins[11 + 7 * k + 1][:]   # hk_s = ik
+            scr[3 + 2 * k + 1][:] = ins[11 + 7 * k][:]   # xk_s = start_k
+
+    h1 = _gru_gates(xp_s[:], h1_s[:], w1[:], u1[:], b1[:], act)
+    h2 = _gru_gates(h1, h2_s[:], w2[:], u2[:], b2[:], act)
+    logits = jnp.dot(h2, wo[:], preferred_element_type=jnp.float32) + bo[:]
+    probs = _mh_out_act(logits, out_acts[0])
+    probs_p_ref[0] = probs.astype(probs_p_ref.dtype)
+    logits_p_ref[0] = logits.astype(logits_p_ref.dtype)
+    h1seq_ref[0] = h1.astype(h1seq_ref.dtype)
+    h2seq_ref[0] = h2.astype(h2seq_ref.dtype)
+    h1_s[:] = h1.astype(h1_s.dtype)
+    h2_s[:] = h2.astype(h2_s.dtype)
+    xp_s[:] = probs.astype(xp_s.dtype)
+
+    for k in range(K):
+        wk, uk, bk, wok, bok = ins[11 + 7 * k + 2 : 11 + 7 * k + 7]
+        hk_s, xk_s = scr[3 + 2 * k], scr[3 + 2 * k + 1]
+        probs_k_ref, logits_k_ref, hkseq_ref = outs[4 + 3 * k : 7 + 3 * k]
+        hk = _gru_gates(xk_s[:], hk_s[:], wk[:], uk[:], bk[:], act)
+        logits_k = (
+            jnp.dot(hk, wok[:], preferred_element_type=jnp.float32) + bok[:]
+        )
+        probs_k = _mh_out_act(logits_k, out_acts[1 + k])
+        probs_k_ref[0] = probs_k.astype(probs_k_ref.dtype)
+        logits_k_ref[0] = logits_k.astype(logits_k_ref.dtype)
+        hkseq_ref[0] = hk.astype(hkseq_ref.dtype)
+        hk_s[:] = hk.astype(hk_s.dtype)
+        xk_s[:] = probs_k.astype(xk_s.dtype)
+
+
+def _mh_bwd_kernel(*refs, n_heads, out_acts):
+    import jax.experimental.pallas as pl
+
+    K = n_heads
+    # inputs: xprev_p, h1, h1p, h2, h2p, probs_p, gp_p, gl_p,
+    #         start_p, i1, i2, w1,u1,b1, w2,u2,b2, wo,              (18)
+    #   per head: xprev_k, probs_k, hk, hkp, gp_k, gl_k,
+    #             start_k, ik, wk,uk,bk, wok                        (12 each)
+    n_in = 18 + 12 * K
+    # outputs: dw1,du1,db1, dw2,du2,db2, dwo,dbo, di1,di2, dstart_p (11)
+    #   per head: dwk,duk,dbk, dwok,dbok, dik, dstart_k             (7 each)
+    n_out = 11 + 7 * K
+    ins, outs, scr = refs[:n_in], refs[n_in:n_in + n_out], refs[n_in + n_out:]
+    (xprev_p, h1_ref, h1p_ref, h2_ref, h2p_ref, probs_p_ref, gp_p, gl_p,
+     start_p, i1, i2, w1, u1, b1, w2, u2, b2, wo) = ins[:18]
+    (dw1_ref, du1_ref, db1_ref, dw2_ref, du2_ref, db2_ref,
+     dwo_ref, dbo_ref, di1_ref, di2_ref, dstart_p_ref) = outs[:11]
+    dh1_s, dh2_s, dxp_s = scr[:3]  # then per head (dhk_s, dxk_s)
+
+    step = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    is_first_t = step == last
+
+    @pl.when(step == 0)
+    def _init():
+        for s in scr:
+            s[:] = jnp.zeros_like(s)
+        for o in outs[:8]:
+            o[:] = jnp.zeros_like(o)
+        for k in range(K):
+            for o in outs[11 + 7 * k : 11 + 7 * k + 5]:
+                o[:] = jnp.zeros_like(o)
+
+    # primary (2-layer) head
+    probs = probs_p_ref[0].astype(jnp.float32)
+    gp_total = gp_p[0].astype(jnp.float32) + dxp_s[:]
+    dlog = _dlogits_from(probs, gp_total, gl_p[0].astype(jnp.float32),
+                         out_acts[0])
+    h2 = h2_ref[0]
+    dwo_ref[:] += _outer_acc(h2.astype(jnp.float32), dlog)
+    dbo_ref[:] += jnp.sum(dlog, axis=0, keepdims=True)
+    dh2 = _dot_t(dlog, wo[:]) + dh2_s[:]
+    h1 = h1_ref[0]
+    h2p = jnp.where(is_first_t, i2[:], h2p_ref[0])
+    dx2, dh2p, dW2, dU2, db2 = _gru_cell_bwd(h1, h2p, w2[:], u2[:], b2[:], dh2)
+    dw2_ref[:] += dW2
+    du2_ref[:] += dU2
+    db2_ref[:] += db2
+    dh1 = dx2 + dh1_s[:]
+    x = jnp.where(is_first_t, start_p[:], xprev_p[0])
+    h1p = jnp.where(is_first_t, i1[:], h1p_ref[0])
+    dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(x, h1p, w1[:], u1[:], b1[:], dh1)
+    dw1_ref[:] += dW1
+    du1_ref[:] += dU1
+    db1_ref[:] += db1
+    dh1_s[:] = dh1p
+    dh2_s[:] = dh2p
+    dxp_s[:] = dx1
+
+    @pl.when(step == last)
+    def _final_p():
+        di1_ref[:] = dh1p.astype(di1_ref.dtype)
+        di2_ref[:] = dh2p.astype(di2_ref.dtype)
+        dstart_p_ref[:] = dx1.astype(dstart_p_ref.dtype)
+
+    # 1-layer side heads (independent pipelines)
+    for k in range(K):
+        (xprev_k, probs_k_ref, hk_ref, hkp_ref, gp_k, gl_k,
+         start_k, ik, wk, uk, bk, wok) = ins[18 + 12 * k : 18 + 12 * (k + 1)]
+        (dwk_ref, duk_ref, dbk_ref, dwok_ref, dbok_ref,
+         dik_ref, dstart_k_ref) = outs[11 + 7 * k : 11 + 7 * (k + 1)]
+        dhk_s, dxk_s = scr[3 + 2 * k], scr[3 + 2 * k + 1]
+
+        probs_k = probs_k_ref[0].astype(jnp.float32)
+        gp_k_total = gp_k[0].astype(jnp.float32) + dxk_s[:]
+        dlog_k = _dlogits_from(probs_k, gp_k_total,
+                               gl_k[0].astype(jnp.float32), out_acts[1 + k])
+        hk = hk_ref[0]
+        dwok_ref[:] += _outer_acc(hk.astype(jnp.float32), dlog_k)
+        dbok_ref[:] += jnp.sum(dlog_k, axis=0, keepdims=True)
+        dhk = _dot_t(dlog_k, wok[:]) + dhk_s[:]
+        xk = jnp.where(is_first_t, start_k[:], xprev_k[0])
+        hkp = jnp.where(is_first_t, ik[:], hkp_ref[0])
+        dxk, dhkp, dWk, dUk, dbk = _gru_cell_bwd(
+            xk, hkp, wk[:], uk[:], bk[:], dhk
+        )
+        dwk_ref[:] += dWk
+        duk_ref[:] += dUk
+        dbk_ref[:] += dbk
+        dhk_s[:] = dhkp
+        dxk_s[:] = dxk
+
+        @pl.when(step == last)
+        def _final_k(dik_ref=dik_ref, dstart_k_ref=dstart_k_ref,
+                     dhkp=dhkp, dxk=dxk):
+            dik_ref[:] = dhkp.astype(dik_ref.dtype)
+            dstart_k_ref[:] = dxk.astype(dstart_k_ref.dtype)
+
+
+def _mh_specs(T, B, dims, H):
+    """(in_specs, out helper lambdas) shared by the wrappers."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731
+    fwdmap = lambda t: (t, 0, 0)  # noqa: E731
+    seq = lambda d, m: pl.BlockSpec((1, B, d), m, memory_space=pltpu.VMEM)  # noqa: E731
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    mat = lambda s: pl.BlockSpec(s, lambda t: tuple(0 for _ in s),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    prev = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, B, d), lambda s: (jnp.maximum(T - 2 - s, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return rev, fwdmap, seq, vm, mat, prev
+
+
+def multihead_decode_train_fwd(primary, heads, T, activation, out_acts,
+                               interpret):
+    """Forward for the fused multi-head decode.
+
+    primary: dict(cells=[c1, c2], out=dense, init=[i1, i2], start=(B, Dp),
+    out_activation=str); heads: list of dicts with 1-element cells/init.
+    Returns (probs_p, logits_p, h1seq, h2seq, [probs_k, logits_k, hkseq]*K),
+    every sequence time-major."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    K = len(heads)
+    B, Dp = primary["start"].shape
+    H = primary["init"][0].shape[-1]
+    dims = [Dp] + [h["start"].shape[-1] for h in heads]
+    dt = primary["start"].dtype
+    rev, fwdmap, seq, vm, mat, prev = _mh_specs(T, B, dims, H)
+
+    inputs = [
+        primary["start"], primary["init"][0], primary["init"][1],
+        primary["cells"][0]["w"], primary["cells"][0]["u"],
+        primary["cells"][0]["b"],
+        primary["cells"][1]["w"], primary["cells"][1]["u"],
+        primary["cells"][1]["b"],
+        primary["out"]["w"], primary["out"]["b"],
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, Dp), dt),
+        jax.ShapeDtypeStruct((T, B, Dp), dt),
+        jax.ShapeDtypeStruct((T, B, H), dt),
+        jax.ShapeDtypeStruct((T, B, H), dt),
+    ]
+    out_specs = [seq(Dp, fwdmap), seq(Dp, fwdmap), seq(H, fwdmap),
+                 seq(H, fwdmap)]
+    scratch = [pltpu.VMEM((B, H), dt), pltpu.VMEM((B, H), dt),
+               pltpu.VMEM((B, Dp), dt)]
+    for k, h in enumerate(heads):
+        Dk = dims[1 + k]
+        inputs += [
+            h["start"], h["init"][0],
+            h["cells"][0]["w"], h["cells"][0]["u"], h["cells"][0]["b"],
+            h["out"]["w"], h["out"]["b"],
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, B, Dk), dt),
+            jax.ShapeDtypeStruct((T, B, Dk), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
+        ]
+        out_specs += [seq(Dk, fwdmap), seq(Dk, fwdmap), seq(H, fwdmap)]
+        scratch += [pltpu.VMEM((B, H), dt), pltpu.VMEM((B, Dk), dt)]
+
+    return pl.pallas_call(
+        functools.partial(_mh_fwd_kernel, n_heads=K, act=act,
+                          out_acts=tuple(out_acts)),
+        grid=(T,),
+        out_shape=tuple(out_shape),
+        in_specs=[vm] * len(inputs),
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def multihead_decode_train_bwd(primary, heads, fwd_outs, gs, T, out_acts,
+                               interpret):
+    """Backward: gs = list of (g_probs, g_logits) per head (primary first)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(heads)
+    B, Dp = primary["start"].shape
+    H = primary["init"][0].shape[-1]
+    dims = [Dp] + [h["start"].shape[-1] for h in heads]
+    dt = primary["start"].dtype
+    f32 = jnp.float32
+    rev, fwdmap, seq, vm, mat, prev = _mh_specs(T, B, dims, H)
+
+    probs_p, _logits_p, h1seq, h2seq = fwd_outs[:4]
+    inputs = [
+        probs_p, h1seq, h1seq, h2seq, h2seq, probs_p, gs[0][0], gs[0][1],
+        primary["start"], primary["init"][0], primary["init"][1],
+        primary["cells"][0]["w"], primary["cells"][0]["u"],
+        primary["cells"][0]["b"],
+        primary["cells"][1]["w"], primary["cells"][1]["u"],
+        primary["cells"][1]["b"],
+        primary["out"]["w"],
+    ]
+    in_specs = [prev(Dp), seq(H, rev), prev(H), seq(H, rev), prev(H),
+                seq(Dp, rev), seq(Dp, rev), seq(Dp, rev)] + [vm] * 10
+    out_shape = [
+        jax.ShapeDtypeStruct((Dp, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, 3 * H), f32),
+        jax.ShapeDtypeStruct((1, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, 3 * H), f32),
+        jax.ShapeDtypeStruct((1, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, Dp), f32),
+        jax.ShapeDtypeStruct((1, Dp), f32),
+        jax.ShapeDtypeStruct((B, H), dt),
+        jax.ShapeDtypeStruct((B, H), dt),
+        jax.ShapeDtypeStruct((B, Dp), dt),
+    ]
+    out_specs = [
+        mat((Dp, 3 * H)), mat((H, 3 * H)), mat((1, 3 * H)),
+        mat((H, 3 * H)), mat((H, 3 * H)), mat((1, 3 * H)),
+        mat((H, Dp)), mat((1, Dp)),
+        mat((B, H)), mat((B, H)), mat((B, Dp)),
+    ]
+    scratch = [pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32),
+               pltpu.VMEM((B, Dp), f32)]
+    for k, h in enumerate(heads):
+        Dk = dims[1 + k]
+        probs_k, _lk, hkseq = fwd_outs[4 + 3 * k : 7 + 3 * k]
+        inputs += [
+            probs_k, probs_k, hkseq, hkseq, gs[1 + k][0], gs[1 + k][1],
+            h["start"], h["init"][0],
+            h["cells"][0]["w"], h["cells"][0]["u"], h["cells"][0]["b"],
+            h["out"]["w"],
+        ]
+        in_specs += [prev(Dk), seq(Dk, rev), seq(H, rev), prev(H),
+                     seq(Dk, rev), seq(Dk, rev)] + [vm] * 6
+        out_shape += [
+            jax.ShapeDtypeStruct((Dk, 3 * H), f32),
+            jax.ShapeDtypeStruct((H, 3 * H), f32),
+            jax.ShapeDtypeStruct((1, 3 * H), f32),
+            jax.ShapeDtypeStruct((H, Dk), f32),
+            jax.ShapeDtypeStruct((1, Dk), f32),
+            jax.ShapeDtypeStruct((B, H), dt),
+            jax.ShapeDtypeStruct((B, Dk), dt),
+        ]
+        out_specs += [
+            mat((Dk, 3 * H)), mat((H, 3 * H)), mat((1, 3 * H)),
+            mat((H, Dk)), mat((1, Dk)),
+            mat((B, H)), mat((B, Dk)),
+        ]
+        scratch += [pltpu.VMEM((B, H), f32), pltpu.VMEM((B, Dk), f32)]
+
+    return pl.pallas_call(
+        functools.partial(_mh_bwd_kernel, n_heads=K,
+                          out_acts=tuple(out_acts)),
+        grid=(T,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def _mh_vmem_ok(B, Dp, dks, H) -> bool:
+    # weights + single f32 grad copies (accumulated in the pinned outputs)
+    # + double-buffered per-step stream blocks + shared gate temporaries
+    # (Mosaic reuses the temp registers across the sequentially-issued
+    # heads) + f32 carries. VERIFIED to compile and run at reference scale
+    # with BOTH narrow heads (B=256, Dp=61, dks=[1,2], H=256) on v5e.
+    def head_w(d):
+        return d * 3 * H + H * 3 * H + 3 * H + H * d + d
+    weights = head_w(Dp) + H * 3 * H + 3 * H  # primary has 2 cells
+    streams = 8 * B * Dp + 8 * B * H
+    carries = 2 * B * H + B * Dp
+    for d in dks:
+        weights += head_w(d)
+        streams += 8 * B * max(d, 128) + 4 * B * H  # lane padding for narrow
+        carries += B * H + B * max(d, 128)
+    temps = 4 * B * 3 * H + 2 * B * H
+    total = (2 * weights + streams + temps + carries) * 4
+    # the estimate overcounts (Mosaic drops to single-buffering under
+    # pressure): the dks=[1,2] reference config computes 18.7 MB here and
+    # compiles + runs on the 16 MB v5e core
+    return total < 19_000_000
+
+
+def _mh_use_pallas(primary, heads, activation, out_acts, interpret) -> bool:
+    if interpret:
+        return True
+    B, Dp = primary["start"].shape
+    H = primary["init"][0].shape[-1]
+    return (
+        jax.default_backend() == "tpu"
+        and activation == "tanh"
+        and all(a in ("softmax", "sigmoid", "linear") for a in out_acts)
+        and _mh_vmem_ok(B, Dp, [h["start"].shape[-1] for h in heads], H)
+    )
+
+
+def _mh_reference(primary, heads, T, activation, out_acts):
+    act = _activation(activation)
+    outs = []
+    for spec, oa in zip([primary] + list(heads), out_acts):
+        p, l = _decode_scan_reference(
+            spec["cells"], spec["out"], list(spec["init"]), spec["start"],
+            T, act, _out_act_fn(oa),
+        )
+        outs.append((p, l))
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def gru_decode_multihead_train(
+    primary, heads, T: int, activation: str, out_acts: tuple, interpret: bool
+):
+    """Fused multi-head readout decode: 2-layer primary + K 1-layer heads.
+
+    primary: {'cells': [c1, c2], 'out': dense, 'init': [i1, i2],
+    'start': (B, Dp)}; heads: tuple of the same with 1-element cells/init;
+    out_acts: one output-activation name per head, primary first. Returns a
+    tuple of (probs, logits) per head, each (T, B, D) time-major. One Pallas
+    kernel forward, one backward, for ALL heads together."""
+    if not _mh_use_pallas(primary, heads, activation, out_acts, interpret):
+        return _mh_reference(primary, heads, T, activation, out_acts)
+    fwd_outs = multihead_decode_train_fwd(
+        primary, list(heads), T, activation, out_acts, interpret
+    )
+    K = len(heads)
+    result = [(fwd_outs[0], fwd_outs[1])]
+    for k in range(K):
+        result.append((fwd_outs[4 + 3 * k], fwd_outs[5 + 3 * k]))
+    return tuple(result)
+
+
+def _mh_fwd_rule(primary, heads, T, activation, out_acts, interpret):
+    if not _mh_use_pallas(primary, heads, activation, out_acts, interpret):
+        out, vjp = jax.vjp(
+            lambda p, h: _mh_reference(p, h, T, activation, out_acts),
+            primary, heads,
+        )
+        return out, (vjp,)
+    fwd_outs = multihead_decode_train_fwd(
+        primary, list(heads), T, activation, out_acts, interpret
+    )
+    K = len(heads)
+    result = [(fwd_outs[0], fwd_outs[1])]
+    for k in range(K):
+        result.append((fwd_outs[4 + 3 * k], fwd_outs[5 + 3 * k]))
+    return tuple(result), (primary, heads, fwd_outs)
+
+
+def _mh_bwd_rule(T, activation, out_acts, interpret, residuals, g):
+    if len(residuals) == 1:
+        (vjp,) = residuals
+        return vjp(g)
+    primary, heads, fwd_outs = residuals
+    K = len(heads)
+    outs = multihead_decode_train_bwd(
+        primary, list(heads), fwd_outs, list(g), T, out_acts, interpret
+    )
+    cast = lambda a, p: a.astype(p.dtype)  # noqa: E731
+    (dw1, du1, db1, dw2, du2, db2, dwo, dbo, di1, di2, dstart) = outs[:11]
+    d_primary = {
+        "cells": [
+            {"w": cast(dw1, primary["cells"][0]["w"]),
+             "u": cast(du1, primary["cells"][0]["u"]),
+             "b": cast(db1[0], primary["cells"][0]["b"])},
+            {"w": cast(dw2, primary["cells"][1]["w"]),
+             "u": cast(du2, primary["cells"][1]["u"]),
+             "b": cast(db2[0], primary["cells"][1]["b"])},
+        ],
+        "out": {"w": cast(dwo, primary["out"]["w"]),
+                "b": cast(dbo[0], primary["out"]["b"])},
+        "init": [di1, di2],
+        "start": dstart,
+    }
+    d_heads = []
+    for k, h in enumerate(heads):
+        (dwk, duk, dbk, dwok, dbok, dik, dsk) = outs[11 + 7 * k : 18 + 7 * k]
+        d_heads.append({
+            "cells": [{"w": cast(dwk, h["cells"][0]["w"]),
+                       "u": cast(duk, h["cells"][0]["u"]),
+                       "b": cast(dbk[0], h["cells"][0]["b"])}],
+            "out": {"w": cast(dwok, h["out"]["w"]),
+                    "b": cast(dbok[0], h["out"]["b"])},
+            "init": [dik],
+            "start": dsk,
+        })
+    return d_primary, tuple(d_heads)
+
+
+gru_decode_multihead_train.defvjp(_mh_fwd_rule, _mh_bwd_rule)

@@ -472,3 +472,72 @@ class TestBf16TrainKernels:
                 np.asarray(a, np.float32), np.asarray(b_, np.float32),
                 rtol=0.15, atol=0.02,
             )
+
+
+class TestMultiheadDecodeTrain:
+    """Fused multi-head decode: 2-layer primary + K 1-layer heads in one
+    kernel pair (interpret mode vs the per-head reference scans)."""
+
+    def _specs(self, B=4, H=16, Dp=12):
+        ks = jax.random.split(jax.random.PRNGKey(0), 12)
+        rng = np.random.RandomState(0)
+        primary = {
+            "cells": [GRUCell.init(ks[0], Dp, H), GRUCell.init(ks[1], H, H)],
+            "out": dense_init(ks[2], H, Dp),
+            "init": [
+                jnp.asarray(rng.randn(B, H), jnp.float32) * 0.1
+                for _ in range(2)
+            ],
+            "start": jnp.zeros((B, Dp), jnp.float32),
+        }
+
+        def mk_head(key, D):
+            return {
+                "cells": [GRUCell.init(key, D, H)],
+                "out": dense_init(jax.random.fold_in(key, 1), H, D),
+                "init": [jnp.asarray(rng.randn(B, H), jnp.float32) * 0.1],
+                "start": jnp.zeros((B, D), jnp.float32),
+            }
+
+        heads = (mk_head(ks[3], 1), mk_head(ks[4], 2))
+        return primary, heads, ("softmax", "sigmoid", "softmax")
+
+    @pytest.mark.parametrize("n_heads", [1, 2])
+    def test_forward_and_gradient_parity(self, n_heads):
+        T = 6
+        primary, heads, out_acts = self._specs()
+        heads = heads[:n_heads]
+        out_acts = out_acts[: 1 + n_heads]
+
+        def loss_mh(primary, heads):
+            outs = ft.gru_decode_multihead_train(
+                primary, heads, T, "tanh", out_acts, True
+            )
+            return sum(
+                jnp.sum(jnp.sin(p)) + 0.3 * jnp.sum(jnp.cos(l))
+                for p, l in outs
+            )
+
+        def loss_ref(primary, heads):
+            outs = ft._mh_reference(primary, heads, T, "tanh", out_acts)
+            return sum(
+                jnp.sum(jnp.sin(p)) + 0.3 * jnp.sum(jnp.cos(l))
+                for p, l in outs
+            )
+
+        np.testing.assert_allclose(
+            float(loss_mh(primary, heads)), float(loss_ref(primary, heads)),
+            rtol=1e-5,
+        )
+        g1 = jax.grad(loss_mh, argnums=(0, 1))(primary, heads)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(primary, heads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6
+            )
+
+    def test_reference_scale_vmem(self):
+        # notes (D=61) + velocity (D=1) + held (D=2) at B=256, H=256
+        assert ft._mh_vmem_ok(256, 61, [1, 2], 256)
