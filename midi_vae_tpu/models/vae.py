@@ -210,23 +210,35 @@ class MidiVAE:
         if cfg.use_embedding:
             x = dense_apply(enc["embedding"], x)
         ftr = cfg.fused_train_encoder
+
+        # NOTE: a fused multi-branch encode kernel (notes stack + every meta
+        # branch in ONE kernel pair, ops/fused_train.gru_encode_multibranch_
+        # train) exists and is tested, but MEASURED a wash end-to-end
+        # (4.13M vs 4.14M note-steps/s interleaved A/B on v5e): the encoder
+        # kernels are per-step compute-bound, so the independent branches'
+        # work serializes inside the fused kernel just as it does across
+        # separate kernels. The model keeps the simpler per-layer dispatch
+        # (same verdict as the 2-layer stack kernel, gru_stack2_train_x).
+        branch_specs: list[tuple[str, jnp.ndarray]] = []
+        if cfg.meta_instrument:
+            branch_specs.append(("inst_rnn", batch["I"]))
+        if cfg.meta_velocity:
+            branch_specs.append(("vel_rnn", batch["V"]))
+        if cfg.meta_held_notes:
+            branch_specs.append(("held_rnn", batch["D"]))
         h = encode_sequence(
             enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
             cfg.bidirectional, fused=fused, whole_scan=ws, fused_train=ftr,
             inference=inference,
         )
         parts = [h]
-        if cfg.meta_instrument:
+        for name, b in branch_specs:
             parts.append(
-                encode_sequence(enc["inst_rnn"], batch["I"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr, inference=inference)
-            )
-        if cfg.meta_velocity:
-            parts.append(
-                encode_sequence(enc["vel_rnn"], batch["V"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr, inference=inference)
-            )
-        if cfg.meta_held_notes:
-            parts.append(
-                encode_sequence(enc["held_rnn"], batch["D"], cfg.cell_type, cfg.lstm_activation, fused=fused, whole_scan=ws, fused_train=ftr, inference=inference)
+                encode_sequence(
+                    enc[name], b, cfg.cell_type, cfg.lstm_activation,
+                    fused=fused, whole_scan=ws, fused_train=ftr,
+                    inference=inference,
+                )
             )
         if len(parts) > 1:
             h = jnp.concatenate(parts, axis=-1)

@@ -2560,3 +2560,434 @@ def _mh_bwd_rule(T, activation, out_acts, interpret, residuals, g):
 
 
 gru_decode_multihead_train.defvjp(_mh_fwd_rule, _mh_bwd_rule)
+
+
+# ===========================================================================
+# MULTI-BRANCH encode train kernels: ONE kernel pair runs the 2-layer notes
+# encoder stack AND every independent 1-layer meta-encoder branch
+# (instrument / velocity / held) together.
+#
+# The reference encoder is GRU(seq)->GRU(final) over the notes input plus
+# one single GRU per meta input, concatenated afterwards
+# (vae_definition.py:443-484). The branches share nothing; fusing them into
+# one kernel halves the launch count and merges their streams.
+# MEASURED: a wash vs per-layer kernels (4.13M vs 4.14M note-steps/s
+# end-to-end, interleaved A/B on v5e; device trace: 562 us fused bwd vs
+# 567 us summed separate bwds) -- the encoder kernels are per-step
+# COMPUTE-bound, so the branches' work serializes inside the fused kernel
+# just as it does across separate kernels. The model keeps the simpler
+# per-layer dispatch (same verdict as gru_stack2_train_x above); this op
+# stays available and tested.
+#
+# Initial states are ZEROS by API contract (the model always zero-inits
+# encoder states, models/cells.zero_states), so the kernels take no h0
+# inputs and emit no dh0 grads. Branches may be SHORTER than the stack
+# (instrument: T_k = max_voices = 4 vs T = 64): their per-step work is
+# gated on the grid index and their stream index maps are clamped.
+# ===========================================================================
+
+def _encmb_gru(xp, h, u, act):
+    H = h.shape[-1]
+    hu = _dot(h, u[:, : 2 * H])
+    z = jax.nn.sigmoid(xp[:, :H] + hu[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H] + hu[:, H:])
+    hh = act(xp[:, 2 * H :] + _dot(r * h, u[:, 2 * H :]))
+    return z * h + (1.0 - z) * hh
+
+
+def _encmb_fwd_kernel(*refs, n_branches, t_lens, act):
+    import jax.experimental.pallas as pl
+
+    K = n_branches
+    # inputs: x, w1,b1,u1, w2,b2,u2, then per branch: xk, wk,bk,uk  (4 each)
+    n_in = 7 + 4 * K
+    # outputs: h1seq, h2seq, then per branch: hkseq
+    n_out = 2 + K
+    ins, outs, scr = refs[:n_in], refs[n_in:n_in + n_out], refs[n_in + n_out:]
+    (x_ref, w1, b1, u1, w2, b2, u2) = ins[:7]
+    h1seq_ref, h2seq_ref = outs[:2]
+    h1_s, h2_s = scr[:2]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for s in scr:
+            s[:] = jnp.zeros_like(s)
+
+    h1 = _encmb_gru(
+        _dot(x_ref[0], w1[:]) + b1[:].astype(jnp.float32), h1_s[:], u1[:], act
+    )
+    h2 = _encmb_gru(
+        _dot(h1, w2[:]) + b2[:].astype(jnp.float32), h2_s[:], u2[:], act
+    )
+    h1_s[:] = h1.astype(h1_s.dtype)
+    h2_s[:] = h2.astype(h2_s.dtype)
+    h1seq_ref[0] = h1.astype(h1seq_ref.dtype)
+    h2seq_ref[0] = h2.astype(h2seq_ref.dtype)
+
+    for k in range(K):
+        xk_ref, wk, bk, uk = ins[7 + 4 * k : 11 + 4 * k]
+        hkseq_ref = outs[2 + k]
+        hk_s = scr[2 + k]
+
+        @pl.when(step < t_lens[k])
+        def _branch(xk_ref=xk_ref, wk=wk, bk=bk, uk=uk,
+                    hkseq_ref=hkseq_ref, hk_s=hk_s):
+            hk = _encmb_gru(
+                _dot(xk_ref[0], wk[:]) + bk[:].astype(jnp.float32),
+                hk_s[:], uk[:], act,
+            )
+            hk_s[:] = hk.astype(hk_s.dtype)
+            hkseq_ref[0] = hk.astype(hkseq_ref.dtype)
+
+
+def _encmb_bwd_kernel(*refs, n_branches, t_lens, T):
+    import jax.experimental.pallas as pl
+
+    K = n_branches
+    # inputs: x, h1 (at t), h1p, h2p, dfinal2, w1,b1,u1, w2,b2,u2,
+    #         then per branch: xk, hkp, dfinal_k, wk,bk,uk           (6 each)
+    n_in = 11 + 6 * K
+    # outputs: dx, dw1,db1,du1, dw2,db2,du2,
+    #          then per branch: dxk, dwk,dbk,duk                     (4 each)
+    n_out = 7 + 4 * K
+    ins, outs, scr = refs[:n_in], refs[n_in:n_in + n_out], refs[n_in + n_out:]
+    (x_ref, h1_ref, h1p_ref, h2p_ref, dfinal2, w1, b1, u1, w2, b2, u2) = \
+        ins[:11]
+    (dx_ref, dw1_ref, db1_ref, du1_ref, dw2_ref, db2_ref, du2_ref) = outs[:7]
+    dh1_s, dh2_s = scr[:2]
+
+    step = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    is_first_t = step == last  # t == 0
+
+    @pl.when(step == 0)
+    def _init():
+        for o in outs[1:7]:
+            o[:] = jnp.zeros_like(o)
+        for k in range(K):
+            for o in outs[8 + 4 * k : 11 + 4 * k]:
+                o[:] = jnp.zeros_like(o)
+        dh1_s[:] = jnp.zeros_like(dh1_s)
+        dh2_s[:] = dfinal2[:].astype(dh2_s.dtype)
+        for s in scr[2:]:
+            s[:] = jnp.zeros_like(s)
+
+    h1 = h1_ref[0]
+    zeros_h = jnp.zeros_like(dh2_s[:])
+    h2p = jnp.where(is_first_t, zeros_h, h2p_ref[0].astype(jnp.float32))
+    dx2, dh2p, dW2, dU2, db2 = _gru_cell_bwd(
+        h1, h2p, w2[:], u2[:], b2[:], dh2_s[:]
+    )
+    dw2_ref[:] += dW2
+    du2_ref[:] += dU2
+    db2_ref[:] += db2
+
+    dh1 = dx2 + dh1_s[:]
+    h1p = jnp.where(is_first_t, zeros_h, h1p_ref[0].astype(jnp.float32))
+    dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(
+        x_ref[0], h1p, w1[:], u1[:], b1[:], dh1
+    )
+    dw1_ref[:] += dW1
+    du1_ref[:] += dU1
+    db1_ref[:] += db1
+    dx_ref[0] = dx1.astype(dx_ref.dtype)
+    dh1_s[:] = dh1p
+    dh2_s[:] = dh2p
+
+    for k in range(K):
+        xk_ref, hkp_ref, dfinal_k, wk, bk, uk = ins[11 + 6 * k : 17 + 6 * k]
+        dxk_ref, dwk_ref, dbk_ref, duk_ref = outs[7 + 4 * k : 11 + 4 * k]
+        dhk_s = scr[2 + k]
+        Tk = t_lens[k]
+
+        @pl.when(step == T - Tk)  # entering the branch's span: t == Tk - 1
+        def _enter(dhk_s=dhk_s, dfinal_k=dfinal_k):
+            dhk_s[:] = dfinal_k[:].astype(dhk_s.dtype)
+
+        @pl.when(step >= T - Tk)
+        def _branch(xk_ref=xk_ref, hkp_ref=hkp_ref, wk=wk, bk=bk, uk=uk,
+                    dxk_ref=dxk_ref, dwk_ref=dwk_ref, dbk_ref=dbk_ref,
+                    duk_ref=duk_ref, dhk_s=dhk_s):
+            hp = jnp.where(
+                is_first_t, zeros_h, hkp_ref[0].astype(jnp.float32)
+            )
+            dxk, dhkp, dWk, dUk, dbk = _gru_cell_bwd(
+                xk_ref[0], hp, wk[:], uk[:], bk[:], dhk_s[:]
+            )
+            dwk_ref[:] += dWk
+            duk_ref[:] += dUk
+            dbk_ref[:] += dbk
+            dxk_ref[0] = dxk.astype(dxk_ref.dtype)
+            dhk_s[:] = dhkp
+
+
+def _encmb_cast(x, p):
+    """f32-promote a degenerate-K branch (D < 8, e.g. the 1-dim velocity
+    input) -- see _fwdx_kernel's cast_x note."""
+    if x.shape[-1] < 8 and x.dtype != jnp.float32:
+        return x.astype(jnp.float32), dict(p, w=p["w"].astype(jnp.float32))
+    return x, p
+
+
+def encode_multibranch_train_fwd(stack, branches, activation, interpret):
+    """Forward: returns (h1seq, h2seq, [hkseq]*K), all time-major."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    K = len(branches)
+    x = stack["x"]
+    T, B, D = x.shape
+    H = stack["p1"]["u"].shape[0]
+    dt = x.dtype
+    p1 = dict(stack["p1"], b=stack["p1"]["b"].astype(jnp.float32))
+    p2 = dict(stack["p2"], b=stack["p2"]["b"].astype(jnp.float32))
+
+    seq = lambda d, m: pl.BlockSpec((1, B, d), m, memory_space=pltpu.VMEM)  # noqa: E731
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fwd = lambda t: (t, 0, 0)  # noqa: E731
+
+    inputs = [x, p1["w"], p1["b"], p1["u"], p2["w"], p2["b"], p2["u"]]
+    in_specs = [seq(D, fwd)] + [vm] * 6
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H), dt),
+        jax.ShapeDtypeStruct((T, B, H), dt),
+    ]
+    out_specs = [seq(H, fwd), seq(H, fwd)]
+    scratch = [pltpu.VMEM((B, H), dt), pltpu.VMEM((B, H), dt)]
+    t_lens = []
+    for br in branches:
+        xk, pk = _encmb_cast(br["x"], br["p"])
+        pk = dict(pk, b=pk["b"].astype(jnp.float32))
+        Tk, _, Dk = xk.shape
+        t_lens.append(Tk)
+        inputs += [xk, pk["w"], pk["b"], pk["u"]]
+        in_specs += [
+            seq(Dk, lambda t, Tk=Tk: (jnp.minimum(t, Tk - 1), 0, 0)),
+            vm, vm, vm,
+        ]
+        out_shape.append(jax.ShapeDtypeStruct((Tk, B, H), dt))
+        out_specs.append(seq(H, lambda t, Tk=Tk: (jnp.minimum(t, Tk - 1), 0, 0)))
+        scratch.append(pltpu.VMEM((B, H), dt))
+
+    return pl.pallas_call(
+        functools.partial(
+            _encmb_fwd_kernel, n_branches=K, t_lens=tuple(t_lens), act=act
+        ),
+        grid=(T,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def encode_multibranch_train_bwd(stack, branches, fwd_outs, g, interpret):
+    """Backward: g = (dh2_final, (dhk_final)*K). Returns
+    (dx, dw1, db1, du1, dw2, db2, du2, [dxk, dwk, dbk, duk]*K)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(branches)
+    x = stack["x"]
+    T, B, D = x.shape
+    H = stack["p1"]["u"].shape[0]
+    dt = x.dtype
+    f32 = jnp.float32
+    p1 = dict(stack["p1"], b=stack["p1"]["b"].astype(jnp.float32))
+    p2 = dict(stack["p2"], b=stack["p2"]["b"].astype(jnp.float32))
+    h1seq, h2seq = fwd_outs[:2]
+    dfinal2, dfinal_ks = g
+
+    seq = lambda d, m: pl.BlockSpec((1, B, d), m, memory_space=pltpu.VMEM)  # noqa: E731
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    mat = lambda s: pl.BlockSpec(s, lambda t: tuple(0 for _ in s),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    rev = lambda s: (T - 1 - s, 0, 0)  # noqa: E731
+
+    inputs = [
+        x, h1seq, h1seq, h2seq, dfinal2,
+        p1["w"], p1["b"], p1["u"], p2["w"], p2["b"], p2["u"],
+    ]
+    in_specs = [
+        seq(D, rev), seq(H, rev), _hprev_spec(T, B, H), _hprev_spec(T, B, H),
+        vm, vm, vm, vm, vm, vm, vm,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, D), dt),
+        jax.ShapeDtypeStruct((D, 3 * H), f32),
+        jax.ShapeDtypeStruct((1, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, 3 * H), f32),
+        jax.ShapeDtypeStruct((1, 3 * H), f32),
+        jax.ShapeDtypeStruct((H, 3 * H), f32),
+    ]
+    out_specs = [
+        seq(D, rev),
+        mat((D, 3 * H)), mat((1, 3 * H)), mat((H, 3 * H)),
+        mat((H, 3 * H)), mat((1, 3 * H)), mat((H, 3 * H)),
+    ]
+    scratch = [pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)]
+    t_lens = []
+    for k, br in enumerate(branches):
+        xk, pk = _encmb_cast(br["x"], br["p"])
+        pk = dict(pk, b=pk["b"].astype(jnp.float32))
+        Tk, _, Dk = xk.shape
+        t_lens.append(Tk)
+        hkseq = fwd_outs[2 + k]
+        # reversed + clamped maps: block t for grid step s is
+        # clip(T-1-s, 0, Tk-1); the prev-state stream reads t-1 the same way
+        revk = lambda s, Tk=Tk: (jnp.clip(T - 1 - s, 0, Tk - 1), 0, 0)
+        prevk = lambda s, Tk=Tk: (jnp.clip(T - 2 - s, 0, Tk - 1), 0, 0)
+        inputs += [xk, hkseq, dfinal_ks[k], pk["w"], pk["b"], pk["u"]]
+        in_specs += [seq(Dk, revk), seq(H, prevk), vm, vm, vm, vm]
+        # branch dx emitted in f32: narrow-D bf16 stores hit Mosaic's
+        # unimplemented subelement masking -- cast in _encmb_bwd_rule
+        out_shape += [
+            jax.ShapeDtypeStruct((Tk, B, Dk), f32),
+            jax.ShapeDtypeStruct((Dk, 3 * H), f32),
+            jax.ShapeDtypeStruct((1, 3 * H), f32),
+            jax.ShapeDtypeStruct((H, 3 * H), f32),
+        ]
+        out_specs += [
+            seq(Dk, revk),
+            mat((Dk, 3 * H)), mat((1, 3 * H)), mat((H, 3 * H)),
+        ]
+        scratch.append(pltpu.VMEM((B, H), f32))
+
+    return pl.pallas_call(
+        functools.partial(
+            _encmb_bwd_kernel, n_branches=K, t_lens=tuple(t_lens), T=T
+        ),
+        grid=(T,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def _encmb_vmem_ok(B, D, dks, H) -> bool:
+    # weights + pinned f32 grads + double-buffered per-step stream blocks +
+    # shared gate temporaries (reused across the sequentially-issued
+    # branches) + f32 carries; same calibration methodology as _mh_vmem_ok
+    def layer_w(d):
+        return d * 3 * H + H * 3 * H + 3 * H
+    weights = layer_w(D) + layer_w(H)
+    streams = 8 * B * D + 10 * B * H
+    carries = 2 * B * H
+    for d in dks:
+        weights += layer_w(d)
+        streams += 8 * B * max(d, 128) + 4 * B * H
+        carries += B * H
+    temps = 4 * B * 3 * H + 2 * B * H
+    total = (2 * weights + streams + temps + carries) * 4
+    # the estimate overcounts (Mosaic drops to single-buffering under
+    # pressure): the reference config (B=256, D=61, branches [1, 16],
+    # H=256) computes 20.4 MB here and compiles + runs on the 16 MB v5e
+    # core (verified, loss matches the per-branch reference)
+    return total < 21_000_000
+
+
+def _encmb_use_pallas(stack, branches, activation, interpret) -> bool:
+    if interpret:
+        return True
+    T, B, D = stack["x"].shape
+    H = stack["p1"]["u"].shape[0]
+    return (
+        jax.default_backend() == "tpu"
+        and activation == "tanh"
+        and all(br["x"].shape[0] <= T for br in branches)
+        and _encmb_vmem_ok(B, D, [br["x"].shape[-1] for br in branches], H)
+    )
+
+
+def _encmb_reference(stack, branches, act):
+    x = stack["x"]
+    B = x.shape[1]
+    H = stack["p1"]["u"].shape[0]
+    zero = jnp.zeros((B, H), x.dtype)
+    h1 = _gru_layer_reference_x(
+        x, zero, stack["p1"]["w"], stack["p1"]["b"], stack["p1"]["u"], act,
+        True,
+    )
+    h2 = _gru_layer_reference_x(
+        h1, zero, stack["p2"]["w"], stack["p2"]["b"], stack["p2"]["u"], act,
+        False,
+    )
+    finals = tuple(
+        _gru_layer_reference_x(
+            br["x"], zero, br["p"]["w"], br["p"]["b"], br["p"]["u"], act,
+            False,
+        )
+        for br in branches
+    )
+    return h2, finals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gru_encode_multibranch_train(
+    stack, branches, activation: str, interpret: bool
+):
+    """Fused multi-branch encode: 2-layer notes stack + K 1-layer branches.
+
+    stack: {'x': (T, B, D) time-major, 'p1': {w,b,u}, 'p2': {w,b,u}};
+    branches: tuple of {'x': (Tk, B, Dk), 'p': {w,b,u}} with Tk <= T.
+    ALL initial states are zeros (the model's encoder contract). Returns
+    (h2_final, (hk_final,)*K), each (B, H). One Pallas kernel forward, one
+    backward, for the stack and every branch together."""
+    if not _encmb_use_pallas(stack, branches, activation, interpret):
+        return _encmb_reference(stack, branches, _activation(activation))
+    outs = encode_multibranch_train_fwd(stack, branches, activation, interpret)
+    return outs[1][-1], tuple(outs[2 + k][-1] for k in range(len(branches)))
+
+
+def _encmb_fwd_rule(stack, branches, activation, interpret):
+    if not _encmb_use_pallas(stack, branches, activation, interpret):
+        out, vjp = jax.vjp(
+            lambda s, b: _encmb_reference(s, b, _activation(activation)),
+            stack, branches,
+        )
+        return out, (vjp,)
+    outs = encode_multibranch_train_fwd(stack, branches, activation, interpret)
+    result = (
+        outs[1][-1], tuple(outs[2 + k][-1] for k in range(len(branches)))
+    )
+    return result, (stack, branches, outs)
+
+
+def _encmb_bwd_rule(activation, interpret, residuals, g):
+    if len(residuals) == 1:
+        (vjp,) = residuals
+        return vjp(g)
+    stack, branches, fwd_outs = residuals
+    outs = encode_multibranch_train_bwd(stack, branches, fwd_outs, g,
+                                        interpret)
+    cast = lambda a, p: a.astype(p.dtype)  # noqa: E731
+    (dx, dw1, db1, du1, dw2, db2, du2) = outs[:7]
+    d_stack = {
+        "x": dx,
+        "p1": {"w": cast(dw1, stack["p1"]["w"]),
+               "b": cast(db1[0], stack["p1"]["b"]),
+               "u": cast(du1, stack["p1"]["u"])},
+        "p2": {"w": cast(dw2, stack["p2"]["w"]),
+               "b": cast(db2[0], stack["p2"]["b"]),
+               "u": cast(du2, stack["p2"]["u"])},
+    }
+    d_branches = []
+    for k, br in enumerate(branches):
+        dxk, dwk, dbk, duk = outs[7 + 4 * k : 11 + 4 * k]
+        d_branches.append({
+            "x": dxk.astype(br["x"].dtype),
+            "p": {"w": cast(dwk, br["p"]["w"]),
+                  "b": cast(dbk[0], br["p"]["b"]),
+                  "u": cast(duk, br["p"]["u"])},
+        })
+    return d_stack, tuple(d_branches)
+
+
+gru_encode_multibranch_train.defvjp(_encmb_fwd_rule, _encmb_bwd_rule)

@@ -541,3 +541,66 @@ class TestMultiheadDecodeTrain:
     def test_reference_scale_vmem(self):
         # notes (D=61) + velocity (D=1) + held (D=2) at B=256, H=256
         assert ft._mh_vmem_ok(256, 61, [1, 2], 256)
+
+
+class TestMultibranchEncodeTrain:
+    """Fused multi-branch encode: 2-layer notes stack + K independent
+    1-layer branches (incl. one SHORTER than the stack) in one kernel pair
+    (interpret mode vs the per-branch reference scans)."""
+
+    def _specs(self, B=4, H=16, D=12, T=6):
+        ks = jax.random.split(jax.random.PRNGKey(1), 8)
+        rng = np.random.RandomState(1)
+
+        def gru_p(key, d):
+            c = GRUCell.init(key, d, H)
+            return {"w": c["w"], "b": c["b"], "u": c["u"]}
+
+        stack = {
+            "x": jnp.asarray(rng.randn(T, B, D), jnp.float32) * 0.3,
+            "p1": gru_p(ks[0], D),
+            "p2": gru_p(ks[1], H),
+        }
+        branches = (
+            {"x": jnp.asarray(rng.randn(T, B, 1), jnp.float32) * 0.3,
+             "p": gru_p(ks[2], 1)},
+            {"x": jnp.asarray(rng.randn(2, B, 5), jnp.float32) * 0.3,
+             "p": gru_p(ks[3], 5)},  # Tk=2 < T: the instrument pattern
+        )
+        return stack, branches
+
+    @pytest.mark.parametrize("n_branches", [0, 1, 2])
+    def test_forward_and_gradient_parity(self, n_branches):
+        stack, branches = self._specs()
+        branches = branches[:n_branches]
+
+        def loss_mb(stack, branches):
+            h2, finals = ft.gru_encode_multibranch_train(
+                stack, branches, "tanh", True
+            )
+            return jnp.sum(jnp.sin(h2)) + sum(
+                jnp.sum(jnp.cos(h)) for h in finals
+            )
+
+        def loss_ref(stack, branches):
+            h2, finals = ft._encmb_reference(stack, branches, jnp.tanh)
+            return jnp.sum(jnp.sin(h2)) + sum(
+                jnp.sum(jnp.cos(h)) for h in finals
+            )
+
+        np.testing.assert_allclose(
+            float(loss_mb(stack, branches)),
+            float(loss_ref(stack, branches)), rtol=1e-5,
+        )
+        g1 = jax.grad(loss_mb, argnums=(0, 1))(stack, branches)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(stack, branches)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-6
+            )
+
+    def test_reference_scale_vmem(self):
+        # notes (D=61, T=64) + velocity (D=1) + instrument (D=16, T=4)
+        assert ft._encmb_vmem_ok(256, 61, [1, 16], 256)
