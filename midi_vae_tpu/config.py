@@ -173,6 +173,14 @@ class Config:
     # the compute dtype outside).
     fused_train_encoder: bool = True
     fused_train_decoder: bool = True
+    # device-resident epochs: source of the history latent H (previous
+    # window's z, vae_training.py:787-798). True (default): reuse the z
+    # computed inside each training step -- a per-window cache carried
+    # across epochs, so the per-epoch whole-split encoder pass disappears
+    # (~10% of device-epoch step time). H is then <= 1 epoch stale, the
+    # same staleness class as the epoch-start encode pass (False) and the
+    # reference's per-song predict; epoch 0 trains with H = 0 either way.
+    history_from_train_z: bool = True
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -666,6 +666,7 @@ def loss_and_metrics(
     batch: dict,
     rng: jax.Array | None,
     epsilon_std: float,
+    return_z: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """Total loss = sum(weight_i * head_loss_i) + beta * KL, replicating the
     Keras compile structure (vae_definition.py:332-441) and its weighted
@@ -673,6 +674,8 @@ def loss_and_metrics(
     vae_definition.py:929-933).
 
     Returns (total_loss, metrics dict of per-head losses + accuracies).
+    ``return_z`` adds the batch's z_mean under the non-scalar key "_z" --
+    callers must pop it before averaging (the trainer's history-z cache).
     """
     cfg = model.cfg
     out = model.apply(params, batch, rng, epsilon_std)
@@ -800,4 +803,6 @@ def loss_and_metrics(
     total = total + cfg.beta * kl
 
     metrics["loss"] = total
+    if return_z:
+        metrics["_z"] = out["z_mean"]
     return total, metrics

@@ -172,32 +172,49 @@ class VAETrainer:
         data["first_in_song"] = jnp.asarray(flat.first_in_song)
         return data
 
-    def _device_epoch_fn(self, params, opt_state, rng, data, order, mask,
-                         h_scale, history_active=True):
+    def _uses_z_cache(self) -> bool:
+        """History latents come from the per-window z cache (updated inside
+        each train step) instead of a per-epoch whole-split encode pass."""
+        return self.cfg.history and self.cfg.history_from_train_z
+
+    def _device_epoch_fn(self, params, opt_state, rng, z_cache, data, order,
+                         mask, h_scale, history_active=True):
         """order: (n_batches, B) int32 window ids (-1 = padding);
         mask: (n_batches, B) float validity; h_scale: 0.0 zeroes the history
         latents (epoch 0 -- the encoder is untrained, vae_training.py:789).
-        ``history_active=False`` (static) skips the encode pass entirely --
-        used when every epoch in the chunk has h_scale=0."""
+        ``history_active=False`` (static) skips the history read entirely --
+        used when every epoch in the chunk has h_scale=0.
+
+        z_cache: (N+1, latent_dim) per-window z_mean store (row N is the
+        dustbin for padding rows). With ``history_from_train_z`` each train
+        step scatters its batch's z_mean into the cache, and the next
+        epoch's H is the cache rolled within song boundaries -- no encode
+        pass. H is then <= 1 epoch stale, the same staleness class as the
+        epoch-start encode pass and the reference's per-song predict
+        (vae_training.py:787-798)."""
         cfg = self.cfg
         model = self.model
         optimizer = self.optimizer
         N = data["X"].shape[0]
         bs = cfg.batch_size
+        use_cache = self._uses_z_cache()
 
         if cfg.history and history_active:
-            # batched encoder pass over the whole split, natural order
-            n_enc = (N + bs - 1) // bs
-            pad = n_enc * bs - N
-            idx_all = jnp.concatenate(
-                [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
-            ).reshape(n_enc, bs)
+            if use_cache:
+                z_all = z_cache[:N]
+            else:
+                # batched encoder pass over the whole split, natural order
+                n_enc = (N + bs - 1) // bs
+                pad = n_enc * bs - N
+                idx_all = jnp.concatenate(
+                    [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
+                ).reshape(n_enc, bs)
 
-            def enc_one(idx):
-                batch = {k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")}
-                return model.encode(params, batch)
+                def enc_one(idx):
+                    batch = {k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")}
+                    return model.encode(params, batch)
 
-            z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
+                z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
             H_all = jnp.roll(z_all, 1, axis=0).at[0].set(0.0)
             H_all = jnp.where(data["first_in_song"][:, None], 0.0, H_all)
             H_all = jax.lax.stop_gradient(H_all) * h_scale
@@ -205,7 +222,7 @@ class VAETrainer:
             H_all = jnp.zeros((N, cfg.latent_dim), jnp.float32)
 
         def body(carry, xs):
-            params, opt_state, rng = carry
+            params, opt_state, rng, z_cache = carry
             idx, m = xs
             safe = jnp.maximum(idx, 0)
             batch = {k: jnp.take(data[k], safe, axis=0) for k in BATCH_KEYS}
@@ -214,21 +231,26 @@ class VAETrainer:
             rng, sample_key = jax.random.split(rng)
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: loss_and_metrics(
-                    model, p, batch, sample_key, cfg.epsilon_std
+                    model, p, batch, sample_key, cfg.epsilon_std,
+                    return_z=use_cache,
                 ),
                 has_aux=True,
             )(params)
+            if use_cache:
+                z_b = jax.lax.stop_gradient(metrics.pop("_z"))
+                dust = jnp.where(idx >= 0, idx, N)  # padding -> dustbin row
+                z_cache = z_cache.at[dust].set(z_b.astype(z_cache.dtype))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), metrics
+            return (params, opt_state, rng, z_cache), metrics
 
-        (params, opt_state, rng), metrics = jax.lax.scan(
-            body, (params, opt_state, rng), (order, mask)
+        (params, opt_state, rng, z_cache), metrics = jax.lax.scan(
+            body, (params, opt_state, rng, z_cache), (order, mask)
         )
-        return params, opt_state, rng, metrics
+        return params, opt_state, rng, z_cache, metrics
 
-    def _device_epochs_fn(self, params, opt_state, rng, data, orders, masks,
-                          h_scales, history_active=True):
+    def _device_epochs_fn(self, params, opt_state, rng, z_cache, data, orders,
+                          masks, h_scales, history_active=True):
         """E epochs in ONE jitted call: lax.scan over whole epochs.
 
         orders/masks: (E, n_batches, B); h_scales: (E,). Amortizes the
@@ -237,10 +259,10 @@ class VAETrainer:
         instead of hours."""
 
         def epoch_body(carry, xs):
-            params, opt_state, rng = carry
+            params, opt_state, rng, z_cache = carry
             order, mask, h_scale = xs
-            params, opt_state, rng, metrics = self._device_epoch_fn(
-                params, opt_state, rng, data, order, mask, h_scale,
+            params, opt_state, rng, z_cache, metrics = self._device_epoch_fn(
+                params, opt_state, rng, z_cache, data, order, mask, h_scale,
                 history_active,
             )
             # weighted per-epoch means (weights = real rows per batch)
@@ -249,12 +271,62 @@ class VAETrainer:
             epoch_metrics = {
                 k: jnp.sum(v * w) / tot for k, v in metrics.items()
             }
-            return (params, opt_state, rng), epoch_metrics
+            return (params, opt_state, rng, z_cache), epoch_metrics
 
-        (params, opt_state, rng), metrics = jax.lax.scan(
-            epoch_body, (params, opt_state, rng), (orders, masks, h_scales)
+        (params, opt_state, rng, z_cache), metrics = jax.lax.scan(
+            epoch_body, (params, opt_state, rng, z_cache),
+            (orders, masks, h_scales),
         )
-        return params, opt_state, rng, metrics
+        return params, opt_state, rng, z_cache, metrics
+
+    # ------------------------------------------------------------------
+    def _get_z_cache(self, params, data: dict, first_epoch: int):
+        """Per-split z cache, keyed by the device data's identity. Seeded by
+        ONE jitted encode pass when resuming past epoch 0 without a cache
+        (exactly the epoch-start semantics of the encode-pass mode);
+        zero-seeded otherwise (epoch 0 ignores H and fills the cache)."""
+        cfg = self.cfg
+        N = data["X"].shape[0]
+        key = (id(data["X"]), N)
+        if not hasattr(self, "_z_caches"):
+            self._z_caches = {}
+        zc = self._z_caches.get(key)
+        if zc is None:
+            if self._uses_z_cache() and first_epoch > 0:
+                zc = self._seed_z_cache(params, data)
+            else:
+                zc = jnp.zeros((N + 1, cfg.latent_dim), jnp.float32)
+            self._z_caches[key] = zc
+        return key, zc
+
+    def _seed_z_cache(self, params, data: dict):
+        bs = self.cfg.batch_size
+
+        if not hasattr(self, "_seed_z_jit"):
+            def seed(params, data):
+                # N is static per traced shape -- the jit retraces per split
+                N = data["X"].shape[0]
+                n_enc = (N + bs - 1) // bs
+                pad = n_enc * bs - N
+                idx_all = jnp.concatenate(
+                    [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
+                ).reshape(n_enc, bs)
+
+                def enc_one(idx):
+                    batch = {
+                        k: jnp.take(data[k], idx, axis=0)
+                        for k in ("X", "I", "V", "D")
+                    }
+                    return self.model.encode(params, batch)
+
+                z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)
+                z_all = z_all[:N].astype(jnp.float32)
+                return jnp.concatenate(
+                    [z_all, jnp.zeros((1, z_all.shape[-1]), jnp.float32)]
+                )
+
+            self._seed_z_jit = jax.jit(seed)
+        return self._seed_z_jit(params, data)
 
     def _epoch_orders(
         self, state: TrainState, num_windows: int, n_epochs: int,
@@ -298,10 +370,10 @@ class VAETrainer:
             state, num_windows, n_epochs, shuffle, first_epoch, use_history
         )
         # when every epoch in the chunk has h_scale=0 (epoch-0 chunks,
-        # use_history=False), compile a variant WITHOUT the per-epoch
-        # history encode pass instead of computing z for all windows and
-        # multiplying by zero
+        # use_history=False), compile a variant WITHOUT the history read
+        # instead of computing H for all windows and multiplying by zero
         history_active = bool(h_scales.max() > 0.0)
+        cache_key, z_cache = self._get_z_cache(state.params, data, first_epoch)
         if not hasattr(self, "_device_epochs_jit"):
             self._device_epochs_jit = {}
         if history_active not in self._device_epochs_jit:
@@ -309,14 +381,15 @@ class VAETrainer:
                 functools.partial(
                     self._device_epochs_fn, history_active=history_active
                 ),
-                donate_argnums=(0, 1),
+                donate_argnums=(0, 1, 3),
             )
-        state.params, state.opt_state, state.rng, metrics = (
+        state.params, state.opt_state, state.rng, z_cache, metrics = (
             self._device_epochs_jit[history_active](
-                state.params, state.opt_state, state.rng, data,
+                state.params, state.opt_state, state.rng, z_cache, data,
                 jnp.asarray(orders), jnp.asarray(masks), jnp.asarray(h_scales),
             )
         )
+        self._z_caches[cache_key] = z_cache
         host = {k: np.asarray(v) for k, v in metrics.items()}
         return [{k: float(v[e]) for k, v in host.items()} for e in range(n_epochs)]
 
@@ -341,15 +414,21 @@ class VAETrainer:
         order2d = padded.reshape(n_batches, bs)
         mask2d = (order2d >= 0).astype(np.float32)
 
+        cache_key, z_cache = self._get_z_cache(
+            state.params, data, 1 if use_history else 0
+        )
         if not hasattr(self, "_device_epoch_jit"):
             self._device_epoch_jit = jax.jit(
-                self._device_epoch_fn, donate_argnums=(0, 1)
+                self._device_epoch_fn, donate_argnums=(0, 1, 3)
             )
-        state.params, state.opt_state, state.rng, metrics = self._device_epoch_jit(
-            state.params, state.opt_state, state.rng, data,
-            jnp.asarray(order2d), jnp.asarray(mask2d),
-            jnp.asarray(1.0 if use_history else 0.0, jnp.float32),
+        state.params, state.opt_state, state.rng, z_cache, metrics = (
+            self._device_epoch_jit(
+                state.params, state.opt_state, state.rng, z_cache, data,
+                jnp.asarray(order2d), jnp.asarray(mask2d),
+                jnp.asarray(1.0 if use_history else 0.0, jnp.float32),
+            )
         )
+        self._z_caches[cache_key] = z_cache
         agg = EpochMetrics()
         weights = mask2d.sum(axis=1)
         host_metrics = {k: np.asarray(v) for k, v in metrics.items()}

@@ -222,3 +222,72 @@ class TestTrainer:
         for _ in range(4):
             m = trainer.run_epoch_device(state, data, flat.num_windows, shuffle=False).means()
         assert m["loss"] < m0["loss"]
+
+
+class TestHistoryZCache:
+    """history_from_train_z: the device-epoch H comes from a per-window z
+    cache updated inside each train step instead of a per-epoch whole-split
+    encode pass."""
+
+    def test_epoch0_identical_to_encode_pass_mode(self, cfg):
+        """Epoch 0 trains with H=0 in BOTH modes -> bit-identical metrics."""
+        import dataclasses
+
+        flat = synthetic_flat(cfg)
+        outs = {}
+        for flag in (True, False):
+            c = dataclasses.replace(cfg, history_from_train_z=flag)
+            tr = VAETrainer(c, mesh=make_mesh())
+            st = tr.init_state(seed=0)
+            data = tr.prepare_device_data(flat)
+            outs[flag] = tr.run_epochs_device(
+                st, data, flat.num_windows, 1, shuffle=False, first_epoch=0
+            )[0]
+        for k in outs[True]:
+            np.testing.assert_allclose(
+                outs[True][k], outs[False][k], rtol=1e-6, err_msg=k
+            )
+
+    def test_cache_populated_and_loss_decreases(self, cfg):
+        trainer = VAETrainer(cfg, mesh=make_mesh())
+        assert trainer._uses_z_cache()
+        state = trainer.init_state(seed=0)
+        flat = synthetic_flat(cfg)
+        data = trainer.prepare_device_data(flat)
+        per_epoch = trainer.run_epochs_device(
+            state, data, flat.num_windows, 6, shuffle=False
+        )
+        assert per_epoch[-1]["loss"] < per_epoch[0]["loss"]
+        (zc,) = trainer._z_caches.values()
+        zc = np.asarray(zc)
+        assert zc.shape == (flat.num_windows + 1, cfg.latent_dim)
+        # every real window's z was written during the epochs
+        assert np.all(np.abs(zc[: flat.num_windows]).sum(axis=1) > 0)
+
+    def test_resume_seeds_cache_with_encode_pass(self, cfg):
+        """A fresh trainer resuming past epoch 0 seeds the cache from one
+        encode pass -- H for the first resumed epoch equals the encode-pass
+        mode's H exactly."""
+        flat = synthetic_flat(cfg)
+        trainer = VAETrainer(cfg, mesh=make_mesh())
+        state = trainer.init_state(seed=0)
+        data = trainer.prepare_device_data(flat)
+        trainer.run_epochs_device(
+            state, data, flat.num_windows, 2, shuffle=False, first_epoch=3
+        )
+        (zc,) = trainer._z_caches.values()
+        # the seed values must match a direct encoder pass (before they get
+        # overwritten we can't observe them; re-derive the seed instead)
+        fresh = VAETrainer(cfg, mesh=make_mesh())
+        st2 = fresh.init_state(seed=0)
+        seeded = np.asarray(fresh._seed_z_cache(st2.params, data))
+        z_direct = np.asarray(
+            fresh.encode_step(
+                st2.params,
+                {k: jnp.asarray(getattr(flat, k)) for k in ("X", "I", "V", "D")},
+            )
+        )
+        np.testing.assert_allclose(
+            seeded[: flat.num_windows], z_direct[: flat.num_windows],
+            rtol=2e-5, atol=1e-6,
+        )
