@@ -157,19 +157,19 @@ class VAETrainer:
 
     # ------------------------------------------------------------------
     # Device-resident epochs: the whole dataset lives in HBM and an entire
-    # epoch (history pass + every optimizer step) runs as ONE jitted call --
-    # no host round trips per batch. Supported for configs without
-    # meta_next_notes / decoder_additional_input (those fall back to the
-    # host-batched loop).
+    # epoch (history + every optimizer step) runs as ONE jitted call -- no
+    # host round trips per batch. All configs are supported: next-window
+    # targets (meta_next_notes) and the decoder additional input come from
+    # in-jit gathers, mirroring the host path's _slice_batch.
     # ------------------------------------------------------------------
     def supports_device_epoch(self) -> bool:
-        cfg = self.cfg
-        return not cfg.meta_next_notes and not cfg.decoder_additional_input
+        return True
 
     def prepare_device_data(self, flat: FlatSplit) -> dict:
         """Upload the full split to device memory once."""
         data = {k: jnp.asarray(getattr(flat, k)) for k in BATCH_KEYS}
         data["first_in_song"] = jnp.asarray(flat.first_in_song)
+        data["song_id"] = jnp.asarray(flat.song_id)
         return data
 
     def _uses_z_cache(self) -> bool:
@@ -228,6 +228,26 @@ class VAETrainer:
             batch = {k: jnp.take(data[k], safe, axis=0) for k in BATCH_KEYS}
             batch["H"] = jnp.take(H_all, safe, axis=0)
             batch["M"] = m
+            if cfg.meta_next_notes:
+                # next-window targets; last window of each song predicts
+                # silence (same as _slice_batch on the host path)
+                nxt = jnp.minimum(safe + 1, N - 1)
+                same = (
+                    jnp.take(data["song_id"], nxt)
+                    == jnp.take(data["song_id"], safe)
+                ) & (nxt != safe)
+                Nt = jnp.take(data["Y"], nxt, axis=0)
+                silent = jnp.zeros_like(Nt)
+                if cfg.include_silent_note:
+                    silent = silent.at[..., -1].set(1.0)
+                batch["N"] = jnp.where(same[:, None, None], Nt, silent)
+            if cfg.decoder_additional_input:
+                parts = []
+                if cfg.decoder_input_composer:
+                    parts.append(batch["C"])
+                if cfg.append_signature_vector_to_latent:
+                    parts.append(batch["S"])
+                batch["A"] = jnp.concatenate(parts, axis=-1)
             rng, sample_key = jax.random.split(rng)
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: loss_and_metrics(

@@ -291,3 +291,62 @@ class TestHistoryZCache:
             seeded[: flat.num_windows], z_direct[: flat.num_windows],
             rtol=2e-5, atol=1e-6,
         )
+
+
+class TestDeviceEpochFullConfigSpace:
+    """meta_next_notes and the decoder additional input now run on the
+    device-resident epoch path via in-jit gathers -- parity with the
+    host-batched loop's _slice_batch semantics."""
+
+    def test_next_notes_and_additional_input_device_epoch(self):
+        from midi_vae_tpu.config import small_test_config
+
+        cfg2 = small_test_config(
+            batch_size=8,
+            latent_dim=32,  # signature probe slice needs 2+15 dims
+            meta_next_notes=True,
+            decoder_input_composer=True,
+            append_signature_vector_to_latent=True,
+            signature_decoder=True,
+        )
+        assert cfg2.decoder_additional_input
+        trainer = VAETrainer(cfg2, mesh=make_mesh())
+        assert trainer.supports_device_epoch()
+        state = trainer.init_state(seed=0)
+        flat = synthetic_flat(cfg2)
+        data = trainer.prepare_device_data(flat)
+        per_epoch = trainer.run_epochs_device(
+            state, data, flat.num_windows, 4, shuffle=False
+        )
+        assert "meta_next_notes_loss" in per_epoch[0]
+        assert per_epoch[-1]["loss"] < per_epoch[0]["loss"]
+
+    def test_device_epoch_matches_host_loop(self):
+        """One epoch, no shuffle, no history: the device path must reproduce
+        the host-batched loop bit-for-bit (same rng chain, same batches,
+        same next-notes/additional-input construction)."""
+        from midi_vae_tpu.config import small_test_config
+
+        cfg2 = small_test_config(
+            batch_size=8,
+            history=False,
+            meta_next_notes=True,
+            decoder_input_composer=True,
+        )
+        flat = synthetic_flat(cfg2)
+
+        t_host = VAETrainer(cfg2, mesh=make_mesh())
+        s_host = t_host.init_state(seed=0)
+        m_host = t_host.run_epoch(s_host, flat, shuffle=False).means()
+
+        t_dev = VAETrainer(cfg2, mesh=make_mesh())
+        s_dev = t_dev.init_state(seed=0)
+        data = t_dev.prepare_device_data(flat)
+        m_dev = t_dev.run_epoch_device(
+            s_dev, data, flat.num_windows, shuffle=False, use_history=False
+        ).means()
+
+        for k in m_host:
+            np.testing.assert_allclose(
+                m_dev[k], m_host[k], rtol=2e-5, atol=1e-6, err_msg=k
+            )
