@@ -56,6 +56,10 @@ class MidiVAE:
         self.cfg = cfg
         self.platform = platform
         self.cell = get_cell(cfg.cell_type)
+        # test hook: run the whole-decode multi-head kernel in Pallas
+        # interpret mode so CPU tests can exercise the model-level dispatch
+        # glue (head collection, ordering, swapaxes) without TPU hardware
+        self._interpret = False
 
     def _pallas_enabled(self) -> bool:
         """Fused Pallas GRU/LSTM kernels: 'auto' enables them on TPU
@@ -479,12 +483,12 @@ class MidiVAE:
                     [cfg.activation] + [a for _, _, a in side]
                 )
                 # fall through to the per-head kernels when the combined
-                # kernel would not fit VMEM
+                # kernel would not fit VMEM (or under bf16)
                 if _mh_use_pallas(primary, head_arrays, cfg.lstm_activation,
-                                  out_acts, False):
+                                  out_acts, self._interpret):
                     results = gru_decode_multihead_train(
                         primary, head_arrays, cfg.output_length,
-                        cfg.lstm_activation, out_acts, False,
+                        cfg.lstm_activation, out_acts, self._interpret,
                     )
                     for (name, _, _), (p, l) in zip(
                         [("notes", 0, "")] + side, results

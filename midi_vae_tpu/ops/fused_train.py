@@ -733,6 +733,12 @@ def _dec_use_pallas(cell_params, start, init_states, activation,
     # measurement was dominated by the dev tunnel's per-dispatch floor --
     # device-side tracing shows the whole-head kernel replaces a ~0.5 ms
     # 64-iteration device loop with a ~0.3 ms kernel pair
+    if D < 8 and start.dtype != jnp.float32:
+        # the forward's degenerate-K feedback projection (probs (B,1) @ W
+        # (1,3H)) lowers to a broadcast-multiply, and Mosaic cannot
+        # broadcast a bf16 operand into the f32 result ('vector.broadcast'
+        # verification error) -- bf16 narrow heads take the XLA scan
+        return False
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
@@ -2462,6 +2468,11 @@ def _mh_use_pallas(primary, heads, activation, out_acts, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
+        # f32 only: the narrow side heads (velocity D=1) hit Mosaic's
+        # mixed-type broadcast on the degenerate-K projection under bf16
+        # ('vector.broadcast' verification error); bf16 training falls back
+        # to the per-head kernels, which carry the f32-cast workaround
+        and primary["start"].dtype == jnp.float32
         and all(a in ("softmax", "sigmoid", "linear") for a in out_acts)
         and _mh_vmem_ok(B, Dp, [h["start"].shape[-1] for h in heads], H)
     )
@@ -2901,6 +2912,9 @@ def _encmb_use_pallas(stack, branches, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
+        # f32 only (same Mosaic degenerate-K bf16 limitation as the decode
+        # multi-head kernel; the per-layer kernels carry the workaround)
+        and stack["x"].dtype == jnp.float32
         and all(br["x"].shape[0] <= T for br in branches)
         and _encmb_vmem_ok(B, D, [br["x"].shape[-1] for br in branches], H)
     )

@@ -604,3 +604,79 @@ class TestMultibranchEncodeTrain:
     def test_reference_scale_vmem(self):
         # notes (D=61, T=64) + velocity (D=1) + instrument (D=16, T=4)
         assert ft._encmb_vmem_ok(256, 61, [1, 16], 256)
+
+
+class TestMultiheadModelDispatch:
+    """CPU coverage of the MODEL-level multihead dispatch glue (head
+    collection, out_acts ordering, swapaxes) via the interpret hook --
+    the kernel itself runs in Pallas interpret mode."""
+
+    def test_decode_glue_matches_reference_paths(self):
+        from midi_vae_tpu.config import small_test_config
+        from midi_vae_tpu.models.vae import MidiVAE
+
+        cfg = small_test_config(batch_size=4, meta_held_notes=True)
+        assert cfg.meta_velocity and cfg.meta_held_notes
+
+        m_ref = MidiVAE(cfg)  # plain CPU scans
+        m_mh = MidiVAE(cfg, platform="tpu")  # enables the dispatch path
+        m_mh._interpret = True  # kernel in interpret mode on CPU
+
+        params = m_ref.init_params(jax.random.PRNGKey(0))
+        z = jnp.asarray(
+            np.random.RandomState(0).randn(4, cfg.latent_dim), jnp.float32
+        ) * 0.3
+        out_ref = m_ref.decode(params, z, inference=False)
+        out_mh = m_mh.decode(params, z, inference=False)
+        assert set(out_ref) == set(out_mh)
+        for name in ("notes", "velocity", "held"):
+            for a, b in zip(out_mh[name], out_ref[name]):
+                assert a.shape == b.shape, name
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                    err_msg=name,
+                )
+
+
+class TestBf16NarrowHeadGates:
+    """bf16 + degenerate-K (D<8) projections hit Mosaic's mixed-type
+    broadcast ('vector.broadcast' verification error at reference scale) --
+    the dispatch gates must route those to the fallback paths. Regression
+    for the study-breaking bf16 crash after the narrow heads were fused."""
+
+    def _decode_specs(self, dtype):
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        cells = [GRUCell.init(ks[0], 1, 16), GRUCell.init(ks[1], 16, 16)]
+        cells = jax.tree_util.tree_map(lambda a: a.astype(dtype), cells)
+        start = jnp.zeros((4, 1), dtype)
+        states = [jnp.zeros((4, 16), dtype)] * 2
+        return cells, start, states
+
+    def test_narrow_decode_head_rejects_bf16(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cells, start, states = self._decode_specs(jnp.bfloat16)
+        assert not ft._dec_use_pallas(cells, start, states, "tanh", "sigmoid",
+                                      False)
+        cells, start, states = self._decode_specs(jnp.float32)
+        assert ft._dec_use_pallas(cells, start, states, "tanh", "sigmoid",
+                                  False)
+
+    def test_multihead_and_multibranch_reject_bf16(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        for dtype, expect in ((jnp.bfloat16, False), (jnp.float32, True)):
+            primary = {
+                "start": jnp.zeros((4, 12), dtype),
+                "init": [jnp.zeros((4, 16), dtype)] * 2,
+            }
+            heads = ({"start": jnp.zeros((4, 1), dtype)},)
+            got = ft._mh_use_pallas(primary, heads, "tanh",
+                                    ("softmax", "sigmoid"), False)
+            assert got is expect, dtype
+
+            stack = {
+                "x": jnp.zeros((6, 4, 12), dtype),
+                "p1": {"u": jnp.zeros((16, 48), dtype)},
+            }
+            branches = ({"x": jnp.zeros((6, 4, 1), dtype)},)
+            got = ft._encmb_use_pallas(stack, branches, "tanh", False)
+            assert got is expect, dtype
