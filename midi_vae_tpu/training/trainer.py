@@ -82,6 +82,12 @@ class TrainState:
     opt_state: Any
     rng: jax.Array
     epoch: int = 0
+    # derived, not checkpointed: the (N+1, latent_dim) per-window z_mean
+    # store for history_from_train_z (row N is the padding dustbin). Lives
+    # on the state so it shares the params' lineage -- a fresh init_state()
+    # or restore() starts with None and is re-seeded from the current
+    # params (one jitted encode pass) when resuming past epoch 0.
+    z_cache: Any = None
 
 
 @dataclass
@@ -196,7 +202,6 @@ class VAETrainer:
         model = self.model
         optimizer = self.optimizer
         N = data["X"].shape[0]
-        bs = cfg.batch_size
         use_cache = self._uses_z_cache()
 
         if cfg.history and history_active:
@@ -204,17 +209,7 @@ class VAETrainer:
                 z_all = z_cache[:N]
             else:
                 # batched encoder pass over the whole split, natural order
-                n_enc = (N + bs - 1) // bs
-                pad = n_enc * bs - N
-                idx_all = jnp.concatenate(
-                    [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
-                ).reshape(n_enc, bs)
-
-                def enc_one(idx):
-                    batch = {k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")}
-                    return model.encode(params, batch)
-
-                z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
+                z_all = self._encode_all_z(params, data)
             H_all = jnp.roll(z_all, 1, axis=0).at[0].set(0.0)
             H_all = jnp.where(data["first_in_song"][:, None], 0.0, H_all)
             H_all = jax.lax.stop_gradient(H_all) * h_scale
@@ -300,47 +295,48 @@ class VAETrainer:
         return params, opt_state, rng, z_cache, metrics
 
     # ------------------------------------------------------------------
-    def _get_z_cache(self, params, data: dict, first_epoch: int):
-        """Per-split z cache, keyed by the device data's identity. Seeded by
-        ONE jitted encode pass when resuming past epoch 0 without a cache
-        (exactly the epoch-start semantics of the encode-pass mode);
-        zero-seeded otherwise (epoch 0 ignores H and fills the cache)."""
-        cfg = self.cfg
+    def _encode_all_z(self, params, data: dict) -> jnp.ndarray:
+        """Whole-split batched encoder pass -> (N, latent_dim) z. Traceable:
+        used inside the device-epoch program (encode-pass history mode) and
+        by the cache seeder."""
+        bs = self.cfg.batch_size
         N = data["X"].shape[0]
-        key = (id(data["X"]), N)
-        if not hasattr(self, "_z_caches"):
-            self._z_caches = {}
-        zc = self._z_caches.get(key)
-        if zc is None:
-            if self._uses_z_cache() and first_epoch > 0:
-                zc = self._seed_z_cache(params, data)
+        n_enc = (N + bs - 1) // bs
+        pad = n_enc * bs - N
+        idx_all = jnp.concatenate(
+            [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
+        ).reshape(n_enc, bs)
+
+        def enc_one(idx):
+            batch = {
+                k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")
+            }
+            return self.model.encode(params, batch)
+
+        return jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
+
+    def _get_z_cache(self, state: TrainState, data: dict, first_epoch: int):
+        """The state's z cache, (re)built when absent or shaped for another
+        split. Seeded by ONE jitted encode pass when resuming past epoch 0
+        (exactly the epoch-start semantics of the encode-pass mode);
+        zero-seeded otherwise (epoch 0 ignores H and fills the cache).
+        Configs that never read it get a (1, 1) placeholder."""
+        cfg = self.cfg
+        if not self._uses_z_cache():
+            return jnp.zeros((1, 1), jnp.float32)
+        N = data["X"].shape[0]
+        zc = state.z_cache
+        if zc is None or zc.shape[0] != N + 1:
+            if first_epoch > 0:
+                zc = self._seed_z_cache(state.params, data)
             else:
                 zc = jnp.zeros((N + 1, cfg.latent_dim), jnp.float32)
-            self._z_caches[key] = zc
-        return key, zc
+        return zc
 
     def _seed_z_cache(self, params, data: dict):
-        bs = self.cfg.batch_size
-
         if not hasattr(self, "_seed_z_jit"):
             def seed(params, data):
-                # N is static per traced shape -- the jit retraces per split
-                N = data["X"].shape[0]
-                n_enc = (N + bs - 1) // bs
-                pad = n_enc * bs - N
-                idx_all = jnp.concatenate(
-                    [jnp.arange(N), jnp.zeros((pad,), jnp.int32)]
-                ).reshape(n_enc, bs)
-
-                def enc_one(idx):
-                    batch = {
-                        k: jnp.take(data[k], idx, axis=0)
-                        for k in ("X", "I", "V", "D")
-                    }
-                    return self.model.encode(params, batch)
-
-                z_all = jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)
-                z_all = z_all[:N].astype(jnp.float32)
+                z_all = self._encode_all_z(params, data).astype(jnp.float32)
                 return jnp.concatenate(
                     [z_all, jnp.zeros((1, z_all.shape[-1]), jnp.float32)]
                 )
@@ -393,7 +389,7 @@ class VAETrainer:
         # use_history=False), compile a variant WITHOUT the history read
         # instead of computing H for all windows and multiplying by zero
         history_active = bool(h_scales.max() > 0.0)
-        cache_key, z_cache = self._get_z_cache(state.params, data, first_epoch)
+        z_cache = self._get_z_cache(state, data, first_epoch)
         if not hasattr(self, "_device_epochs_jit"):
             self._device_epochs_jit = {}
         if history_active not in self._device_epochs_jit:
@@ -403,13 +399,12 @@ class VAETrainer:
                 ),
                 donate_argnums=(0, 1, 3),
             )
-        state.params, state.opt_state, state.rng, z_cache, metrics = (
+        state.params, state.opt_state, state.rng, state.z_cache, metrics = (
             self._device_epochs_jit[history_active](
                 state.params, state.opt_state, state.rng, z_cache, data,
                 jnp.asarray(orders), jnp.asarray(masks), jnp.asarray(h_scales),
             )
         )
-        self._z_caches[cache_key] = z_cache
         host = {k: np.asarray(v) for k, v in metrics.items()}
         return [{k: float(v[e]) for k, v in host.items()} for e in range(n_epochs)]
 
@@ -434,21 +429,18 @@ class VAETrainer:
         order2d = padded.reshape(n_batches, bs)
         mask2d = (order2d >= 0).astype(np.float32)
 
-        cache_key, z_cache = self._get_z_cache(
-            state.params, data, 1 if use_history else 0
-        )
+        z_cache = self._get_z_cache(state, data, 1 if use_history else 0)
         if not hasattr(self, "_device_epoch_jit"):
             self._device_epoch_jit = jax.jit(
                 self._device_epoch_fn, donate_argnums=(0, 1, 3)
             )
-        state.params, state.opt_state, state.rng, z_cache, metrics = (
+        state.params, state.opt_state, state.rng, state.z_cache, metrics = (
             self._device_epoch_jit(
                 state.params, state.opt_state, state.rng, z_cache, data,
                 jnp.asarray(order2d), jnp.asarray(mask2d),
                 jnp.asarray(1.0 if use_history else 0.0, jnp.float32),
             )
         )
-        self._z_caches[cache_key] = z_cache
         agg = EpochMetrics()
         weights = mask2d.sum(axis=1)
         host_metrics = {k: np.asarray(v) for k, v in metrics.items()}

@@ -258,8 +258,7 @@ class TestHistoryZCache:
             state, data, flat.num_windows, 6, shuffle=False
         )
         assert per_epoch[-1]["loss"] < per_epoch[0]["loss"]
-        (zc,) = trainer._z_caches.values()
-        zc = np.asarray(zc)
+        zc = np.asarray(state.z_cache)
         assert zc.shape == (flat.num_windows + 1, cfg.latent_dim)
         # every real window's z was written during the epochs
         assert np.all(np.abs(zc[: flat.num_windows]).sum(axis=1) > 0)
@@ -275,7 +274,7 @@ class TestHistoryZCache:
         trainer.run_epochs_device(
             state, data, flat.num_windows, 2, shuffle=False, first_epoch=3
         )
-        (zc,) = trainer._z_caches.values()
+        assert state.z_cache.shape == (flat.num_windows + 1, cfg.latent_dim)
         # the seed values must match a direct encoder pass (before they get
         # overwritten we can't observe them; re-derive the seed instead)
         fresh = VAETrainer(cfg, mesh=make_mesh())
