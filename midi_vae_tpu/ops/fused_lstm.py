@@ -81,11 +81,16 @@ def _lstm_recurrent_kernel(xp_ref, h_ref, c_ref, u_ref,
 
 
 def _lstm_step_reference(x, h, c, w, u, b, act):
-    return _lstm_gates(x @ w + b, h, c, u, act)
+    # outputs cast to the input dtype to MATCH the pallas primal
+    # (_lstm_gates computes f32 via preferred_element_type; without the cast
+    # a bf16 model's custom-VJP cotangent dtypes mismatch in _lstm_step_bwd)
+    new_h, new_c = _lstm_gates(x @ w + b, h, c, u, act)
+    return new_h.astype(x.dtype), new_c.astype(x.dtype)
 
 
 def _lstm_recurrent_reference(xp, h, c, u, act):
-    return _lstm_gates(xp, h, c, u, act)
+    new_h, new_c = _lstm_gates(xp, h, c, u, act)  # see _lstm_step_reference
+    return new_h.astype(xp.dtype), new_c.astype(xp.dtype)
 
 
 def _lstm_step_pallas(x, h, c, w, u, b, activation: str, interpret: bool):
