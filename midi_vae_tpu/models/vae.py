@@ -290,6 +290,68 @@ class MidiVAE:
     # ------------------------------------------------------------------
     # Decoder
     # ------------------------------------------------------------------
+    def _decode_multihead_train(
+        self, dec: Params, new_encoded: jnp.ndarray, B: int, dtype
+    ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray]]:
+        """Training fast path: ONE fused kernel pair for the 2-layer notes
+        head AND every 1-layer T-length meta head together
+        (ops/fused_train.gru_decode_multihead_train) -- the narrow heads'
+        per-step work rides in the gaps of the notes head's serial chain.
+        Returns {} when no eligible side head exists or the combined kernel
+        is rejected (VMEM / bf16) -- callers fall through to the per-head
+        kernels."""
+        cfg = self.cfg
+        eligible = ("softmax", "sigmoid", "linear")
+        side: list[tuple[str, int, str]] = []
+        if (
+            cfg.meta_velocity
+            and cfg.meta_velocity_length == cfg.output_length
+            and cfg.meta_velocity_activation in eligible
+        ):
+            side.append(("velocity", 1, cfg.meta_velocity_activation))
+        if (
+            cfg.meta_held_notes
+            and cfg.meta_held_notes_length == cfg.output_length
+            and cfg.meta_held_notes_activation in eligible
+        ):
+            side.append(("held", 2, cfg.meta_held_notes_activation))
+        if not side:
+            return {}
+
+        from ..ops.fused_train import (
+            _mh_use_pallas,
+            gru_decode_multihead_train,
+        )
+
+        def arrays(name: str, head_dim: int) -> dict:
+            h = dec[name]
+            states = init_decoder_states(
+                h["init"], new_encoded, cfg.cell_type,
+                cfg.lstm_state_activation,
+            )
+            return {
+                "cells": list(h["cells"]),
+                "out": h["out"],
+                "init": [s[0] for s in states],  # GRU: 1 state/layer
+                "start": jnp.zeros((B, head_dim), dtype),
+            }
+
+        primary = arrays("notes", cfg.output_dim)
+        head_arrays = tuple(arrays(n, d) for n, d, _ in side)
+        out_acts = (cfg.activation, *(a for _, _, a in side))
+        if not _mh_use_pallas(primary, head_arrays, cfg.lstm_activation,
+                              out_acts, self._interpret):
+            return {}
+        results = gru_decode_multihead_train(
+            primary, head_arrays, cfg.output_length,
+            cfg.lstm_activation, out_acts, self._interpret,
+        )
+        names = ["notes"] + [n for n, _, _ in side]
+        return {
+            name: (jnp.swapaxes(p, 0, 1), jnp.swapaxes(l, 0, 1))
+            for name, (p, l) in zip(names, results)
+        }
+
     def decode(
         self,
         params: Params,
@@ -432,10 +494,6 @@ class MidiVAE:
         merge = cfg.merge_decoder_scans
         notes_tf = cfg.teacher_force and ground_truth is not None
 
-        # training fast path: ONE fused kernel pair for the 2-layer notes
-        # head AND every 1-layer T-length meta head together
-        # (ops/fused_train.gru_decode_multihead_train) -- the narrow heads'
-        # per-step work rides in the gaps of the notes head's serial chain
         if (
             not inference
             and cfg.fused_train_decoder
@@ -446,66 +504,20 @@ class MidiVAE:
             and cfg.num_layers_decoder == 2
             and cfg.activation in ("softmax", "sigmoid", "linear")
         ):
-            side: list[tuple[str, int, str]] = []
-            if (
-                cfg.meta_velocity
-                and cfg.meta_velocity_length == cfg.output_length
-                and cfg.meta_velocity_activation in ("softmax", "sigmoid", "linear")
-            ):
-                side.append(("velocity", 1, cfg.meta_velocity_activation))
-            if (
-                cfg.meta_held_notes
-                and cfg.meta_held_notes_length == cfg.output_length
-                and cfg.meta_held_notes_activation in ("softmax", "sigmoid", "linear")
-            ):
-                side.append(("held", 2, cfg.meta_held_notes_activation))
-            if side:
-                from ..ops.fused_train import gru_decode_multihead_train
-
-                def arrays(name: str, head_dim: int) -> dict:
-                    h = dec[name]
-                    states = init_decoder_states(
-                        h["init"], new_encoded, cfg.cell_type,
-                        cfg.lstm_state_activation,
-                    )
-                    return {
-                        "cells": list(h["cells"]),
-                        "out": h["out"],
-                        "init": [s[0] for s in states],  # GRU: 1 state/layer
-                        "start": jnp.zeros((B, head_dim), z.dtype),
-                    }
-
-                from ..ops.fused_train import _mh_use_pallas
-
-                primary = arrays("notes", cfg.output_dim)
-                head_arrays = tuple(arrays(n, d) for n, d, _ in side)
-                out_acts = tuple(
-                    [cfg.activation] + [a for _, _, a in side]
-                )
-                # fall through to the per-head kernels when the combined
-                # kernel would not fit VMEM (or under bf16)
-                if _mh_use_pallas(primary, head_arrays, cfg.lstm_activation,
-                                  out_acts, self._interpret):
-                    results = gru_decode_multihead_train(
-                        primary, head_arrays, cfg.output_length,
-                        cfg.lstm_activation, out_acts, self._interpret,
-                    )
-                    for (name, _, _), (p, l) in zip(
-                        [("notes", 0, "")] + side, results
-                    ):
-                        outputs[name] = (
-                            jnp.swapaxes(p, 0, 1), jnp.swapaxes(l, 0, 1)
-                        )
-
-        if "notes" in outputs:
-            pass
-        elif merge and not notes_tf:
-            merged_specs["notes"] = head_spec("notes", cfg.output_dim, cfg.activation)
-        else:
-            outputs["notes"] = run_head(
-                "notes", cfg.output_dim, cfg.output_length, cfg.activation,
-                ground_truth if cfg.teacher_force else None,
+            outputs.update(
+                self._decode_multihead_train(dec, new_encoded, B, z.dtype)
             )
+
+        if "notes" not in outputs:
+            if merge and not notes_tf:
+                merged_specs["notes"] = head_spec(
+                    "notes", cfg.output_dim, cfg.activation
+                )
+            else:
+                outputs["notes"] = run_head(
+                    "notes", cfg.output_dim, cfg.output_length, cfg.activation,
+                    ground_truth if cfg.teacher_force else None,
+                )
         if cfg.meta_velocity and "velocity" not in outputs:
             if merge:
                 merged_specs["velocity"] = head_spec(

@@ -627,7 +627,19 @@ class TestMultiheadModelDispatch:
             np.random.RandomState(0).randn(4, cfg.latent_dim), jnp.float32
         ) * 0.3
         out_ref = m_ref.decode(params, z, inference=False)
-        out_mh = m_mh.decode(params, z, inference=False)
+        calls = []
+        orig = ft.gru_decode_multihead_train
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        ft.gru_decode_multihead_train = spy
+        try:
+            out_mh = m_mh.decode(params, z, inference=False)
+        finally:
+            ft.gru_decode_multihead_train = orig
+        assert calls, "multihead kernel did not dispatch"
         assert set(out_ref) == set(out_mh)
         for name in ("notes", "velocity", "held"):
             for a, b in zip(out_mh[name], out_ref[name]):

@@ -80,10 +80,10 @@ def run_one(name: str, overrides: dict, epochs: int) -> tuple[bool, str]:
             per_epoch.append(trainer.run_epoch(state, flat).means())
     first, last = per_epoch[0]["loss"], per_epoch[-1]["loss"]
     dt = time.time() - t0
+    import math
+
     ok = all(
-        v == v and abs(v) != float("inf")
-        for m in per_epoch
-        for v in m.values()
+        math.isfinite(v) for m in per_epoch for v in m.values()
     ) and last < first
     return ok, f"loss {first:.3f} -> {last:.3f} in {dt:.0f}s ({epochs} epochs)"
 
