@@ -748,17 +748,11 @@ def _dec_use_pallas(cell_params, start, init_states, activation,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def gru_decode_train(
+def _gru_decode_train_vjp(
     cell_params, out_dense, init_states, start,
     T: int, activation: str = "tanh", out_activation: str = "softmax",
     interpret: bool = False,
 ):
-    """Whole-head readout decode with fused fwd AND fused bwd.
-
-    Same contract as fused_decoder.fused_decode_scan -- init_states is a
-    list of per-layer h (B, H); returns (probs, logits), each (T, B, D)
-    time-major -- but meant for training paths: the backward is one Pallas
-    kernel instead of a jnp re-scan."""
     act = _activation(activation)
     out_act_fn = _out_act_fn(out_activation)
     if not _dec_use_pallas(cell_params, start, init_states, activation,
@@ -771,6 +765,39 @@ def gru_decode_train(
         out_activation, interpret,
     )
     return out[0], out[1]
+
+
+def gru_decode_train(
+    cell_params, out_dense, init_states, start,
+    T: int, activation: str = "tanh", out_activation: str = "softmax",
+    interpret: bool = False,
+):
+    """Whole-head readout decode with fused fwd AND fused bwd.
+
+    Same contract as fused_decoder.fused_decode_scan -- init_states is a
+    list of per-layer h (B, H); returns (probs, logits), each (T, B, D)
+    time-major -- but meant for training paths: the backward is one Pallas
+    kernel instead of a jnp re-scan.
+
+    Narrow bf16 heads (velocity D=1, held D=2) are promoted WHOLE to f32
+    and run the same fused kernels: their degenerate-K feedback projection
+    cannot be lowered in bf16 (Mosaic mixed-type broadcast), and a D<8
+    matmul gets no MXU benefit from bf16 anyway. astype is differentiable,
+    so the weight grads flow back in the primal dtype automatically."""
+    if start.shape[-1] < 8 and start.dtype != jnp.float32:
+        f32 = functools.partial(
+            jax.tree_util.tree_map, lambda a: a.astype(jnp.float32)
+        )
+        probs, logits = _gru_decode_train_vjp(
+            f32(list(cell_params)), f32(out_dense), f32(list(init_states)),
+            start.astype(jnp.float32), T, activation, out_activation,
+            interpret,
+        )
+        return probs.astype(start.dtype), logits.astype(start.dtype)
+    return _gru_decode_train_vjp(
+        cell_params, out_dense, init_states, start, T, activation,
+        out_activation, interpret,
+    )
 
 
 def _gdt_fwd(cell_params, out_dense, init_states, start, T, activation,
@@ -832,7 +859,7 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
     return d_cells, d_out, d_init, dstart
 
 
-gru_decode_train.defvjp(_gdt_fwd, _gdt_bwd)
+_gru_decode_train_vjp.defvjp(_gdt_fwd, _gdt_bwd)
 
 
 # ===========================================================================

@@ -692,3 +692,35 @@ class TestBf16NarrowHeadGates:
             branches = ({"x": jnp.zeros((6, 4, 1), dtype)},)
             got = ft._encmb_use_pallas(stack, branches, "tanh", False)
             assert got is expect, dtype
+
+    def test_narrow_bf16_head_promotes_to_f32_fused(self):
+        """gru_decode_train promotes narrow bf16 heads whole to f32 and runs
+        the fused kernels; outputs and grads come back in bf16."""
+        T = 6
+        cells, start, states = self._decode_specs(jnp.bfloat16)
+        ks = jax.random.split(jax.random.PRNGKey(2), 1)
+        out_dense = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), dense_init(ks[0], 16, 1)
+        )
+
+        def loss(cells, out_dense, states, start):
+            probs, logits = ft.gru_decode_train(
+                cells, out_dense, states, start, T, "tanh", "sigmoid", True
+            )
+            assert probs.dtype == jnp.bfloat16
+            return jnp.sum(jnp.sin(probs.astype(jnp.float32)))
+
+        def loss_ref(cells, out_dense, states, start):
+            probs, _ = ft._decode_scan_reference(
+                cells, out_dense, list(states), start, T, jnp.tanh,
+                jax.nn.sigmoid,
+            )
+            return jnp.sum(jnp.sin(probs.astype(jnp.float32)))
+
+        v = float(loss(cells, out_dense, states, start))
+        v_ref = float(loss_ref(cells, out_dense, states, start))
+        np.testing.assert_allclose(v, v_ref, rtol=2e-2)
+        g = jax.grad(loss, argnums=(0, 1))(cells, out_dense, states, start)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert leaf.dtype == jnp.bfloat16
+            assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
