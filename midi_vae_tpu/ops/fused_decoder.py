@@ -25,17 +25,21 @@ import jax.numpy as jnp
 from .fused_gru import _VMEM_LIMIT_BYTES, _activation
 
 
-def _decoder_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
-    floats = (
+def _decoder_vmem_ok(
+    B: int, D: int, H: int, n_layers: int, itemsize: int = 4
+) -> bool:
+    # operand-dtype residents at the operands' itemsize (bf16 halves them,
+    # admitting wider layers); f32 gate temporaries at 4 bytes.
+    operand = (
         D * 3 * H + 3 * H              # W1/b1
         + (n_layers - 1) * (H * 3 * H + 3 * H)  # W2/b2
         + n_layers * H * 3 * H         # U
         + H * D + D                    # out dense
         + n_layers * B * H             # h scratch
         + B * D * 3                    # x scratch + out block + logits block
-        + 4 * B * 3 * H                # gate temporaries headroom
     )
-    return floats * 4 < _VMEM_LIMIT_BYTES
+    f32 = 4 * B * 3 * H                # gate temporaries headroom
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _gru_gates(x, h, w, u, b, act):
@@ -212,7 +216,7 @@ def decoder_scan_supported(cell_params, start, init_states) -> bool:
         return False
     B, D = start.shape
     H = init_states[0].shape[-1]
-    return _decoder_vmem_ok(B, D, H, n_layers)
+    return _decoder_vmem_ok(B, D, H, n_layers, start.dtype.itemsize)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -307,9 +311,10 @@ def _encoder_kernel(xp_ref, h0_ref, u_ref, out_ref, h_s, *, act, return_sequence
             out_ref[:] = new_h.astype(out_ref.dtype)
 
 
-def _encoder_vmem_ok(B: int, H: int) -> bool:
-    floats = H * 3 * H + 3 * B * H + B * 3 * H + 4 * B * 3 * H
-    return floats * 4 < _VMEM_LIMIT_BYTES
+def _encoder_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
+    operand = H * 3 * H + 3 * B * H + B * 3 * H
+    f32 = 4 * B * 3 * H  # gate temporaries
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _encoder_scan_reference(xp, h0, u, act, return_sequences):
@@ -378,7 +383,8 @@ def fused_encoder_scan(
     B = xp.shape[1]
     H = h0.shape[-1]
     if not interpret and (
-        jax.default_backend() != "tpu" or not _encoder_vmem_ok(B, H)
+        jax.default_backend() != "tpu"
+        or not _encoder_vmem_ok(B, H, xp.dtype.itemsize)
     ):
         return _encoder_scan_reference(xp, h0, u, act, return_sequences)
     return _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret)

@@ -34,17 +34,21 @@ import jax.numpy as jnp
 _VMEM_LIMIT_BYTES = 12 * 1024 * 1024
 
 
-def _fits_vmem(B: int, D: int, H: int) -> bool:
-    floats = (
+def _fits_vmem(B: int, D: int, H: int, itemsize: int = 4) -> bool:
+    # operand-dtype residents (weights + activations) are charged at the
+    # operands' itemsize -- bf16 halves them, which is what lets bf16 keep
+    # the fused kernels at twice the layer width -- while gate temporaries
+    # (accumulated at f32 via preferred_element_type) stay at 4 bytes.
+    operand = (
         B * D          # x
         + B * H        # h
         + D * 3 * H    # W
         + H * 3 * H    # U
         + 3 * H        # b
         + B * H        # out
-        + 2 * B * 3 * H  # gate scratch headroom
     )
-    return floats * 4 < _VMEM_LIMIT_BYTES
+    f32 = 2 * B * 3 * H  # gate scratch headroom
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _gru_full_kernel(x_ref, h_ref, w_ref, u_ref, b_ref, out_ref, *, act):
@@ -96,7 +100,8 @@ def _gru_step_pallas(x, h, w, u, b, activation: str, interpret: bool):
     B, D = x.shape
     H = h.shape[-1]
     if not interpret and (
-        jax.default_backend() not in ("tpu",) or not _fits_vmem(B, D, H)
+        jax.default_backend() not in ("tpu",)
+        or not _fits_vmem(B, D, H, x.dtype.itemsize)
     ):
         return _gru_step_reference(x, h, w, u, b, act)
     kernel = functools.partial(_gru_full_kernel, act=act)
@@ -117,7 +122,8 @@ def _gru_recurrent_pallas(xp, h, u, activation: str, interpret: bool):
     B = xp.shape[0]
     H = h.shape[-1]
     if not interpret and (
-        jax.default_backend() not in ("tpu",) or not _fits_vmem(B, 0, H)
+        jax.default_backend() not in ("tpu",)
+        or not _fits_vmem(B, 0, H, xp.dtype.itemsize)
     ):
         return _gru_recurrent_reference(xp, h, u, act)
     kernel = functools.partial(_gru_recurrent_kernel, act=act)

@@ -36,17 +36,19 @@ import jax.numpy as jnp
 from .fused_gru import _VMEM_LIMIT_BYTES, _activation
 
 
-def _fits_vmem(B: int, D: int, H: int) -> bool:
-    floats = (
+def _fits_vmem(B: int, D: int, H: int, itemsize: int = 4) -> bool:
+    # operand-dtype residents at the operands' itemsize (bf16 halves them);
+    # f32 gate temporaries at 4 bytes -- see fused_gru._fits_vmem.
+    operand = (
         B * D            # x
         + 2 * B * H      # h, c
         + D * 4 * H      # W
         + H * 4 * H      # U
         + 4 * H          # b
         + 2 * B * H      # outputs
-        + 2 * B * 4 * H  # gate scratch headroom
     )
-    return floats * 4 < _VMEM_LIMIT_BYTES
+    f32 = 2 * B * 4 * H  # gate scratch headroom
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _lstm_gates(xp, h, c, u, act):
@@ -101,7 +103,8 @@ def _lstm_step_pallas(x, h, c, w, u, b, activation: str, interpret: bool):
     B, D = x.shape
     H = h.shape[-1]
     if not interpret and (
-        jax.default_backend() not in ("tpu",) or not _fits_vmem(B, D, H)
+        jax.default_backend() not in ("tpu",)
+        or not _fits_vmem(B, D, H, x.dtype.itemsize)
     ):
         return _lstm_step_reference(x, h, c, w, u, b, act)
     kernel = functools.partial(_lstm_full_kernel, act=act)
@@ -128,7 +131,8 @@ def _lstm_recurrent_pallas(xp, h, c, u, activation: str, interpret: bool):
     B = xp.shape[0]
     H = h.shape[-1]
     if not interpret and (
-        jax.default_backend() not in ("tpu",) or not _fits_vmem(B, 0, H)
+        jax.default_backend() not in ("tpu",)
+        or not _fits_vmem(B, 0, H, xp.dtype.itemsize)
     ):
         return _lstm_recurrent_reference(xp, h, c, u, act)
     kernel = functools.partial(_lstm_recurrent_kernel, act=act)
@@ -242,9 +246,10 @@ def _encoder_kernel(xp_ref, h0_ref, c0_ref, u_ref, out_ref, h_s, c_s,
             out_ref[:] = new_h.astype(out_ref.dtype)
 
 
-def _encoder_vmem_ok(B: int, H: int) -> bool:
-    floats = H * 4 * H + 4 * B * H + B * 4 * H + 4 * B * 4 * H
-    return floats * 4 < _VMEM_LIMIT_BYTES
+def _encoder_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
+    operand = H * 4 * H + 4 * B * H + B * 4 * H
+    f32 = 4 * B * 4 * H  # gate temporaries
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _encoder_scan_reference(xp, h0, c0, u, act, return_sequences):
@@ -313,7 +318,8 @@ def fused_lstm_encoder_scan(
     B = xp.shape[1]
     H = h0.shape[-1]
     if not interpret and (
-        jax.default_backend() != "tpu" or not _encoder_vmem_ok(B, H)
+        jax.default_backend() != "tpu"
+        or not _encoder_vmem_ok(B, H, xp.dtype.itemsize)
     ):
         return _encoder_scan_reference(xp, h0, c0, u, act, return_sequences)
     return _encoder_scan_pallas(
@@ -350,17 +356,19 @@ fused_lstm_encoder_scan.defvjp(_fles_fwd, _fles_bwd)
 # 2-layer LSTM + output Dense + activation feedback) in one kernel.
 # ---------------------------------------------------------------------------
 
-def _decoder_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
-    floats = (
+def _decoder_vmem_ok(
+    B: int, D: int, H: int, n_layers: int, itemsize: int = 4
+) -> bool:
+    operand = (
         D * 4 * H + 4 * H
         + (n_layers - 1) * (H * 4 * H + 4 * H)
         + n_layers * H * 4 * H
         + H * D + D
         + 2 * n_layers * B * H   # (h, c) scratch per layer
         + B * D * 3
-        + 4 * B * 4 * H
     )
-    return floats * 4 < _VMEM_LIMIT_BYTES
+    f32 = 4 * B * 4 * H  # gate temporaries
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _cell_gates(x, h, c, w, u, b, act):
@@ -531,7 +539,7 @@ def decoder_scan_supported(cell_params, start, init_states) -> bool:
         return False
     B, D = start.shape
     H = init_states[0][0].shape[-1]
-    return _decoder_vmem_ok(B, D, H, n_layers)
+    return _decoder_vmem_ok(B, D, H, n_layers, start.dtype.itemsize)
 
 
 def _out_act_fn(name: str):

@@ -214,13 +214,19 @@ def _bwd_pallas(xp, seq, h0, d_seq, d_final, u, return_sequences, interpret):
     )(xp, seq, h0, d_seq, d_final, u)
 
 
-def _train_vmem_ok(B: int, H: int) -> bool:
-    # bwd holds: u (H,3H), du scratch (H,3H f32), dh (B,H f32), per-step
-    # blocks xp/dxp (B,3H)x2, hprev/dseq (B,H)x2, gate temps ~6*(B,H)
-    floats = 2 * H * 3 * H + B * H + 2 * B * 3 * H + 2 * B * H + 8 * B * H
+def _train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
+    # bwd holds: u (H,3H) and per-step blocks xp/dxp (B,3H)x2 and
+    # hprev/dseq (B,H)x2 in the operand dtype (dxp is emitted in xp.dtype);
+    # du scratch (H,3H), dh carry (B,H) and gate temps ~8*(B,H) in f32.
+    # bf16 operands fit the kernels up to H=512 (verified on v5e).
+    operand = H * 3 * H + 2 * B * 3 * H + 2 * B * H
+    f32 = H * 3 * H + B * H + 8 * B * H
     from .fused_gru import _VMEM_LIMIT_BYTES
 
-    return floats * 4 < _VMEM_LIMIT_BYTES and _encoder_vmem_ok(B, H)
+    return (
+        operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
+        and _encoder_vmem_ok(B, H, itemsize)
+    )
 
 
 def _use_pallas(xp, h0, activation, interpret) -> bool:
@@ -229,7 +235,7 @@ def _use_pallas(xp, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and _train_vmem_ok(xp.shape[1], h0.shape[-1])
+        and _train_vmem_ok(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)
     )
 
 
@@ -1043,11 +1049,14 @@ def _lstm_bwd_pallas(xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
     )(xp, h_seq, c_seq, c_seq, d_seq, d_final, h0, c0, u)
 
 
-def _lstm_train_vmem_ok(B: int, H: int) -> bool:
+def _lstm_train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
     from .fused_gru import _VMEM_LIMIT_BYTES
 
-    floats = 2 * H * 4 * H + 2 * B * H + 2 * (2 * B * 4 * H + 4 * B * H) + 8 * B * H
-    return floats * 4 < _VMEM_LIMIT_BYTES
+    # operand: u + double-buffered xp/dxp + h/c seq + dseq blocks;
+    # f32: du scratch, dh/dc carries, gate temps.
+    operand = H * 4 * H + 2 * (2 * B * 4 * H + 4 * B * H)
+    f32 = H * 4 * H + 2 * B * H + 8 * B * H
+    return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
 def _lstm_use_pallas(xp, h0, activation, interpret) -> bool:
@@ -1056,7 +1065,7 @@ def _lstm_use_pallas(xp, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and _lstm_train_vmem_ok(xp.shape[1], h0.shape[-1])
+        and _lstm_train_vmem_ok(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)
     )
 
 
@@ -1321,15 +1330,17 @@ def _bwdx_pallas(x, seq, h0, d_seq, d_final, w, b, u, return_sequences,
     )(x, seq, h0, d_seq, d_final, w, b, u)
 
 
-def _x_train_vmem_ok(B: int, D: int, H: int) -> bool:
-    floats = (
-        2 * (D * 3 * H + H * 3 * H + 3 * H)   # w/u/b + dw/du/db (scratch)
-        + (D * 3 * H + H * 3 * H + 3 * H)     # pinned grad outputs
-        + 2 * (2 * B * D + 2 * B * H)         # double-buffered streams
+def _x_train_vmem_ok(B: int, D: int, H: int, itemsize: int = 4) -> bool:
+    operand = (
+        D * 3 * H + H * 3 * H + 3 * H         # w/u/b
+        + 2 * (2 * B * D + 2 * B * H)         # double-buffered x/dx streams
+    )
+    f32 = (
+        2 * (D * 3 * H + H * 3 * H + 3 * H)   # dw/du/db scratch + pinned
         + 8 * B * H + 2 * B * 3 * H           # temps + carry
     )
     # verified to compile at reference scale on v5e (16 MB/core)
-    return floats * 4 < 15_500_000
+    return operand * itemsize + f32 * 4 < 15_500_000
 
 
 def _x_use_pallas(x, h0, activation, interpret) -> bool:
@@ -1338,7 +1349,9 @@ def _x_use_pallas(x, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and _x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
+        and _x_train_vmem_ok(
+            x.shape[1], x.shape[2], h0.shape[-1], x.dtype.itemsize
+        )
     )
 
 
@@ -1592,15 +1605,17 @@ def _lstm_bwdx_pallas(x, h_seq, c_seq, h0, c0, d_seq, d_final,
     )(x, h_seq, c_seq, c_seq, d_seq, d_final, h0, c0, w, b, u)
 
 
-def _lstm_x_train_vmem_ok(B: int, D: int, H: int) -> bool:
-    floats = (
-        2 * (D * 4 * H + H * 4 * H + 4 * H)
-        + (D * 4 * H + H * 4 * H + 4 * H)
-        + 2 * (2 * B * D + 4 * B * H)
-        + 10 * B * H + 2 * B * 4 * H
+def _lstm_x_train_vmem_ok(B: int, D: int, H: int, itemsize: int = 4) -> bool:
+    operand = (
+        D * 4 * H + H * 4 * H + 4 * H         # w/u/b
+        + 2 * (2 * B * D + 4 * B * H)         # double-buffered streams
+    )
+    f32 = (
+        2 * (D * 4 * H + H * 4 * H + 4 * H)   # grad scratch + pinned
+        + 10 * B * H + 2 * B * 4 * H          # temps + carries
     )
     # verified to compile at reference scale (D=H=256) on v5e (16 MB/core)
-    return floats * 4 < 15_500_000
+    return operand * itemsize + f32 * 4 < 15_500_000
 
 
 def _lstm_x_use_pallas(x, h0, activation, interpret) -> bool:
@@ -1609,7 +1624,9 @@ def _lstm_x_use_pallas(x, h0, activation, interpret) -> bool:
     return (
         jax.default_backend() == "tpu"
         and activation == "tanh"
-        and _lstm_x_train_vmem_ok(x.shape[1], x.shape[2], h0.shape[-1])
+        and _lstm_x_train_vmem_ok(
+            x.shape[1], x.shape[2], h0.shape[-1], x.dtype.itemsize
+        )
     )
 
 

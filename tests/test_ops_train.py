@@ -724,3 +724,56 @@ class TestBf16NarrowHeadGates:
         for leaf in jax.tree_util.tree_leaves(g):
             assert leaf.dtype == jnp.bfloat16
             assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
+
+
+class TestDtypeAwareVmemBudgets:
+    """The VMEM admission gates charge operand-resident buffers at the
+    operands' itemsize and f32 accumulators/temporaries at 4 bytes, so bf16
+    keeps the fused kernels at twice the layer width (H=512 at B=256) while
+    every f32 decision is unchanged (itemsize defaults to 4)."""
+
+    B = 256
+
+    def test_xp_streaming_train_budget(self):
+        assert ft._train_vmem_ok(self.B, 256)
+        assert ft._train_vmem_ok(self.B, 256, 2)
+        assert not ft._train_vmem_ok(self.B, 512)       # f32 too big
+        assert ft._train_vmem_ok(self.B, 512, 2)        # bf16 admitted
+        assert not ft._train_vmem_ok(self.B, 1024, 2)
+
+    def test_encoder_scan_budget(self):
+        from midi_vae_tpu.ops import fused_decoder as fd
+
+        assert fd._encoder_vmem_ok(self.B, 256)
+        assert not fd._encoder_vmem_ok(self.B, 512)
+        assert fd._encoder_vmem_ok(self.B, 512, 2)
+
+    def test_inference_decode_budget(self):
+        from midi_vae_tpu.ops import fused_decoder as fd
+
+        assert fd._decoder_vmem_ok(self.B, 61, 256, 2)
+        assert not fd._decoder_vmem_ok(self.B, 61, 512, 2)
+        assert fd._decoder_vmem_ok(self.B, 61, 512, 2, 2)
+
+    def test_per_step_budget(self):
+        from midi_vae_tpu.ops import fused_gru as fg
+
+        assert fg._fits_vmem(self.B, 512, 512)          # f32 fits per-step
+        assert not fg._fits_vmem(self.B, 1024, 1024)
+        assert not fg._fits_vmem(self.B, 1024, 1024, 2)
+
+    def test_lstm_budgets_stay_off_at_512(self):
+        """The 4H LSTM gate block keeps the whole-layer kernels out of
+        budget at H=512 even under bf16 -- pin so a silent admission is a
+        deliberate decision, not an accident."""
+        from midi_vae_tpu.ops import fused_lstm as fl
+
+        assert ft._lstm_train_vmem_ok(self.B, 256, 2)
+        assert not ft._lstm_train_vmem_ok(self.B, 512, 2)
+        assert not fl._encoder_vmem_ok(self.B, 512, 2)
+        assert not fl._decoder_vmem_ok(self.B, 61, 512, 2, 2)
+
+    def test_x_projection_variant_stays_off_at_512(self):
+        assert ft._x_train_vmem_ok(self.B, 256, 256, 2)
+        assert not ft._x_train_vmem_ok(self.B, 512, 512, 2)
+        assert not ft._x_train_vmem_ok(self.B, 61, 512, 2)

@@ -46,6 +46,11 @@ CONFIGS: dict[str, dict] = {
         "teacher_force": True,
         "compute_dtype": "bfloat16",
     },
+    # width scaling: H=512 falls back to the XLA scan in f32 (whole-layer
+    # kernels out of VMEM budget) but keeps the xp-streaming train kernels
+    # under bf16 (dtype-aware budgets) -- both must train
+    "wide512": {"lstm_size": 512},
+    "wide512_bf16": {"lstm_size": 512, "compute_dtype": "bfloat16"},
     "no_history": {"history": False},
     "encode_pass_history": {"history_from_train_z": False},
     "no_fused_train": {
