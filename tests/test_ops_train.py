@@ -737,22 +737,29 @@ class TestDtypeAwareVmemBudgets:
     def test_xp_streaming_train_budget(self):
         assert ft._train_vmem_ok(self.B, 256)
         assert ft._train_vmem_ok(self.B, 256, 2)
-        assert not ft._train_vmem_ok(self.B, 512)       # f32 too big
+        # H=512 f32 is admitted by the on-chip-calibrated 15.5MB ceiling
+        # (verified to compile and run on the v5e); H=640 f32 is not
+        assert ft._train_vmem_ok(self.B, 512)
+        assert not ft._train_vmem_ok(self.B, 640)
         assert ft._train_vmem_ok(self.B, 512, 2)        # bf16 admitted
         assert not ft._train_vmem_ok(self.B, 1024, 2)
 
     def test_encoder_scan_budget(self):
+        """H=512 f32 is admitted by the on-chip-calibrated ceiling
+        (compile + parity verified on the v5e); H=640 f32 is not."""
         from midi_vae_tpu.ops import fused_decoder as fd
 
         assert fd._encoder_vmem_ok(self.B, 256)
-        assert not fd._encoder_vmem_ok(self.B, 512)
+        assert fd._encoder_vmem_ok(self.B, 512)
+        assert not fd._encoder_vmem_ok(self.B, 640)
         assert fd._encoder_vmem_ok(self.B, 512, 2)
 
     def test_inference_decode_budget(self):
         from midi_vae_tpu.ops import fused_decoder as fd
 
         assert fd._decoder_vmem_ok(self.B, 61, 256, 2)
-        assert not fd._decoder_vmem_ok(self.B, 61, 512, 2)
+        assert fd._decoder_vmem_ok(self.B, 61, 512, 2)
+        assert not fd._decoder_vmem_ok(self.B, 61, 640, 2)
         assert fd._decoder_vmem_ok(self.B, 61, 512, 2, 2)
 
     def test_per_step_budget(self):
