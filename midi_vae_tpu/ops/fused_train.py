@@ -218,15 +218,18 @@ def _train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
     # bwd holds: u (H,3H) and per-step blocks xp/dxp (B,3H)x2 and
     # hprev/dseq (B,H)x2 in the operand dtype (dxp is emitted in xp.dtype);
     # du scratch (H,3H), dh carry (B,H) and gate temps ~8*(B,H) in f32.
-    # The temps headroom overcounts (Mosaic reuses registers), so the
-    # ceiling is calibrated, not _VMEM_LIMIT_BYTES: the kernel pair is
-    # VERIFIED to compile and run at (B=256, H=512) f32 on the v5e
-    # (16 MB/core), where these formulas give 15.3 MB (bwd) and 12.5 MB
-    # (fwd residency). bf16 operands fit the same shapes at half the bytes.
+    # Ceiling calibrated on chip at the EDGE CASES, not _VMEM_LIMIT_BYTES:
+    # (B=256, H=512) bf16 (formula: 11.6 MB) compiles and runs in every
+    # compile context tried, including the chipless-AOT path
+    # (tools/profile_step.py). (B=256, H=512) f32 (formula: 15.3 MB)
+    # compiles under the runtime JIT but its bwd hits a 17.6 MB scoped-vmem
+    # allocation (> the 16 MB core) under the AOT compiler -- its fit is
+    # scheduling-context-dependent, so it is REJECTED: the 13 MB ceiling
+    # splits the two.
     operand = H * 3 * H + 2 * B * 3 * H + 2 * B * H
     f32 = H * 3 * H + B * H + 8 * B * H
     return (
-        operand * itemsize + f32 * 4 < 15_500_000
+        operand * itemsize + f32 * 4 < 13_000_000
         and _encoder_vmem_ok(B, H, itemsize)
     )
 

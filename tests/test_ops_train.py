@@ -737,10 +737,11 @@ class TestDtypeAwareVmemBudgets:
     def test_xp_streaming_train_budget(self):
         assert ft._train_vmem_ok(self.B, 256)
         assert ft._train_vmem_ok(self.B, 256, 2)
-        # H=512 f32 is admitted by the on-chip-calibrated 15.5MB ceiling
-        # (verified to compile and run on the v5e); H=640 f32 is not
-        assert ft._train_vmem_ok(self.B, 512)
-        assert not ft._train_vmem_ok(self.B, 640)
+        # H=512 f32 REJECTED: its bwd kernel's scoped-vmem fit is
+        # compile-context-dependent (OOMs at 17.6MB under the AOT path
+        # even though the runtime JIT fits it) -- only bf16, with ~2x the
+        # margin, is admitted at H=512
+        assert not ft._train_vmem_ok(self.B, 512)
         assert ft._train_vmem_ok(self.B, 512, 2)        # bf16 admitted
         assert not ft._train_vmem_ok(self.B, 1024, 2)
 
