@@ -399,18 +399,32 @@ def _track_chunk(events: list[tuple[int, bytes]]) -> bytes:
 def write_midi(mid: MidiFile, path: str) -> None:
     resolution = mid.resolution
     times, bpms = mid.get_tempo_changes()
-    if len(times) != 1:
-        raise ValueError("writer supports a single initial tempo")
-    bpm = bpms[0]
-    sec_per_tick = 60.0 / (bpm * resolution)
+
+    # piecewise-linear seconds -> ticks under the full tempo map: segment i
+    # starts at second times[i] / tick seg_ticks[i] and runs at bpms[i]
+    seg_ticks = [0.0]
+    for i in range(1, len(times)):
+        spt_prev = 60.0 / (bpms[i - 1] * resolution)
+        seg_ticks.append(seg_ticks[-1] + (times[i] - times[i - 1]) / spt_prev)
 
     def to_tick(seconds: float) -> int:
-        return max(0, int(round(seconds / sec_per_tick)))
+        i = len(times) - 1
+        while i > 0 and seconds < times[i]:
+            i -= 1
+        spt = 60.0 / (bpms[i] * resolution)
+        return max(0, int(round(seg_ticks[i] + (seconds - times[i]) / spt)))
 
     chunks = []
-    # meta track: tempo + time signatures
-    uspq = int(round(6e7 / bpm))
-    meta_events = [(0, bytes([0xFF, 0x51, 0x03]) + uspq.to_bytes(3, "big"))]
+    # meta track: tempo map + time signatures
+    meta_events = []
+    for seg_tick, bpm in zip(seg_ticks, bpms):
+        uspq = int(round(6e7 / bpm))
+        meta_events.append(
+            (
+                int(round(seg_tick)),
+                bytes([0xFF, 0x51, 0x03]) + uspq.to_bytes(3, "big"),
+            )
+        )
     for ts in mid.time_signature_changes:
         den_pow = max(0, ts.denominator.bit_length() - 1)
         meta_events.append(

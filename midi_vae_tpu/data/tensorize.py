@@ -234,7 +234,12 @@ def load_rolls(
     if song_end <= song_start or tempo <= 0:
         return None
     crop_to_span(mid, song_start, song_end)
-    song_end = song_end - song_start
+    # Reference quirk kept for parity (import_midi.py:91): total_ticks is
+    # computed from the UNSHIFTED span end even though the notes were just
+    # shifted to t=0 (import_midi.py:62-66), so multi-tempo songs gain
+    # ``song_start * fs`` trailing ticks of silence (extra all-silent
+    # windows). Verified bit-exact against the executing reference by
+    # tools/ref_parity_check.py --adversarial (multi_tempo/span_straddle).
 
     # order instruments by activity, descending (stable argsort, reversed,
     # matching np.argsort(counts)[::-1] of import_midi.py:74)
