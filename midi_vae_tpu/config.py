@@ -184,6 +184,18 @@ class Config:
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
+        # normalize classes: a plain "A,B" string would otherwise be silently
+        # iterated into single CHARACTERS by tuple() (13 one-letter classes
+        # from --set classes=style1,style2); split on commas instead
+        if isinstance(self.classes, str):
+            object.__setattr__(
+                self, "classes",
+                tuple(c for c in (p.strip() for p in self.classes.split(",")) if c),
+            )
+        else:
+            object.__setattr__(self, "classes", tuple(self.classes))
+        if not self.classes:
+            raise ValueError("classes must not be empty")
         if self.instrument_attach_method not in _INSTRUMENT_DIMS:
             raise ValueError(
                 f"unknown instrument_attach_method {self.instrument_attach_method!r}"

@@ -149,8 +149,11 @@ def signature_from_index(song: list[tuple[int, ...]]) -> list[float]:
             shortest = [
                 min(abs(pitch - other) for other in shorter) for pitch in longer
             ]
+            # plain np.argsort (no kind=) exactly like data_class.py:164 so
+            # tie-breaking among equal distances matches the reference
+            # bit-for-bit (verified by tools/ref_parity_check.py --analysis)
             truncated = [
-                longer[i] for i in np.argsort(shortest, kind="stable")[: len(shorter)]
+                longer[i] for i in np.argsort(shortest)[: len(shorter)]
             ]
             pairs = zip(sorted(shorter), sorted(truncated))
         else:

@@ -55,6 +55,20 @@ class TestConfig:
         with pytest.raises(ValueError):
             Config(cell_type="Transformer")
 
+    def test_classes_string_normalized(self):
+        """--set classes=style1,style2 reaches Config as a plain string;
+        tuple() would silently iterate it into 13 one-character classes.
+        __post_init__ must split on commas instead."""
+        cfg = Config(classes="style1,style2")
+        assert cfg.classes == ("style1", "style2")
+        assert cfg.num_classes == 2
+        cfg = Config(classes=" Jazz , Pop ")
+        assert cfg.classes == ("Jazz", "Pop")
+        cfg = Config(classes=["Bach", "Mozart"])  # lists normalize to tuples
+        assert cfg.classes == ("Bach", "Mozart")
+        with pytest.raises(ValueError, match="classes"):
+            Config(classes="")
+
     def test_include_composer_feature_rejected(self):
         """Dead reference flag (settings.py:128-129): widens input_dim but
         nothing appends the composer one-hot -- enabling it must error."""

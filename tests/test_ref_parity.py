@@ -44,6 +44,31 @@ def test_adversarial_battery_matches_reference():
     assert summary["known_flood"] >= 1
 
 
+def test_music_analysis_matches_reference():
+    """L2 differential parity: the EXECUTING data_class.py vs utils.music on
+    random inputs. Divergent signature cases must be exactly predicted by the
+    emulation of the reference's deletion-during-iteration held-note bug;
+    everything else must be bit-equal (nan==nan)."""
+    summary = _run("--analysis")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["exact"] >= 150
+    # the documented held-note deviation must actually be exercised
+    assert summary["known_deviation"] >= 1
+
+
+def test_renderer_matches_reference():
+    """rolls_to_midi differential parity: readbacks equal modulo the two
+    documented deviations (trailing flush, zero-velocity emission), each
+    verified per-note against the input rolls."""
+    summary = _run("--render")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    # both deviation classes must be exercised by the battery
+    assert summary["known_trailing_flush"] >= 1
+    assert summary["known_zero_velocity"] >= 1
+
+
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(

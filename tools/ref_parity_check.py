@@ -47,23 +47,33 @@ def reference_available() -> bool:
     return os.path.isfile(os.path.join(REFERENCE_DIR, "import_midi.py"))
 
 
-def load_reference_tensorizer(cfg, workdir: str):
-    """Import the reference's import_midi with our shim + cfg-aligned globals.
+def load_reference_module(module_name: str, workdir: str):
+    """Import a reference module with the shim layer active.
 
     The reference reads every knob from ``from settings import *`` module
-    globals (import_midi.py:2); rebinding them on the imported module object
-    re-points the functions (they resolve globals at call time).
+    globals; rebinding them on the imported module object re-points the
+    functions (they resolve globals at call time). ``workdir`` absorbs the
+    settings.py:58-61 import-time mkdir side effect.
     """
+    import importlib
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
     sys.path.insert(0, SHIM_DIR)
     sys.path.insert(0, REFERENCE_DIR)
     prev_cwd = os.getcwd()
     os.chdir(workdir)  # settings.py:58-61 mkdirs pickles/<t>/ relative to cwd
     try:
-        import import_midi as ref
+        mod = importlib.import_module(module_name)
     finally:
         os.chdir(prev_cwd)
         sys.path.remove(SHIM_DIR)
         sys.path.remove(REFERENCE_DIR)
+    return mod
+
+
+def load_reference_tensorizer(cfg, workdir: str):
+    """Import the reference's import_midi with cfg-aligned globals."""
+    ref = load_reference_module("import_midi", workdir)
 
     overrides = {
         "SMALLEST_NOTE": cfg.smallest_note,
@@ -403,6 +413,395 @@ def write_adversarial_corpus(folder: str) -> None:
     song("crop_outside.mid", outside)
 
 
+def _nan_equal(a, b) -> bool:
+    """Bitwise equality with nan==nan (the analysis surfaces emit nans for
+    silent bars by design, data_class.py:35-47)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape != b.shape:
+        return False
+    nan_a, nan_b = np.isnan(a), np.isnan(b)
+    if not np.array_equal(nan_a, nan_b):
+        return False
+    return np.array_equal(a[~nan_a], b[~nan_b])
+
+
+def _random_song(rng, n_steps: int, allow_silence: bool = True):
+    """Random per-step pitch tuples in the signature_from_index domain."""
+    song = []
+    for _ in range(n_steps):
+        k = int(rng.integers(0, 5))
+        if not allow_silence and k == 0:
+            k = 1
+        pitches = sorted(set(int(p) for p in rng.integers(40, 90, size=k)))
+        song.append(tuple(pitches))
+    return song
+
+
+def _ref_durations(song) -> list[int]:
+    """EXACT emulation of the reference's held-note duration bookkeeping
+    (data_class.py:127-185), including its deletion-during-iteration skip:
+    ``for note in held_notes: ... del held_notes[index]`` advances the list
+    iterator past the element following each deletion, so when >=2 held notes
+    close at the same step, alternating ones stay tracked one step longer (and
+    merge with an immediate re-sound). Our music.signature_from_index fixes
+    this (iterates a copy); this emulation predicts the reference's
+    duration-derived signature dims {0, 11..14} exactly so the differential
+    check stays bit-precise despite the documented deviation."""
+    held: list[int] = []
+    length: list[int] = []
+    durations: list[int] = []
+    for notes in song:
+        c = 0
+        while c < len(held):
+            if held[c] not in notes:
+                durations.append(length[c])
+                del held[c]
+                del length[c]
+            # the real for-loop's iterator advances once per iteration
+            # regardless; after a deletion the list has shifted left, so
+            # advancing skips the element that slid into slot c
+            c += 1
+        for note in notes:
+            if note in held:
+                length[held.index(note)] += 1
+            else:
+                held.append(note)
+                length.append(1)
+        if len(notes) == 0:
+            durations.extend(length)
+            held, length = [], []
+    return durations
+
+
+def check_analysis(cfg, n_cases: int = 80, seed: int = 0) -> dict:
+    """Differential parity for the L2 music-analysis utilities: run the
+    REFERENCE data_class.py unmodified and bit-compare every numeric surface
+    against midi_vae_tpu.utils.music on random + adversarial inputs."""
+    from midi_vae_tpu.utils import music as ours
+
+    with tempfile.TemporaryDirectory() as workdir:
+        dc = load_reference_module("data_class", workdir)
+    for key, value in {
+        "max_voices": cfg.max_voices,
+        "SMALLEST_NOTE": cfg.smallest_note,
+        "low_crop": cfg.low_crop,
+        "high_crop": cfg.high_crop,
+    }.items():
+        setattr(dc, key, value)
+
+    rng = np.random.default_rng(seed)
+    mv = cfg.max_voices
+    res = cfg.smallest_note // 4
+    counts = {"exact": 0, "known_deviation": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str, known: bool = False):
+        if ok:
+            counts["exact"] += 1
+        elif known:
+            counts["known_deviation"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    # --- tonal matrix + tonal_dist (data_class.py:25-47) ---
+    record(
+        np.array_equal(dc.get_tonal_matrix(), ours.get_tonal_matrix()),
+        "get_tonal_matrix",
+    )
+    with np.errstate(all="ignore"):
+        for k in range(n_cases):
+            c1 = rng.integers(0, 5, size=12).astype(np.float64)
+            c2 = rng.integers(0, 5, size=12).astype(np.float64)
+            if k % 4 == 0:
+                c1 = np.zeros(12)
+            if k % 5 == 0:
+                c2 = np.zeros(12)  # ref's chroma1-twice bug: nan propagates
+            r = dc.tonal_dist(c1, c2)
+            o = ours.tonal_dist(c1, c2)
+            record(_nan_equal(r, o), f"tonal_dist[{k}]: ref={r} ours={o}")
+
+    # --- harmonicity all-pairs matrices (data_class.py:50-88) ---
+    with np.errstate(all="ignore"):
+        import warnings
+
+        for k in range(n_cases // 10):
+            bars = int(rng.integers(1, 4))
+            shape = (
+                (2, bars * cfg.smallest_note * mv, 60)
+                if k % 2
+                else (bars * cfg.smallest_note * mv, 60)
+            )
+            roll = (rng.random(shape) < 0.04).astype(np.float64)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                r = dc.get_harmonicity_scores_for_each_track_combination(roll)
+            o = ours.get_harmonicity_scores_for_each_track_combination(
+                roll, mv, cfg.smallest_note
+            )
+            record(_nan_equal(r, o), f"harmonicity[{k}]")
+
+    # --- signature vectors (data_class.py:96-221) ---
+    def check_signature(ref_sig, our_sig, song, label):
+        """ref must equal OUR signature with the duration-derived dims
+        {0, 11..14} replaced by the exact _ref_durations emulation; and the
+        non-duration dims of ours must match ref bit-for-bit."""
+        durations = _ref_durations(song)
+        expected = list(our_sig)
+        expected[0] = len(durations) / len(song)
+        expected[11:15] = ours.get_statistics_on_list(durations, scale=1.0)
+        exact = _nan_equal(ref_sig, our_sig)
+        ok = _nan_equal(ref_sig, expected)
+        record(
+            exact,
+            f"{label}: ref={ref_sig} expected={expected}",
+            known=(not exact) and ok,
+        )
+
+    for k in range(n_cases):
+        song = _random_song(rng, int(rng.integers(8, 48)))
+        r = dc.signature_from_index([tuple(n) for n in song])
+        o = ours.signature_from_index(song)
+        check_signature(r, o, song, f"signature_from_index[{k}]")
+
+    for k in range(n_cases // 4):
+        steps = int(rng.integers(1, 4)) * cfg.smallest_note
+        poly = (rng.random((steps, cfg.new_num_notes)) < 0.1).astype(np.float64)
+        r = dc.signature_from_pianoroll(poly)
+        o = ours.signature_from_pianoroll(poly, low_crop=cfg.low_crop)
+        song = [
+            tuple(int(x) + cfg.low_crop for x in np.nonzero(step)[0])
+            for step in poly
+        ]
+        check_signature(r, o, song, f"signature_from_pianoroll[{k}]")
+
+        unrolled = np.zeros((steps * mv, cfg.new_num_notes + 1))
+        idx = rng.integers(0, cfg.new_num_notes + 1, size=steps * mv)
+        unrolled[np.arange(steps * mv), idx] = 1.0
+        r = dc.signature_form_unrolled_pianoroll(unrolled, mv, True)
+        o = ours.signature_from_unrolled_pianoroll(
+            unrolled, mv, include_silent_note=True, low_crop=cfg.low_crop
+        )
+        poly2 = ours.monophonic_to_khot_pianoroll(unrolled, mv)[:, :-1]
+        song2 = [
+            tuple(int(x) + cfg.low_crop for x in np.nonzero(step)[0])
+            for step in poly2
+        ]
+        check_signature(r, o, song2, f"signature_unrolled[{k}]")
+
+    # --- mahalanobis + mean/cov (data_class.py:225-233) ---
+    for k in range(n_cases // 8):
+        vecs = rng.random((int(rng.integers(5, 40)), 15))
+        rm, rc = dc.get_mean_and_cov_from_vector_list(list(vecs))
+        om, oc = ours.get_mean_and_cov_from_vector_list(list(vecs))
+        record(
+            np.array_equal(rm, om) and np.array_equal(rc, oc),
+            f"mean_cov[{k}]",
+        )
+        x = rng.random(15)
+        record(
+            _nan_equal(
+                dc.mahalanobis_distance(x, rm, rc),
+                ours.mahalanobis_distance(x, om, oc),
+            ),
+            f"mahalanobis[{k}]",
+        )
+
+    # --- monophonic -> khot (data_class.py:241-252) ---
+    for k in range(n_cases // 8):
+        steps = int(rng.integers(1, 5)) * mv
+        roll = (rng.random((steps, 61)) < 0.2).astype(np.float64)
+        r = dc.monophonic_to_khot_pianoroll(roll, mv, set_all_nonzero_to_1=k % 2 == 0)
+        o = ours.monophonic_to_khot_pianoroll(roll, mv, set_all_nonzero_to_1=k % 2 == 0)
+        record(np.array_equal(r, o), f"mono_to_khot[{k}]")
+
+    # --- instrument decode (data_class.py:352-373) ---
+    from midi_vae_tpu.data import tensorize
+
+    for k in range(n_cases // 8):
+        programs = [int(p) for p in rng.integers(0, 128, size=mv)]
+        for method in ("1hot-instrument", "1hot-category"):
+            mat = tensorize.programs_to_instrument_matrix(programs, method, mv)
+            r = dc.instrument_representation_to_programs(mat, method)
+            o = tensorize.instrument_matrix_to_programs(mat, method)
+            record(list(r) == list(o), f"inst_decode[{method},{k}]")
+        for method, mult in (("khot-instrument", 1), ("khot-category", 8)):
+            mat = tensorize.programs_to_instrument_matrix(programs, method, mv)
+            r = dc.instrument_representation_to_programs(mat, method)
+            # the reference's `index += 2^exponent` XOR bug
+            # (data_class.py:359-372): verify ref matches the buggy closed
+            # form and ours is a true inverse of the encoder
+            buggy = []
+            for vec in mat:
+                idx = 0
+                for e in np.nonzero(vec)[0]:
+                    idx += 2 ^ int(e)
+                buggy.append(idx * mult)
+            o = tensorize.instrument_matrix_to_programs(mat, method)
+            roundtrip = tensorize.programs_to_instrument_matrix(o, method, mv)
+            record(
+                list(r) == buggy and np.array_equal(roundtrip, mat),
+                f"inst_decode[{method},{k}]: ref={list(r)} buggy={buggy}",
+                known=False,
+            )
+
+    return {
+        "surface": "music-analysis",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
+def check_render(cfg, n_cases: int = 40, seed: int = 0) -> dict:
+    """Differential parity for rolls->MIDI: run the REFERENCE
+    midi_functions.rolls_to_midi unmodified (shim pretty_midi) and ours on the
+    same random rolls, read both files back, compare note events.
+
+    Documented deviations (PARITY.md), each verified per-note against the
+    input rolls rather than waved through:
+
+    * trailing flush -- the reference never closes notes still sounding at
+      the last step (its tracker is simply dropped, midi_functions.py:91-136),
+      losing every trailing note; ours flushes them with end = the final
+      boundary. Extra notes on OUR side are accepted iff they end exactly at
+      the final boundary time.
+    * zero-velocity notes -- the reference emits pm.Note(velocity=0) when the
+      note-start step's velocity is sub-threshold (midi_functions.py:78,116);
+      ours skips them (inaudible). Our SMF writer clamps wire velocity to >=1
+      (smf.py:444), so those reference notes read back as velocity-1 notes.
+      Extra notes on the REFERENCE side are accepted iff their readback
+      velocity is 1 AND the input velocity roll at their start step scales to
+      int(...) == 0 under the reference's own formula.
+    """
+    from midi_vae_tpu.data import smf, tensorize
+
+    with tempfile.TemporaryDirectory() as workdir:
+        mf = load_reference_module("midi_functions", workdir)
+    for key, value in {
+        "SMALLEST_NOTE": cfg.smallest_note,
+        "low_crop": cfg.low_crop,
+        "high_crop": cfg.high_crop,
+        "num_notes": cfg.num_notes,
+        "velocity_threshold_such_that_it_is_a_played_note":
+            cfg.velocity_threshold,
+        "MAX_VELOCITY": cfg.max_velocity,
+    }.items():
+        setattr(mf, key, value)
+
+    rng = np.random.default_rng(seed)
+    mv = cfg.max_voices
+    thr = cfg.velocity_threshold
+    counts = {
+        "exact": 0,
+        "known_trailing_flush": 0,
+        "known_zero_velocity": 0,
+        "MISMATCH": 0,
+    }
+    mismatches: list[str] = []
+
+    def scaled_int_velocity(v: float) -> int:
+        """The reference's velocity un-scaling (midi_functions.py:78-81,134)."""
+        if v < thr:
+            return 0
+        return int((v - 0.5) / (1.0 - thr) * cfg.max_velocity)
+
+    def notes_key(inst):
+        return sorted(
+            (n.pitch, n.velocity, round(n.start, 9), round(n.end, 9))
+            for n in inst.notes
+        )
+
+    with tempfile.TemporaryDirectory() as out:
+        for case in range(n_cases):
+            bars = int(rng.integers(1, 4))
+            steps = bars * cfg.smallest_note * mv
+            roll = np.zeros((steps, cfg.new_num_notes))
+            # monophonic rows (the renderer's domain: unrolled voices)
+            sounding = rng.random(steps) < 0.75
+            pitches = rng.integers(0, cfg.new_num_notes, size=steps)
+            roll[np.arange(steps)[sounding], pitches[sounding]] = 1.0
+            use_vel = case % 3 != 0
+            use_held = case % 2 == 0
+            vel = rng.random(steps) if use_vel else None
+            held = (rng.random(steps) < 0.5).astype(np.float64) if use_held else None
+            programs = [int(p) for p in rng.integers(0, 128, size=mv)]
+            bpm = float(rng.integers(60, 180))
+
+            mf.rolls_to_midi(
+                roll, programs, out + os.sep, f"ref{case}", bpm,
+                velocity_roll=vel, held_notes_roll=held,
+            )
+            tensorize.save_rolls_as_midi(
+                roll, programs, cfg, os.path.join(out, f"ours{case}.mid"),
+                bpm=bpm, velocity_roll=vel, held_notes_roll=held,
+            )
+            ref_mid = smf.read_midi(os.path.join(out, f"ref{case}.mid"))
+            our_mid = smf.read_midi(os.path.join(out, f"ours{case}.mid"))
+
+            scaled_bpm = bpm * (cfg.smallest_note / 4)
+            final_time = (60.0 / scaled_bpm) * (steps // mv)
+            tick = 60.0 / (scaled_bpm * 1000)
+
+            if len(ref_mid.instruments) != len(our_mid.instruments):
+                counts["MISMATCH"] += 1
+                mismatches.append(f"case {case}: instrument count")
+                continue
+            status = "exact"
+            step_dur = 60.0 / scaled_bpm
+            for voice, (ri, oi) in enumerate(
+                zip(ref_mid.instruments, our_mid.instruments)
+            ):
+                if ri.program != oi.program:
+                    status = "MISMATCH"
+                    mismatches.append(
+                        f"case {case}: program {ri.program} vs {oi.program}"
+                    )
+                    break
+                rk, ok_ = notes_key(ri), notes_key(oi)
+                if rk == ok_:
+                    continue
+                ref_only = [n for n in rk if n not in set(ok_)]
+                our_only = [n for n in ok_ if n not in set(rk)]
+                vel_voice = vel[voice::mv] if vel is not None else None
+                bad = []
+                for n in ref_only:
+                    # accepted iff it is a clamped zero-velocity emission
+                    step = int(round(n[2] / step_dur))
+                    if (
+                        vel_voice is not None
+                        and n[1] == 1
+                        and 0 <= step < len(vel_voice)
+                        and scaled_int_velocity(float(vel_voice[step])) == 0
+                    ):
+                        continue
+                    bad.append(("ref-only", n))
+                for n in our_only:
+                    # accepted iff it is our trailing flush at the boundary
+                    if abs(n[3] - final_time) <= 2 * tick:
+                        continue
+                    bad.append(("our-only", n))
+                if bad:
+                    status = "MISMATCH"
+                    mismatches.append(f"case {case}: {bad[:4]}")
+                    break
+                if any(n[1] == 1 for n in ref_only):
+                    status = "known_zero_velocity"
+                if our_only and status == "exact":
+                    status = "known_trailing_flush"
+            counts[status] += 1
+
+    return {
+        "surface": "rolls_to_midi",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -423,6 +822,16 @@ def main() -> int:
         "--classes", default=None,
         help="comma-separated class labels (default: Config() defaults)",
     )
+    ap.add_argument(
+        "--analysis", action="store_true",
+        help="differential check of the L2 music-analysis utilities "
+             "(data_class.py) on random + adversarial inputs",
+    )
+    ap.add_argument(
+        "--render", action="store_true",
+        help="differential check of rolls_to_midi (midi_functions.py:57-137)",
+    )
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     if not reference_available():
@@ -435,7 +844,11 @@ def main() -> int:
     if args.classes:
         cfg = cfg.replace(classes=tuple(args.classes.split(",")))
 
-    if args.adversarial:
+    if args.analysis:
+        result = check_analysis(cfg, seed=args.seed)
+    elif args.render:
+        result = check_render(cfg, seed=args.seed)
+    elif args.adversarial:
         with tempfile.TemporaryDirectory() as adv:
             write_adversarial_corpus(adv)
             result = compare_corpus(adv, cfg, max_files=args.max_files)
