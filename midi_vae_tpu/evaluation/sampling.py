@@ -54,10 +54,12 @@ def sample_notes_prediction(
         Y = Y.reshape(-1, Y.shape[-1])
     out = np.zeros((Y.shape[0], cfg.new_num_notes), dtype=np.float32)
     if sample_method == "argmax":
-        # vectorized fast path (the evaluation harness default)
+        # vectorized fast path (the evaluation harness default); an all-zero
+        # row argmaxes to 0 = pitch 0, exactly like the reference's
+        # sample_vector else-branch (vae_definition.py:1065-1066) and our
+        # loop path / device-argmax path
         idx = np.argmax(Y, axis=-1)
-        rows_sum = Y.sum(axis=-1)
-        keep = (rows_sum > 0) & (idx < cfg.new_num_notes)
+        keep = idx < cfg.new_num_notes
         if cfg.include_silent_note:
             keep &= idx != Y.shape[-1] - 1
         rows = np.nonzero(keep)[0]
@@ -246,7 +248,9 @@ def process_decoder_outputs(
         N = np.zeros_like(Y)
 
     del num_samples
-    return Y, I, np.asarray(V, np.float32), np.asarray(D, np.float32), N
+    # V stays float64: the renderer's int() un-scaling (tensorize.py) can
+    # flip a velocity integer at an f32 rounding boundary
+    return Y, I, np.asarray(V, np.float64), np.asarray(D, np.float64), N
 
 
 def add_silent_column(Y: np.ndarray, cfg: Config) -> np.ndarray:
@@ -320,4 +324,4 @@ def process_argmax_outputs(
             D[np.asarray(V) > cfg.velocity_threshold] = 0
     if N is None:
         N = np.zeros_like(Y)
-    return Y, I, np.asarray(V, np.float32), np.asarray(D, np.float32), N
+    return Y, I, np.asarray(V, np.float64), np.asarray(D, np.float64), N

@@ -250,7 +250,9 @@ class TestArgmaxFastPaths:
         cfg = Config()
         rng = np.random.RandomState(0)
         probs = rng.rand(5, 64, 61).astype(np.float32)
-        probs[0, 3] = 0  # all-zero row -> index 0 (sample_vector contract)
+        probs[0, 3] = 0  # all-zero row -> pitch 0, like the reference's
+        # sample_vector else-branch (vae_definition.py:1065-1066; locked by
+        # tools/ref_parity_check.py --sampling)
         fast = sampling.sample_notes_prediction(probs, "argmax", cfg)
         slow = np.zeros_like(fast)
         flat = probs.reshape(-1, 61)
@@ -258,9 +260,9 @@ class TestArgmaxFastPaths:
             idx = sampling.sample_vector(step, "argmax")
             if idx == 60:
                 continue
-            if step.sum() > 0:
-                slow[i, idx] = 1
+            slow[i, idx] = 1
         np.testing.assert_array_equal(fast, slow)
+        assert fast[0 * 64 + 3, 0] == 1  # the all-zero row emits pitch 0
 
     def test_instrument(self):
         cfg = Config()

@@ -69,6 +69,33 @@ def test_renderer_matches_reference():
     assert summary["known_zero_velocity"] >= 1
 
 
+def test_batchprep_matches_reference():
+    """L3 differential parity: the EXECUTING vae_definition.py batch builders
+    (prepare_encoder_input_list / prepare_decoder_input /
+    prepare_autoencoder_input_and_output_list) vs data.batching across random
+    flag combinations -- every input/output/sample-weight list element
+    bit-equal."""
+    summary = _run("--batchprep")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["exact"] >= 250
+
+
+def test_sampling_matches_reference():
+    """L3 differential parity: the EXECUTING vae_definition.py output
+    decoding vs evaluation.sampling (argmax method), incl. the velocity
+    override loop vs our vectorized version. The reference's two latent
+    bugs must be exercised and exactly predicted: the meta_held_notes_output
+    NameError (vae_definition.py:1145) and the default-instrument row quirk
+    (vae_definition.py:1209-1210)."""
+    summary = _run("--sampling")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["exact"] >= 250
+    assert summary["known_nameerror"] >= 1
+    assert summary["known_default_I"] >= 1
+
+
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(

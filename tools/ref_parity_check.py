@@ -802,6 +802,464 @@ def check_render(cfg, n_cases: int = 40, seed: int = 0) -> dict:
     }
 
 
+def _load_vae_definition():
+    """Import the reference's vae_definition.py via the keras/recurrentshop
+    shim (tools/ref_shim/keras, .../recurrentshop). Only its numpy-only
+    batch-prep/sampling functions (vae_definition.py:770-1235) are executed;
+    the shim keeps the graph imports inert."""
+    with tempfile.TemporaryDirectory() as workdir:
+        return load_reference_module("vae_definition", workdir)
+
+
+def _bind(mod, cfg, flags: dict) -> None:
+    """Re-point a reference module's settings-derived globals at a Config."""
+    values = {
+        "output_length": cfg.output_length,
+        "input_length": cfg.input_length,
+        "output_dim": cfg.output_dim,
+        "num_classes": cfg.num_classes,
+        "latent_dim": cfg.latent_dim,
+        "max_voices": cfg.max_voices,
+        "high_crop": cfg.high_crop,
+        "low_crop": cfg.low_crop,
+        "meta_instrument_dim": cfg.meta_instrument_dim,
+        "include_silent_note": cfg.include_silent_note,
+        "silent_weight": cfg.silent_weight,
+        "meta_instrument": cfg.meta_instrument,
+        "meta_velocity": cfg.meta_velocity,
+        "meta_held_notes": cfg.meta_held_notes,
+        "meta_next_notes": cfg.meta_next_notes,
+        "combine_velocity_and_held_notes": cfg.combine_velocity_and_held_notes,
+        "teacher_force": cfg.teacher_force,
+        "history": cfg.history,
+        "decoder_additional_input": cfg.decoder_additional_input,
+        "decoder_input_composer": cfg.decoder_input_composer,
+        "append_signature_vector_to_latent": cfg.append_signature_vector_to_latent,
+        "include_composer_decoder": cfg.include_composer_decoder,
+        "signature_decoder": cfg.signature_decoder,
+        "composer_decoder_at_notes_output": cfg.composer_decoder_at_notes_output,
+        "composer_decoder_at_instrument_output":
+            cfg.composer_decoder_at_instrument_output,
+        "override_sampled_pitches_based_on_velocity_info":
+            cfg.override_sampled_pitches_based_on_velocity_info,
+        "velocity_threshold_such_that_it_is_a_played_note":
+            cfg.velocity_threshold,
+        "temperature": cfg.temperature,
+        "number_of_tries": cfg.number_of_tries,
+        "cutoff_sample_threshold": cfg.cutoff_sample_threshold,
+    }
+    values.update(flags)
+    for key, value in values.items():
+        setattr(mod, key, value)
+
+
+def _random_flag_cfg(cfg, rng):
+    """A random valid combination of the batch-prep-relevant Config flags."""
+    flags = {
+        "meta_instrument": bool(rng.integers(2)),
+        "meta_velocity": bool(rng.integers(2)),
+        "meta_held_notes": bool(rng.integers(2)),
+        "meta_next_notes": bool(rng.integers(2)),
+        "teacher_force": bool(rng.integers(2)),
+        "history": bool(rng.integers(2)),
+        "decoder_input_composer": bool(rng.integers(2)),
+        "append_signature_vector_to_latent": bool(rng.integers(2)),
+        "include_composer_decoder": bool(rng.integers(2)),
+        "signature_decoder": bool(rng.integers(2)),
+        "composer_decoder_at_notes_output": bool(rng.integers(2)),
+        "include_silent_note": bool(rng.integers(2)),
+        "silent_weight": float(rng.choice([1.0, 3.0])),
+        "combine_velocity_and_held_notes": False,
+        "composer_decoder_at_instrument_output": False,
+    }
+    if flags["meta_instrument"]:
+        flags["composer_decoder_at_instrument_output"] = bool(rng.integers(2))
+    if not flags["meta_held_notes"]:
+        flags["combine_velocity_and_held_notes"] = bool(rng.integers(2))
+    return cfg.replace(**flags)
+
+
+def _random_prep_inputs(cfg, rng, B: int):
+    """Random (X, Y, C, I, V, D, S, H) in the batch-prep domain."""
+    T = cfg.output_length
+
+    def onehot_rows(shape_bt, dim):
+        idx = rng.integers(0, dim, size=shape_bt)
+        out = np.zeros((*shape_bt, dim), dtype=np.float32)
+        np.put_along_axis(out, idx[..., None], 1.0, axis=-1)
+        return out
+
+    X = onehot_rows((B, cfg.input_length), cfg.input_dim)
+    Y = onehot_rows((B, T), cfg.output_dim)
+    D = (rng.random((B, T)) < 0.4).astype(np.float32)
+    V = (rng.random((B, T)) * 0.5 + 0.5).astype(np.float32)
+    V[D == 1] = 0.0  # the reference asserts V==0 where held (vae_def.py:900)
+    I = onehot_rows((cfg.max_voices,), cfg.instrument_dim)
+    S = rng.standard_normal((B, cfg.signature_vector_length)).astype(np.float32)
+    H = rng.standard_normal((B, cfg.latent_dim)).astype(np.float32)
+    C = int(rng.integers(0, cfg.num_classes))
+    return X, Y, C, I, V, D, S, H
+
+
+def check_batchprep(cfg, n_cases: int = 60, seed: int = 0) -> dict:
+    """Differential parity for L3 batch preparation: run the REFERENCE
+    prepare_encoder_input_list / prepare_decoder_input /
+    prepare_autoencoder_input_and_output_list (vae_definition.py:770-1045)
+    unmodified across random flag combinations and bit-compare every element
+    of the returned input/output/sample-weight lists against
+    midi_vae_tpu.data.batching."""
+    from midi_vae_tpu.data import batching
+
+    vd = _load_vae_definition()
+    rng = np.random.default_rng(seed)
+    counts = {"exact": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["exact"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def eq(r, o) -> bool:
+        r = np.asarray(r, dtype=np.float64)
+        o = np.asarray(o, dtype=np.float64)
+        return r.shape == o.shape and np.array_equal(r, o)
+
+    for case in range(n_cases):
+        cfg2 = _random_flag_cfg(cfg, rng)
+        _bind(vd, cfg2, {})
+        B = int(rng.integers(3, 7))
+        X, Y, C, I, V, D, S, H = _random_prep_inputs(cfg2, rng, B)
+        tag = f"case {case}"
+
+        # --- our side: one batch dict covers all three reference builders ---
+        batch = batching.prepare_song_batch(X, Y, C, I, V, D, S, cfg2, H=H)
+
+        # --- prepare_encoder_input_list (vae_definition.py:770-807) ---
+        enc = vd.prepare_encoder_input_list(X, I, V, D)
+        # ref's list condition excludes meta_next_notes (vae_def.py:797)
+        if not (cfg2.meta_instrument or cfg2.meta_velocity or cfg2.meta_held_notes):
+            record(eq(enc, X), f"{tag} enc X-only")
+        else:
+            # enc list is built pre-trim, so compare against untrimmed tensors
+            D_cat = batching.held_to_categorical(D)
+            V3 = batching.prepare_velocity(V, D_cat, cfg2)
+            exp = [X]
+            if cfg2.meta_instrument:
+                exp.append(np.tile(I[None], (B, 1, 1)))
+            if cfg2.meta_velocity:
+                exp.append(V3)
+            if cfg2.meta_held_notes:
+                exp.append(D_cat)
+            record(
+                len(enc) == len(exp)
+                and all(eq(r, o) for r, o in zip(enc, exp)),
+                f"{tag} encoder_input_list",
+            )
+
+        # --- prepare_decoder_input (vae_definition.py:816-867) ---
+        R = rng.standard_normal((B, cfg2.latent_dim)).astype(np.float32)
+        C_cat = np.tile(batching.one_hot([C], cfg2.num_classes), (B, 1))
+        dec = vd.prepare_decoder_input(R, C_cat, S)
+        pos = 0
+        ok = eq(dec[pos], np.zeros((B, cfg2.output_dim))); pos += 1
+        ok = ok and eq(dec[pos], R); pos += 1
+        if cfg2.teacher_force:
+            ok = ok and eq(dec[pos], np.zeros((B, cfg2.input_length, cfg2.output_dim))); pos += 1
+        if cfg2.history:
+            # auto-history must equal our history_from_latents roll
+            ok = ok and eq(dec[pos], batching.history_from_latents(R)); pos += 1
+        if cfg2.decoder_additional_input:
+            parts = []
+            if cfg2.decoder_input_composer:
+                parts.append(C_cat)
+            if cfg2.append_signature_vector_to_latent:
+                parts.append(S)
+            ok = ok and eq(dec[pos], np.concatenate(parts, axis=-1)); pos += 1
+        if cfg2.meta_instrument:
+            ok = ok and eq(dec[pos], np.zeros((B, cfg2.meta_instrument_dim))); pos += 1
+        if cfg2.meta_velocity:
+            ok = ok and eq(dec[pos], np.zeros((B,))); pos += 1
+        if cfg2.meta_held_notes:
+            ok = ok and eq(dec[pos], np.zeros((B, 2))); pos += 1
+        if cfg2.meta_next_notes:
+            ok = ok and eq(dec[pos], np.zeros((B, cfg2.output_dim))); pos += 1
+        record(ok and pos == len(dec), f"{tag} decoder_input")
+
+        # --- prepare_autoencoder_input_and_output_list (vae_def.py:880-1045) ---
+        in_list, out_list, sw = vd.prepare_autoencoder_input_and_output_list(
+            X, Y, C, I, V, D, S, H, return_sample_weight=True
+        )
+        Bt = batch["X"].shape[0]  # post-trim sample count (meta_next_notes)
+
+        exp_inputs = [batch["X"], np.zeros((Bt, cfg2.output_dim))]
+        if cfg2.teacher_force:
+            exp_inputs.append(batch["Y"])
+        if cfg2.history:
+            exp_inputs.append(batch["H"])
+        if cfg2.decoder_additional_input:
+            exp_inputs.append(batch["A"])
+        if cfg2.meta_instrument:
+            exp_inputs += [np.zeros((Bt, cfg2.meta_instrument_dim)), batch["I"]]
+        if cfg2.meta_velocity:
+            exp_inputs += [np.zeros((Bt,)), batch["V"]]
+        if cfg2.meta_held_notes:
+            exp_inputs += [np.zeros((Bt, 2)), batch["D"]]
+        if cfg2.meta_next_notes:
+            exp_inputs.append(np.zeros((Bt, cfg2.output_dim)))
+        record(
+            len(in_list) == len(exp_inputs)
+            and all(eq(r, o) for r, o in zip(in_list, exp_inputs)),
+            f"{tag} autoencoder input_list "
+            f"(ref {len(in_list)} vs ours {len(exp_inputs)})",
+        )
+
+        exp_outputs = [batch["Y"]]
+        if cfg2.meta_instrument:
+            exp_outputs.append(batch["I"])
+        if cfg2.meta_velocity:
+            exp_outputs.append(batch["V"])
+        if cfg2.meta_held_notes:
+            exp_outputs.append(batch["D"])
+        if cfg2.meta_next_notes:
+            exp_outputs.append(batch["N"])
+        if cfg2.include_composer_decoder:
+            exp_outputs.append(batch["C"])
+        if cfg2.signature_decoder:
+            exp_outputs.append(batch["S"])
+        if cfg2.composer_decoder_at_notes_output:
+            exp_outputs.append(batch["C"])
+        if cfg2.composer_decoder_at_instrument_output:
+            exp_outputs.append(batch["C"])
+        record(
+            len(out_list) == len(exp_outputs)
+            and all(eq(r, o) for r, o in zip(out_list, exp_outputs)),
+            f"{tag} autoencoder output_list "
+            f"(ref {len(out_list)} vs ours {len(exp_outputs)})",
+        )
+
+        # --- sample weights: ref's matrix must equal the closed form our
+        # fused loss applies on device (models/vae.py:724-725) ---
+        sw = sw if isinstance(sw, list) else [sw]
+        exp_w0 = np.ones((Bt, cfg2.output_length))
+        if cfg2.include_silent_note:
+            exp_w0 = np.where(
+                batch["Y"][:, :, -1] == 1, cfg2.silent_weight, 1.0
+            )
+        n_aux = sum(
+            [
+                cfg2.include_composer_decoder,
+                cfg2.signature_decoder,
+                cfg2.composer_decoder_at_notes_output,
+                cfg2.composer_decoder_at_instrument_output,
+                cfg2.meta_instrument,
+                cfg2.meta_velocity,
+                cfg2.meta_held_notes,
+                cfg2.meta_next_notes,
+            ]
+        )
+        record(
+            eq(sw[0], exp_w0)
+            and len(sw) == 1 + n_aux
+            and all(eq(w, np.ones((Bt,))) for w in sw[1:]),
+            f"{tag} sample_weight",
+        )
+
+    return {
+        "surface": "batch-prep",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
+def check_sampling(cfg, n_cases: int = 50, seed: int = 0) -> dict:
+    """Differential parity for L3 output decoding: run the REFERENCE
+    sample_notes_prediction / sample_instrument_prediction /
+    sample_held_notes_prediction / process_decoder_outputs
+    (vae_definition.py:1048-1235) unmodified on random probability tensors
+    (argmax method -- the deterministic path evaluation uses,
+    do_not_sample_in_evaluation settings.py:19) and bit-compare against
+    midi_vae_tpu.evaluation.sampling, including the velocity/pitch override
+    loop (ref) vs our vectorized version.
+
+    Also proves the reference's latent NameError (vae_definition.py:1145
+    reads the never-defined global ``meta_held_notes_output``; short-circuit
+    evaluation hides it unless meta_instrument and meta_velocity are BOTH
+    off) -- counted as ``known_nameerror`` -- and its default-instrument
+    quirk (vae_definition.py:1209-1210 does ``I[:,0] = 1``: voice 0's WHOLE
+    row set to ones instead of the intended ``I[:,:,0]`` all-piano one-hot;
+    both argmax-decode to identical all-piano programs) -- counted as
+    ``known_default_I`` after verifying ref's tensor matches the quirky
+    closed form and both sides decode to the same programs."""
+    from midi_vae_tpu.evaluation import sampling as ours
+
+    vd = _load_vae_definition()
+    rng = np.random.default_rng(seed)
+    counts = {"exact": 0, "known_nameerror": 0, "known_default_I": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["exact"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def eq(r, o) -> bool:
+        r = np.asarray(r, dtype=np.float64)
+        o = np.asarray(o, dtype=np.float64)
+        return r.shape == o.shape and np.array_equal(r, o)
+
+    def probs(shape):
+        """Random probability-ish tensors incl. adversarial rows: exact
+        ties (argmax tie-breaking) and all-zero rows (the reference emits
+        pitch 0 for those, vae_definition.py:1065-1066)."""
+        p = rng.random(shape)
+        flat = p.reshape(-1, shape[-1])
+        n = flat.shape[0]
+        if n > 2:
+            flat[rng.integers(0, n)] = 0.0
+            row = rng.integers(0, n)
+            flat[row] = np.repeat(flat[row, :1], shape[-1])
+        return p
+
+    for case in range(n_cases):
+        cfg2 = _random_flag_cfg(cfg, rng)
+        _bind(vd, cfg2, {})
+        B = int(rng.integers(2, 5))
+        T = cfg2.output_length
+        tag = f"case {case}"
+
+        notes_p = probs((B, T, cfg2.output_dim))
+        record(
+            eq(
+                vd.sample_notes_prediction(notes_p, "argmax"),
+                ours.sample_notes_prediction(notes_p, "argmax", cfg2),
+            ),
+            f"{tag} sample_notes_prediction",
+        )
+        # the 2-D entry point too (vae_definition.py:1072-1074)
+        record(
+            eq(
+                vd.sample_notes_prediction(notes_p[0], "argmax"),
+                ours.sample_notes_prediction(notes_p[0], "argmax", cfg2),
+            ),
+            f"{tag} sample_notes_prediction 2d",
+        )
+
+        inst_p = probs((B, cfg2.max_voices, cfg2.meta_instrument_dim))
+        record(
+            eq(
+                vd.sample_instrument_prediction(inst_p, "argmax"),
+                ours.sample_instrument_prediction(inst_p, "argmax", cfg2),
+            ),
+            f"{tag} sample_instrument_prediction",
+        )
+
+        held_p = probs((B, T, 2))
+        record(
+            eq(
+                vd.sample_held_notes_prediction(held_p, "argmax"),
+                ours.sample_held_notes_prediction(held_p, "argmax", cfg2),
+            ),
+            f"{tag} sample_held_notes_prediction",
+        )
+
+        # one-hot probability vectors make the 'choice' path deterministic
+        one_hot_p = np.zeros(cfg2.output_dim)
+        one_hot_p[int(rng.integers(0, cfg2.output_dim))] = 1.0
+        record(
+            vd.sample_vector(one_hot_p, "choice")
+            == ours.sample_vector(
+                one_hot_p, "choice", cfg2.temperature,
+                cfg2.cutoff_sample_threshold, cfg2.number_of_tries,
+            ),
+            f"{tag} sample_vector choice one-hot",
+        )
+
+        # --- process_decoder_outputs (vae_definition.py:1131-1225) ---
+        ref_outputs = [notes_p]
+        our_outputs = {"notes": notes_p}
+        if cfg2.meta_instrument or cfg2.meta_velocity or cfg2.meta_held_notes \
+                or cfg2.meta_next_notes:
+            ref_outputs.append(inst_p)
+            our_outputs["instrument"] = inst_p
+        if cfg2.meta_velocity:
+            vel_p = rng.random((B, T, 1))
+            ref_outputs.append(vel_p)
+            our_outputs["velocity"] = vel_p
+        if cfg2.meta_held_notes:
+            ref_outputs.append(held_p)
+            our_outputs["held"] = held_p
+        if cfg2.meta_next_notes:
+            next_p = probs((B, T, cfg2.output_dim))
+            ref_outputs.append(next_p)
+            our_outputs["next"] = next_p
+
+        ref_arg = ref_outputs if len(ref_outputs) > 1 else notes_p
+        if not (cfg2.meta_instrument or cfg2.meta_velocity):
+            # vae_definition.py:1145 evaluates the never-defined global
+            # meta_held_notes_output once meta_instrument/meta_velocity are
+            # both False (and the outputs form a list) -- prove the crash
+            if isinstance(ref_arg, list):
+                try:
+                    vd.process_decoder_outputs(ref_arg, "argmax")
+                    record(False, f"{tag} expected NameError did not raise")
+                except NameError:
+                    counts["known_nameerror"] += 1
+                continue
+
+        rY, rI, rV, rD, rN = vd.process_decoder_outputs(ref_arg, "argmax")
+        oY, oI, oV, oD, oN = ours.process_decoder_outputs(
+            our_outputs, "argmax", cfg2
+        )
+        i_ok = eq(rI, oI)
+        known_I = False
+        if not i_ok and "instrument" not in our_outputs:
+            # the ref default-I quirk: verify bit-exactly, then verify both
+            # sides argmax-decode to the same programs per voice
+            quirk = np.zeros(
+                (oY.shape[0] // T, cfg2.max_voices, cfg2.meta_instrument_dim)
+            )
+            quirk[:, 0] = 1
+            known_I = (
+                eq(rI, quirk)
+                and np.array_equal(
+                    np.argmax(np.asarray(rI), axis=-1),
+                    np.argmax(np.asarray(oI), axis=-1),
+                )
+            )
+            i_ok = known_I
+        ok = (
+            eq(rY, oY) and i_ok and eq(rV, oV) and eq(rD, oD) and eq(rN, oN)
+        )
+        if ok and known_I:
+            counts["known_default_I"] += 1
+        else:
+            record(
+                ok,
+                f"{tag} process_decoder_outputs "
+                + str([
+                    k for k, a, b in [
+                        ("Y", rY, oY), ("I", rI, oI), ("V", rV, oV),
+                        ("D", rD, oD), ("N", rN, oN),
+                    ] if not eq(a, b)
+                ]),
+            )
+
+    return {
+        "surface": "sampling",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -831,6 +1289,16 @@ def main() -> int:
         "--render", action="store_true",
         help="differential check of rolls_to_midi (midi_functions.py:57-137)",
     )
+    ap.add_argument(
+        "--batchprep", action="store_true",
+        help="differential check of the L3 batch builders "
+             "(vae_definition.py:770-1045) across random flag combinations",
+    )
+    ap.add_argument(
+        "--sampling", action="store_true",
+        help="differential check of the L3 output decoding "
+             "(vae_definition.py:1048-1235), argmax method",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -848,6 +1316,10 @@ def main() -> int:
         result = check_analysis(cfg, seed=args.seed)
     elif args.render:
         result = check_render(cfg, seed=args.seed)
+    elif args.batchprep:
+        result = check_batchprep(cfg, seed=args.seed)
+    elif args.sampling:
+        result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:
         with tempfile.TemporaryDirectory() as adv:
             write_adversarial_corpus(adv)
