@@ -99,6 +99,14 @@ class Config:
     teacher_force: bool = False
     activation: str = "softmax"
     lstm_activation: str = "tanh"
+    # RNN gate (recurrent) activation. 'sigmoid' (default) is the modern
+    # exact choice the Pallas kernels implement; 'hard_sigmoid' reproduces
+    # the Keras-2.0.8 default the reference trained with
+    # (clip(0.2x+0.5,0,1)) -- it forces the plain-scan cell path
+    # (models/vae.py:_pallas_enabled) and exists for bit-faithful
+    # differential parity against the executing reference
+    # (tools/ref_parity_check.py check_model).
+    gate_activation: str = "sigmoid"
     lstm_state_activation: str = "tanh"
     activation_before_splitting: str = "tanh"
     vae_loss: str = "categorical_crossentropy"
@@ -208,6 +216,11 @@ class Config:
             )
         if self.use_pallas not in ("auto", "on", "off"):
             raise ValueError(f"use_pallas must be auto/on/off, got {self.use_pallas!r}")
+        if self.gate_activation not in ("sigmoid", "hard_sigmoid"):
+            raise ValueError(
+                "gate_activation must be sigmoid/hard_sigmoid, "
+                f"got {self.gate_activation!r}"
+            )
         if self.smallest_note % 4 != 0:
             raise ValueError("smallest_note must be a multiple of 4")
         if self.num_layers_encoder <= 0 or self.num_layers_decoder <= 0:

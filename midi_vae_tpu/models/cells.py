@@ -88,6 +88,22 @@ def activation_fn(name: str):
         raise ValueError(f"unknown activation {name!r}") from None
 
 
+def _hard_sigmoid(x):
+    """Keras-2.0.x hard_sigmoid: clip(0.2x + 0.5, 0, 1) -- the gate
+    activation the reference's Keras era defaulted to."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+_GATE_ACTIVATIONS = {"sigmoid": jax.nn.sigmoid, "hard_sigmoid": _hard_sigmoid}
+
+
+def gate_activation_fn(name: str):
+    try:
+        return _GATE_ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"unknown gate activation {name!r}") from None
+
+
 # ---------------------------------------------------------------------------
 # Cell definitions. Each provides:
 #   init(key, in_dim, hidden)            -> params
@@ -115,15 +131,17 @@ class GRUCell:
         return x @ p["w"] + p["b"]
 
     @staticmethod
-    def step(p: Params, xp: jnp.ndarray, states, act) -> tuple[jnp.ndarray, tuple]:
+    def step(
+        p: Params, xp: jnp.ndarray, states, act, gate_act=jax.nn.sigmoid
+    ) -> tuple[jnp.ndarray, tuple]:
         (h,) = states
         hidden = h.shape[-1]
         u = p["u"]
         hu_zr = h @ u[:, : 2 * hidden]
         xz, xr, xh = jnp.split(xp, 3, axis=-1)
         hz, hr = jnp.split(hu_zr, 2, axis=-1)
-        z = jax.nn.sigmoid(xz + hz)
-        r = jax.nn.sigmoid(xr + hr)
+        z = gate_act(xz + hz)
+        r = gate_act(xr + hr)
         hh = act(xh + (r * h) @ u[:, 2 * hidden :])
         new_h = z * h + (1.0 - z) * hh
         return new_h, (new_h,)
@@ -150,14 +168,16 @@ class LSTMCell:
         return x @ p["w"] + p["b"]
 
     @staticmethod
-    def step(p: Params, xp: jnp.ndarray, states, act) -> tuple[jnp.ndarray, tuple]:
+    def step(
+        p: Params, xp: jnp.ndarray, states, act, gate_act=jax.nn.sigmoid
+    ) -> tuple[jnp.ndarray, tuple]:
         h, c = states
         gates = xp + h @ p["u"]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
+        i = gate_act(i)
+        f = gate_act(f)
         g = act(g)
-        o = jax.nn.sigmoid(o)
+        o = gate_act(o)
         new_c = f * c + i * g
         new_h = o * act(new_c)
         return new_h, (new_h, new_c)
@@ -181,7 +201,9 @@ class SimpleRNNCell:
         return x @ p["w"] + p["b"]
 
     @staticmethod
-    def step(p: Params, xp: jnp.ndarray, states, act) -> tuple[jnp.ndarray, tuple]:
+    def step(
+        p: Params, xp: jnp.ndarray, states, act, gate_act=jax.nn.sigmoid
+    ) -> tuple[jnp.ndarray, tuple]:
         (h,) = states
         new_h = act(xp + h @ p["u"])
         return new_h, (new_h,)

@@ -26,7 +26,13 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from .cells import activation_fn, dense_apply, get_cell, zero_states
+from .cells import (
+    activation_fn,
+    dense_apply,
+    gate_activation_fn,
+    get_cell,
+    zero_states,
+)
 
 Params = dict[str, Any]
 
@@ -41,6 +47,7 @@ def encode_sequence(
     whole_scan: bool = False,
     fused_train: bool = True,
     inference: bool = False,
+    gate_activation: str = "sigmoid",
 ) -> jnp.ndarray:
     """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
 
@@ -51,7 +58,8 @@ def encode_sequence(
     (vae_definition.py:447-453).
     """
     cell = get_cell(cell_type)
-    fused = fused and cell_type in ("GRU", "LSTM")
+    # the Pallas kernels implement exact-sigmoid gates only
+    fused = fused and cell_type in ("GRU", "LSTM") and gate_activation == "sigmoid"
     whole_scan = whole_scan and fused
 
     h = xs
@@ -61,17 +69,17 @@ def encode_sequence(
         if bidirectional and not is_last:
             fwd = _scan_layer(
                 cell, p["fwd"], h, activation, True, fused, whole_scan,
-                fused_train, inference,
+                fused_train, inference, gate_activation,
             )
             bwd = _scan_layer(
                 cell, p["bwd"], h[:, ::-1, :], activation, True, fused,
-                whole_scan, fused_train, inference,
+                whole_scan, fused_train, inference, gate_activation,
             )[:, ::-1, :]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             h = _scan_layer(
                 cell, p, h, activation, not is_last, fused, whole_scan,
-                fused_train, inference,
+                fused_train, inference, gate_activation,
             )
     return h
 
@@ -79,7 +87,7 @@ def encode_sequence(
 def _scan_layer(
     cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
     fused: bool = False, whole_scan: bool = False, fused_train: bool = True,
-    inference: bool = False,
+    inference: bool = False, gate_activation: str = "sigmoid",
 ):
     """One RNN layer over (B, T, D).
 
@@ -98,6 +106,7 @@ def _scan_layer(
         lax.scan,
       * otherwise: the plain jnp cell scan."""
     act = activation_fn(activation)
+    gact = gate_activation_fn(gate_activation)
     B, T, _D = xs.shape
     hidden = p["u"].shape[0]
     init = zero_states(cell, B, hidden, xs.dtype)
@@ -186,7 +195,7 @@ def _scan_layer(
     else:
 
         def step(states, xp_t):
-            out, new_states = cell.step(p, xp_t, states, act)
+            out, new_states = cell.step(p, xp_t, states, act, gact)
             return new_states, (out if return_sequences else None)
 
     final_states, outs = jax.lax.scan(step, init, jnp.swapaxes(xp, 0, 1))
@@ -233,6 +242,7 @@ def decode_autoregressive(
     out_activation: str = "softmax",
     ground_truth: jnp.ndarray | None = None,
     fused_step=None,
+    gate_activation: str = "sigmoid",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Readout decode loop: output_t feeds back as input_{t+1}.
 
@@ -251,7 +261,10 @@ def decode_autoregressive(
     """
     cell = get_cell(cell_type)
     act = activation_fn(lstm_activation)
+    gact = gate_activation_fn(gate_activation)
     out_act = activation_fn(out_activation)
+    if gate_activation != "sigmoid":
+        fused_step = None  # Pallas steps implement exact-sigmoid gates only
 
     if ground_truth is not None:
         # teacher forcing: inputs are known ahead of time -> plain scan over
@@ -265,7 +278,7 @@ def decode_autoregressive(
             new_states = []
             for p, s in zip(cell_params, states):
                 xp = cell.x_proj(p, out)
-                out, ns = cell.step(p, xp, s, act)
+                out, ns = cell.step(p, xp, s, act, gact)
                 new_states.append(ns)
             logits = dense_apply(out_dense, out)
             return tuple(new_states), logits
@@ -285,7 +298,7 @@ def decode_autoregressive(
                 out, ns = fused_step(p, out, s)
             else:
                 xp = cell.x_proj(p, out)
-                out, ns = cell.step(p, xp, s, act)
+                out, ns = cell.step(p, xp, s, act, gact)
             new_states.append(ns)
         logits = dense_apply(out_dense, out)
         probs = out_act(logits)
@@ -303,6 +316,7 @@ def decode_heads_merged(
     cell_type: str,
     lstm_activation: str = "tanh",
     fused_step=None,
+    gate_activation: str = "sigmoid",
 ) -> dict:
     """Run several independent readout decoders in ONE ``lax.scan``.
 
@@ -318,6 +332,9 @@ def decode_heads_merged(
     """
     cell = get_cell(cell_type)
     act = activation_fn(lstm_activation)
+    gact = gate_activation_fn(gate_activation)
+    if gate_activation != "sigmoid":
+        fused_step = None  # Pallas steps implement exact-sigmoid gates only
     names = list(heads)
     out_acts = {n: activation_fn(heads[n]["out_activation"]) for n in names}
 
@@ -337,7 +354,7 @@ def decode_heads_merged(
                     out, ns = fused_step(p, out, s)
                 else:
                     xp = cell.x_proj(p, out)
-                    out, ns = cell.step(p, xp, s, act)
+                    out, ns = cell.step(p, xp, s, act, gact)
                 new_states.append(ns)
             logits = dense_apply(spec["out"], out)
             probs = out_acts[n](logits)

@@ -68,6 +68,8 @@ class MidiVAE:
         cfg = self.cfg
         if cfg.cell_type not in ("GRU", "LSTM") or cfg.use_pallas == "off":
             return False
+        if cfg.gate_activation != "sigmoid":
+            return False  # kernels implement exact-sigmoid gates only
         if cfg.use_pallas == "on":
             return True
         if self.platform is not None:
@@ -233,7 +235,7 @@ class MidiVAE:
         h = encode_sequence(
             enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
             cfg.bidirectional, fused=fused, whole_scan=ws, fused_train=ftr,
-            inference=inference,
+            inference=inference, gate_activation=cfg.gate_activation,
         )
         parts = [h]
         for name, b in branch_specs:
@@ -241,7 +243,7 @@ class MidiVAE:
                 encode_sequence(
                     enc[name], b, cfg.cell_type, cfg.lstm_activation,
                     fused=fused, whole_scan=ws, fused_train=ftr,
-                    inference=inference,
+                    inference=inference, gate_activation=cfg.gate_activation,
                 )
             )
         if len(parts) > 1:
@@ -472,6 +474,7 @@ class MidiVAE:
                 out_activation,
                 ground_truth=gt,
                 fused_step=fused_step,
+                gate_activation=cfg.gate_activation,
             )
 
         # T-length heads can merge into one scan (rnn.decode_heads_merged);
@@ -553,6 +556,7 @@ class MidiVAE:
                 decode_heads_merged(
                     merged_specs, cfg.output_length, cfg.cell_type,
                     cfg.lstm_activation, fused_step=fused_step,
+                    gate_activation=cfg.gate_activation,
                 )
             )
         if cfg.meta_instrument:
@@ -584,12 +588,18 @@ class MidiVAE:
 
     def composer_from_notes(self, params: Params, notes_seq: jnp.ndarray) -> jnp.ndarray:
         p = params["composer_at_notes"]
-        h = encode_sequence(p["rnn"], notes_seq, self.cfg.cell_type, self.cfg.lstm_activation)
+        h = encode_sequence(
+            p["rnn"], notes_seq, self.cfg.cell_type, self.cfg.lstm_activation,
+            gate_activation=self.cfg.gate_activation,
+        )
         return dense_apply(p["out"], h)
 
     def composer_from_instrument(self, params: Params, inst_seq: jnp.ndarray) -> jnp.ndarray:
         p = params["composer_at_instrument"]
-        h = encode_sequence(p["rnn"], inst_seq, self.cfg.cell_type, self.cfg.lstm_activation)
+        h = encode_sequence(
+            p["rnn"], inst_seq, self.cfg.cell_type, self.cfg.lstm_activation,
+            gate_activation=self.cfg.gate_activation,
+        )
         return dense_apply(p["out"], h)
 
     # ------------------------------------------------------------------

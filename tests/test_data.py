@@ -75,6 +75,16 @@ class TestConfig:
         with pytest.raises(ValueError, match="include_composer_feature"):
             Config(include_composer_feature=True)
 
+    def test_gate_activation_validated(self):
+        """'sigmoid' (default, Pallas-kernel path) and 'hard_sigmoid'
+        (bit-faithful Keras-2.0.8 gates, scan path) are the only values."""
+        assert Config().gate_activation == "sigmoid"
+        assert Config(gate_activation="hard_sigmoid").gate_activation == (
+            "hard_sigmoid"
+        )
+        with pytest.raises(ValueError, match="gate_activation"):
+            Config(gate_activation="tanh")
+
 
 class TestSMF:
     def test_roundtrip(self, tmp_path):

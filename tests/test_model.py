@@ -290,3 +290,38 @@ class TestReviewFixes:
         assert not np.allclose(
             np.asarray(tf_out["next"][0][:, -1]), np.asarray(ar_out["next"][0][:, -1])
         )
+
+
+class TestGateActivation:
+    def test_hard_sigmoid_trains_and_disables_pallas(self):
+        """gate_activation='hard_sigmoid' (bit-faithful Keras-2.0.8 gates,
+        PARITY.md deviation #12) must train -- finite loss + grads on every
+        param -- and must force the scan path: the Pallas kernels implement
+        exact-sigmoid gates only."""
+        from midi_vae_tpu.models.vae import loss_and_metrics
+
+        cfg = small_test_config(gate_activation="hard_sigmoid", use_pallas="on")
+        model = MidiVAE(cfg)
+        assert model._pallas_enabled() is False
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+
+        def loss_fn(p):
+            total, _ = loss_and_metrics(model, p, batch, None, 0.0)
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        assert jnp.isfinite(total)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+
+    def test_gate_activation_changes_output(self):
+        """Same params, different gate function => different forward."""
+        cfg_s = small_test_config()
+        cfg_h = small_test_config(gate_activation="hard_sigmoid")
+        model_s, model_h = MidiVAE(cfg_s), MidiVAE(cfg_h)
+        params = model_s.init_params(jax.random.PRNGKey(1))
+        batch = make_batch(cfg_s)
+        z_s = model_s.encode(params, batch)
+        z_h = model_h.encode(params, batch)
+        assert not np.allclose(np.asarray(z_s), np.asarray(z_h))

@@ -24,11 +24,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _run(*args: str) -> dict:
+def _run(*args: str, timeout: int = 600) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     res = subprocess.run(
         [sys.executable, TOOL, *args],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
     )
     assert res.returncode == 0, res.stdout + res.stderr
     return json.loads(res.stdout.strip().splitlines()[-1])
@@ -94,6 +94,22 @@ def test_sampling_matches_reference():
     assert summary["exact"] >= 250
     assert summary["known_nameerror"] >= 1
     assert summary["known_default_I"] >= 1
+
+
+def test_model_matches_reference():
+    """L3 MODEL differential parity: execute the reference's VAE.create
+    graph assembly (vae_definition.py:39-761) through the EXECUTABLE
+    keras/recurrentshop shim, transplant our parameter pytree into it, and
+    compare encoder/decoder/autoencoder forwards plus the full Keras loss
+    bookkeeping (per-output weighted losses, KL add_loss, weighted total)
+    across the flag matrix -- including bit-faithful Keras-2.0.8
+    hard_sigmoid gates via cfg.gate_activation."""
+    summary = _run("--model", timeout=1500)
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["match"] >= 150
+    # float32-level agreement, not merely "same ballpark"
+    assert summary["worst_abs_diff"] < 1e-5
 
 
 def test_generated_corpus_matches_reference(tmp_path):

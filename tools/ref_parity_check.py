@@ -18,11 +18,20 @@ padding_length == 0, import_midi.py:308-312/322-326 -- `X[-0:]` is the whole
 array). Our tensorizer fixes that bug, so those files are compared modulo the
 flooded silent column and reported as ``known_flood``.
 
+Beyond the tensorizer, one flag per surface runs the other differential
+suites against the executing reference: ``--analysis`` (L2 data_class.py),
+``--render`` (midi_functions.rolls_to_midi), ``--batchprep`` /
+``--sampling`` (the L3 numpy free functions), and ``--model`` -- the L3
+MODEL itself: VAE.create's graph assembly (vae_definition.py:39-761)
+executed through the EXECUTABLE numpy keras/recurrentshop shim, our
+parameters transplanted in, forwards + Keras loss bookkeeping compared.
+
 Usage:
     python tools/ref_parity_check.py <midi_folder> [--max-files N]
+    python tools/ref_parity_check.py --model   (etc.)
 
-Exit code 0 iff every file is either bit-exact or differs only by the
-documented flood deviation. Prints one JSON summary line at the end.
+Exit code 0 iff every check is bit-exact / within float32 tolerance or
+differs only by a documented deviation. Prints one JSON summary line.
 """
 
 from __future__ import annotations
@@ -1260,6 +1269,507 @@ def check_sampling(cfg, n_cases: int = 50, seed: int = 0) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# L3 model forward + loss: execute the reference's VAE.create graph
+# ---------------------------------------------------------------------------
+
+def _shim_modules():
+    """The shim's keras submodules (engine/_math/backend), importable only
+    with SHIM_DIR on sys.path."""
+    import importlib
+
+    sys.path.insert(0, SHIM_DIR)
+    try:
+        engine = importlib.import_module("keras.engine")
+        math_mod = importlib.import_module("keras._math")
+        backend = importlib.import_module("keras.backend")
+    finally:
+        sys.path.remove(SHIM_DIR)
+    return engine, math_mod, backend
+
+
+def _create_kwargs(cfg, epsilon_std: float = 0.0) -> dict:
+    """VAE.create kwargs from a Config, mirroring the settings->create
+    mapping of vae_training.py:47-109.
+
+    Bidirectional translation: the reference's bidirectional branch builds
+    ``range(1, n-1)`` wrapped layers + 1 final layer = n-1 layers total
+    (vae_definition.py:447-453, an off-by-one vs its n-layer unidirectional
+    branch); this framework builds n layers (n-1 bidirectional + final), so
+    the reference gets num_layers_encoder + 1 to align the architectures.
+    """
+    n_enc = cfg.num_layers_encoder + (1 if cfg.bidirectional else 0)
+    return dict(
+        input_dim=cfg.input_dim,
+        output_dim=cfg.output_dim,
+        use_embedding=cfg.use_embedding,
+        embedding_dim=cfg.embedding_dim,
+        input_length=cfg.input_length,
+        output_length=cfg.output_length,
+        latent_rep_size=cfg.latent_dim,
+        vae_loss=cfg.vae_loss,
+        optimizer="Adam",
+        activation=cfg.activation,
+        lstm_activation=cfg.lstm_activation,
+        lstm_state_activation=cfg.lstm_state_activation,
+        epsilon_std=epsilon_std,
+        epsilon_factor=0.0,
+        include_composer_decoder=cfg.include_composer_decoder,
+        num_composers=cfg.num_composers,
+        composer_weight=cfg.composer_weight,
+        lstm_size=cfg.lstm_size,
+        cell_type=cfg.cell_type,
+        num_layers_encoder=n_enc,
+        num_layers_decoder=cfg.num_layers_decoder,
+        bidirectional=cfg.bidirectional,
+        decode=True,
+        teacher_force=cfg.teacher_force,
+        learning_rate=cfg.learning_rate,
+        split_lstm_vector=cfg.split_lstm_vector,
+        history=cfg.history,
+        beta=cfg.beta,
+        prior_mean=cfg.prior_mean,
+        prior_std=cfg.prior_std,
+        decoder_additional_input=cfg.decoder_additional_input,
+        decoder_additional_input_dim=cfg.decoder_additional_input_dim,
+        extra_layer=cfg.extra_layer,
+        meta_instrument=cfg.meta_instrument,
+        meta_instrument_dim=cfg.meta_instrument_dim,
+        meta_instrument_length=cfg.meta_instrument_length,
+        meta_instrument_activation=cfg.meta_instrument_activation,
+        meta_instrument_weight=cfg.meta_instrument_weight,
+        signature_decoder=cfg.signature_decoder,
+        signature_dim=cfg.signature_dim,
+        signature_activation=cfg.signature_activation,
+        signature_weight=cfg.signature_weight,
+        composer_decoder_at_notes_output=cfg.composer_decoder_at_notes_output,
+        composer_decoder_at_notes_weight=cfg.composer_decoder_at_notes_weight,
+        composer_decoder_at_notes_activation=cfg.composer_decoder_at_notes_activation,
+        composer_decoder_at_instrument_output=cfg.composer_decoder_at_instrument_output,
+        composer_decoder_at_instrument_weight=cfg.composer_decoder_at_instrument_weight,
+        composer_decoder_at_instrument_activation=cfg.composer_decoder_at_instrument_activation,
+        meta_velocity=cfg.meta_velocity,
+        meta_velocity_length=cfg.meta_velocity_length,
+        meta_velocity_activation=cfg.meta_velocity_activation,
+        meta_velocity_weight=cfg.meta_velocity_weight,
+        meta_held_notes=cfg.meta_held_notes,
+        meta_held_notes_length=cfg.meta_held_notes_length,
+        meta_held_notes_activation=cfg.meta_held_notes_activation,
+        meta_held_notes_weight=cfg.meta_held_notes_weight,
+        meta_next_notes=cfg.meta_next_notes,
+        meta_next_notes_output_length=cfg.meta_next_notes_output_length,
+        meta_next_notes_weight=cfg.meta_next_notes_weight,
+        meta_next_notes_teacher_force=cfg.meta_next_notes_teacher_force,
+        activation_before_splitting=cfg.activation_before_splitting,
+    )
+
+
+def _transplant(cfg, params, registry) -> None:
+    """Copy the framework's parameter pytree into the reference graph's
+    layers, walking the shim LAYER_REGISTRY in build order (the
+    deterministic creation order of VAE.create, vae_definition.py:212-761).
+    Shape asserts at every assignment; the registry must be fully consumed.
+    """
+    it = iter(registry)
+
+    def nxt(kind: str):
+        layer = next(it, None)
+        if layer is None:
+            raise AssertionError(f"registry exhausted, expected {kind}")
+        return layer
+
+    def set_dense(p, kind="Dense"):
+        layer = nxt(kind)
+        w = np.asarray(p["w"], np.float32)
+        b = np.asarray(p["b"], np.float32)
+        assert layer.kernel.shape == w.shape, (
+            f"{kind}: ref {layer.kernel.shape} vs ours {w.shape}"
+        )
+        assert layer.bias.shape == b.shape
+        layer.kernel, layer.bias = w, b
+
+    def set_rnn(p, kind="RNN"):
+        layer = nxt(kind)
+        w = np.asarray(p["w"], np.float32)
+        u = np.asarray(p["u"], np.float32)
+        b = np.asarray(p["b"], np.float32)
+        assert layer.kernel.shape == w.shape, (
+            f"{kind}: ref {layer.kernel.shape} vs ours {w.shape}"
+        )
+        assert layer.recurrent_kernel.shape == u.shape
+        layer.kernel, layer.recurrent_kernel, layer.bias = w, u, b
+
+    enc = params["encoder"]
+    if cfg.use_embedding:
+        layer = nxt("Embedding")
+        w = np.asarray(enc["embedding"]["w"], np.float32)
+        assert layer.embeddings.shape == w.shape
+        assert not np.any(np.asarray(enc["embedding"]["b"])), (
+            "ref Embedding has no bias; ours must be zero for transplant"
+        )
+        layer.embeddings = w
+    for p in enc["notes_rnn"]:
+        if "fwd" in p:  # Bidirectional registers forward then backward
+            set_rnn(p["fwd"], "bidi-fwd")
+            set_rnn(p["bwd"], "bidi-bwd")
+        else:
+            set_rnn(p, "encoder-rnn")
+    for name in ("inst_rnn", "vel_rnn", "held_rnn"):
+        if name in enc:
+            set_rnn(enc[name][0], name)
+    if "fusion" in enc:
+        set_dense(enc["fusion"], "fusion")
+    if "extra" in enc:
+        set_dense(enc["extra"], "extra")
+    set_dense(enc["z_mean"], "z_mean")
+    set_dense(enc["z_log_var"], "z_log_var")
+
+    dec = params["decoder"]
+
+    def head(name: str):
+        h = dec[name]
+        for c in h["cells"]:
+            set_rnn(c, f"{name}-cell")
+        set_dense(h["out"], f"{name}-out")
+        for d in h["init"]:
+            set_dense(d, f"{name}-init")
+
+    head("notes")
+    if cfg.meta_instrument:
+        head("instrument")
+    if cfg.meta_velocity:
+        head("velocity")
+    if cfg.meta_held_notes:
+        head("held")
+    if cfg.meta_next_notes:
+        head("next")
+    if cfg.composer_decoder_at_notes_output:
+        set_rnn(params["composer_at_notes"]["rnn"][0], "composer2-rnn")
+        set_dense(params["composer_at_notes"]["out"], "composer2-out")
+    if cfg.composer_decoder_at_instrument_output:
+        set_rnn(params["composer_at_instrument"]["rnn"][0], "composer3-rnn")
+        set_dense(params["composer_at_instrument"]["out"], "composer3-out")
+
+    leftover = next(it, None)
+    assert leftover is None, (
+        f"unconsumed reference layer after transplant: {leftover.name}"
+    )
+
+
+def _model_case_matrix(cfg):
+    """Deterministic flag-coverage matrix for the model differential.
+
+    Constraint inherited from a reference bug: the encoder fusion Dense
+    condition repeats meta_instrument and omits meta_held_notes
+    (vae_definition.py:483), so held-only configs diverge BY DESIGN of the
+    framework (which fixes the bug, models/vae.py:21-24); every case with
+    meta_held_notes therefore also enables instrument or velocity.
+    """
+    base = dict(
+        meta_instrument=False, meta_velocity=False, meta_held_notes=False,
+        meta_next_notes=False, include_composer_decoder=False,
+        signature_decoder=False, composer_decoder_at_notes_output=False,
+        composer_decoder_at_instrument_output=False, history=False,
+        teacher_force=False, meta_next_notes_teacher_force=False,
+        decoder_input_composer=False, append_signature_vector_to_latent=False,
+        extra_layer=False, split_lstm_vector=True, bidirectional=False,
+        num_layers_encoder=1, num_layers_decoder=1, cell_type="GRU",
+        gate_activation="sigmoid", include_silent_note=True,
+        silent_weight=1.0, combine_velocity_and_held_notes=False,
+    )
+
+    def c(**kw):
+        d = dict(base)
+        d.update(kw)
+        return cfg.replace(**d)
+
+    shipped = dict(  # the released configs' shape (models/*/params.txt)
+        meta_instrument=True, meta_velocity=True,
+        include_composer_decoder=True, history=True, extra_layer=True,
+        num_layers_encoder=2, num_layers_decoder=2, silent_weight=3.0,
+    )
+    return [
+        ("minimal GRU", c()),
+        ("shipped GRU", c(**shipped)),
+        ("shipped LSTM", c(**shipped, cell_type="LSTM")),
+        ("shipped SimpleRNN", c(**shipped, cell_type="SimpleRNN")),
+        ("shipped GRU hard_sigmoid (Keras-2.0.8 gates)",
+         c(**shipped, gate_activation="hard_sigmoid")),
+        ("shipped LSTM hard_sigmoid",
+         c(**shipped, cell_type="LSTM", gate_activation="hard_sigmoid")),
+        ("everything GRU", c(
+            meta_instrument=True, meta_velocity=True, meta_held_notes=True,
+            meta_next_notes=True, include_composer_decoder=True,
+            signature_decoder=True, composer_decoder_at_notes_output=True,
+            composer_decoder_at_instrument_output=True, history=True,
+            decoder_input_composer=True,
+            append_signature_vector_to_latent=True, extra_layer=True,
+            num_layers_encoder=2, num_layers_decoder=2, silent_weight=3.0,
+        )),
+        ("teacher-force GRU", c(
+            teacher_force=True, meta_next_notes=True,
+            meta_next_notes_teacher_force=True, history=True,
+            num_layers_decoder=2,
+        )),
+        ("no-split no-extra LSTM", c(
+            cell_type="LSTM", split_lstm_vector=False,
+            include_composer_decoder=True,
+        )),
+        ("bidirectional GRU (ref n+1 translation)", c(
+            bidirectional=True, num_layers_encoder=2, meta_velocity=True,
+        )),
+        ("velocity+held GRU", c(
+            meta_velocity=True, meta_held_notes=True, history=True,
+        )),
+        ("embedding GRU", c(use_embedding=True, embedding_dim=8)),
+    ]
+
+
+def check_model(cfg, seed: int = 0) -> dict:
+    """Differential parity for the L3 MODEL: execute the reference's
+    ``VAE.create`` graph assembly (vae_definition.py:39-761) through the
+    executable keras/recurrentshop shim, transplant this framework's
+    parameter pytree into it, and compare -- on the same batch-prep outputs
+    -- the encoder forward, the decoder forward, every autoencoder head +
+    probe output, and the full Keras loss bookkeeping (per-output weighted
+    losses, the KLDivergenceLayer add_loss, the weighted total).
+
+    Shim-supplied semantics (everything else executes from the reference):
+    primitive cell equations (gate activation aligned to
+    cfg.gate_activation -- 'hard_sigmoid' reproduces the Keras-2.0.8
+    default), the recurrentshop readout-decode loop (locked to this
+    framework's documented interpretation), and numpy evaluation order.
+
+    Known reference bug proven here: with meta_next_notes_teacher_force the
+    autoencoder graph takes a meta_next_notes_ground_truth input
+    (vae_definition.py:319-324) that prepare_autoencoder_input_and_output_list
+    NEVER provides (vae_definition.py:880-1045) -- the configuration is
+    unusable as shipped (Keras would reject the short input list). The
+    checker appends the next-notes target to the reference's input list to
+    compare against this framework, where the path works.
+    """
+    import jax
+
+    try:  # standalone runs: keep everything on host CPU (no axon tunnel)
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backends already initialized (e.g. under pytest conftest)
+    import jax.numpy as jnp
+
+    from midi_vae_tpu.data import batching
+    from midi_vae_tpu.models.cells import activation_fn
+    from midi_vae_tpu.models.vae import MidiVAE, loss_and_metrics
+
+    vd = _load_vae_definition()
+    engine, math_mod, _backend = _shim_modules()
+    rng = np.random.default_rng(seed)
+    counts = {"match": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+    worst = 0.0
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["match"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def close(r, o, label: str, atol=3e-5, rtol=3e-4):
+        nonlocal worst
+        r = np.asarray(r, np.float64)
+        o = np.asarray(o, np.float64)
+        if r.shape != o.shape:
+            record(False, f"{label} shape {r.shape} vs {o.shape}")
+            return
+        diff = float(np.max(np.abs(r - o))) if r.size else 0.0
+        worst = max(worst, diff)
+        record(bool(np.allclose(r, o, atol=atol, rtol=rtol)),
+               f"{label} maxdiff={diff:.2e}")
+
+    # tiny dims: latent must hold composer + signature slices
+    cfg = cfg.replace(
+        bars_input_length=2, bars_output_length=2, max_voices=2,
+        lstm_size=16, latent_dim=24, use_pallas="off",
+    )
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    for tag, cfg2 in _model_case_matrix(cfg):
+        # --- reference build (executing VAE.create) ---
+        engine.reset_state()
+        math_mod.GATE_ACTIVATION = cfg2.gate_activation
+        _bind(vd, cfg2, {})
+        ref = vd.VAE()
+        ref.create(**_create_kwargs(cfg2))
+
+        # --- framework build + transplant ---
+        model = MidiVAE(cfg2, platform="cpu")
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(hash(tag) % 2**31))
+        _transplant(cfg2, params, engine.LAYER_REGISTRY)
+
+        B = int(rng.integers(3, 6))
+        X, Y, C, I, V, D, S, H = _random_prep_inputs(cfg2, rng, B)
+        if cfg2.use_embedding:
+            # ref feeds integer note indices into Embedding
+            # (vae_definition.py:213-214); ours feeds the one-hot through an
+            # equivalent no-bias Dense lookup
+            X_ref = np.argmax(X, axis=-1).astype(np.float32)
+        else:
+            X_ref = X
+
+        with jax.default_device(cpu):
+            batch = batching.prepare_song_batch(X, Y, C, I, V, D, S, cfg2, H=H)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+            # --- encoder forward (deterministic: epsilon_std=0) ---
+            if not cfg2.meta_next_notes:  # next-notes prep trims the batch
+                enc_list = vd.prepare_encoder_input_list(X_ref, I, V, D)
+                if not (cfg2.meta_instrument or cfg2.meta_velocity
+                        or cfg2.meta_held_notes):
+                    enc_list = [enc_list]  # ref returns the bare array
+                ref_z = ref.encoder.predict(enc_list)
+                our_z = model.encode(params, jbatch)
+                close(ref_z, our_z, f"{tag}: encoder z")
+
+            # --- standalone decoder forward ---
+            if not (cfg2.meta_next_notes and cfg2.meta_next_notes_teacher_force):
+                R = rng.standard_normal((B, cfg2.latent_dim)).astype(np.float32)
+                C_cat = np.tile(
+                    batching.one_hot([C], cfg2.num_classes), (B, 1)
+                )
+                dec_in = vd.prepare_decoder_input(R, C_cat, S)
+                ref_dec = ref.decoder.predict(dec_in)
+                if not isinstance(ref_dec, list):
+                    ref_dec = [ref_dec]
+                hist = (
+                    jnp.asarray(batching.history_from_latents(R))
+                    if cfg2.history else None
+                )
+                addl = None
+                if cfg2.decoder_additional_input:
+                    parts = []
+                    if cfg2.decoder_input_composer:
+                        parts.append(C_cat)
+                    if cfg2.append_signature_vector_to_latent:
+                        parts.append(S)
+                    addl = jnp.asarray(np.concatenate(parts, axis=-1))
+                gt = (
+                    jnp.zeros((B, cfg2.output_length, cfg2.output_dim))
+                    if cfg2.teacher_force else None
+                )
+                our_dec = model.decode(
+                    params, jnp.asarray(R), history=hist, additional=addl,
+                    ground_truth=gt, inference=True,
+                )
+                order = ["notes"]
+                if cfg2.meta_instrument:
+                    order.append("instrument")
+                if cfg2.meta_velocity:
+                    order.append("velocity")
+                if cfg2.meta_held_notes:
+                    order.append("held")
+                if cfg2.meta_next_notes:
+                    order.append("next")
+                for i, name in enumerate(order):
+                    close(ref_dec[i], our_dec[name][0],
+                          f"{tag}: decoder {name}")
+
+            # --- autoencoder forward + Keras loss bookkeeping ---
+            in_list, out_list, sw = vd.prepare_autoencoder_input_and_output_list(
+                X_ref, Y, C, I, V, D, S, H, return_sample_weight=True
+            )
+            if cfg2.meta_next_notes and cfg2.meta_next_notes_teacher_force:
+                # ref prep never supplies this graph input (see docstring)
+                in_list = list(in_list) + [np.asarray(batch["N"])]
+            ref_res = ref.autoencoder.test_on_batch(
+                in_list, out_list, sample_weight=sw
+            )
+            out = model.apply(params, jbatch, rng=None, epsilon_std=0.0)
+            preds = [out["heads"]["notes"][0]]
+            loss_keys = ["notes_loss"]
+            if cfg2.meta_instrument:
+                preds.append(out["heads"]["instrument"][0])
+                loss_keys.append("meta_instrument_loss")
+            if cfg2.meta_velocity:
+                preds.append(out["heads"]["velocity"][0])
+                loss_keys.append("meta_velocity_loss")
+            if cfg2.meta_held_notes:
+                preds.append(out["heads"]["held"][0])
+                loss_keys.append("meta_held_notes_loss")
+            if cfg2.meta_next_notes:
+                preds.append(out["heads"]["next"][0])
+                loss_keys.append("meta_next_notes_loss")
+            if cfg2.include_composer_decoder:
+                preds.append(jax.nn.softmax(out["composer_logits"], axis=-1))
+                loss_keys.append("composer_loss")
+            if cfg2.signature_decoder:
+                preds.append(out["signature"])
+                loss_keys.append("signature_loss")
+            if cfg2.composer_decoder_at_notes_output:
+                act = activation_fn(cfg2.composer_decoder_at_notes_activation)
+                preds.append(act(out["composer_at_notes_logits"]))
+                loss_keys.append("composer_at_notes_loss")
+            if cfg2.composer_decoder_at_instrument_output:
+                act = activation_fn(
+                    cfg2.composer_decoder_at_instrument_activation
+                )
+                preds.append(act(out["composer_at_instrument_logits"]))
+                loss_keys.append("composer_at_instrument_loss")
+
+            for i, (rp, op) in enumerate(zip(ref_res["predictions"], preds)):
+                close(rp, op, f"{tag}: autoencoder output {i}")
+            record(
+                len(ref_res["predictions"]) == len(preds),
+                f"{tag}: output count ref {len(ref_res['predictions'])} "
+                f"vs ours {len(preds)}",
+            )
+
+            total, metrics = loss_and_metrics(
+                model, params, jbatch, rng=None, epsilon_std=0.0
+            )
+            for i, key in enumerate(loss_keys):
+                close(ref_res["output_losses"][i], metrics[key],
+                      f"{tag}: loss {key}")
+            close(ref_res["add_loss"], cfg2.beta * metrics["kl_loss"],
+                  f"{tag}: beta*KL add_loss")
+            close(ref_res["total"], total, f"{tag}: total loss")
+
+    # --- reparameterization scale: fixed epsilon through BOTH models ---
+    engine.reset_state()
+    math_mod.GATE_ACTIVATION = "sigmoid"
+    cfg3 = _model_case_matrix(cfg)[1][1]  # shipped GRU
+    _bind(vd, cfg3, {})
+    ref = vd.VAE()
+    ref.create(**_create_kwargs(cfg3, epsilon_std=0.01))
+    model = MidiVAE(cfg3, platform="cpu")
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(7))
+    _transplant(cfg3, params, engine.LAYER_REGISTRY)
+    B = 4
+    X, Y, C, I, V, D, S, H = _random_prep_inputs(cfg3, rng, B)
+    eps = rng.standard_normal((B, cfg3.latent_dim)).astype(np.float32)
+    _backend.set_fixed_normal(eps)
+    try:
+        ref_z = ref.encoder.predict(vd.prepare_encoder_input_list(X, I, V, D))
+    finally:
+        _backend.set_fixed_normal(None)
+    with jax.default_device(cpu):
+        batch = batching.prepare_song_batch(X, Y, C, I, V, D, S, cfg3, H=H)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        z_mean, z_log_var = model.encode_stats(params, jbatch, inference=True)
+        our_z = z_mean + jnp.exp(z_log_var / 2.0) * (0.01 * eps)
+    close(ref_z, our_z, "reparam: z with fixed epsilon, epsilon_std=0.01")
+
+    return {
+        "surface": "model",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "worst_abs_diff": worst,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -1299,6 +1809,13 @@ def main() -> int:
         help="differential check of the L3 output decoding "
              "(vae_definition.py:1048-1235), argmax method",
     )
+    ap.add_argument(
+        "--model", action="store_true",
+        help="differential check of the L3 MODEL: execute the reference's "
+             "VAE.create graph (vae_definition.py:39-761) via the "
+             "executable keras/recurrentshop shim, transplant our params, "
+             "compare forwards + Keras loss bookkeeping",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -1318,6 +1835,8 @@ def main() -> int:
         result = check_render(cfg, seed=args.seed)
     elif args.batchprep:
         result = check_batchprep(cfg, seed=args.seed)
+    elif args.model:
+        result = check_model(cfg, seed=args.seed)
     elif args.sampling:
         result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:

@@ -1,13 +1,18 @@
-"""keras shim: lets the reference's vae_definition.py IMPORT so its
-numpy-only batch-prep/sampling functions (vae_definition.py:770-1235) can be
-executed unmodified by the differential parity checker.
+"""EXECUTABLE keras shim (numpy): lets the reference's vae_definition.py
+both import AND run -- the numpy-only batch-prep/sampling free functions
+(vae_definition.py:770-1235) and, since round 2's model-parity work, the
+full ``VAE.create`` graph assembly (vae_definition.py:39-761): functional
+Models, RNN layers, the KLDivergenceLayer add_loss path, and Keras-2.0.x
+loss bookkeeping (models.py).
 
-Only ``keras.utils.to_categorical`` needs real behavior (it is called inside
-prepare_autoencoder_input_and_output_list, vae_definition.py:919); everything
-graph-related is inert placeholder classes -- the checker never builds a
-Keras model.
+Semantics supplied by the shim rather than executed from the reference:
+the primitive cell equations and activations (_math.py -- including the
+Keras-2.0.8 hard_sigmoid gate default), graph evaluation order, and zero
+weight init (the parity checker transplants the framework's parameters).
+Everything else -- wiring, dims, per-layer activations, the KL formula,
+loss weights/sample-weight modes -- executes from /root/reference.
 """
 
-from . import backend, layers, models, objectives, utils  # noqa: F401
+from . import backend, engine, layers, models, objectives, optimizers, utils  # noqa: F401
 
 __version__ = "2.0-shim"

@@ -1,1 +1,4 @@
-from . import Concatenate  # noqa: F401
+"""keras.layers.merge: the reference imports Concatenate from here
+(vae_definition.py:8)."""
+
+from . import Add, Concatenate  # noqa: F401
