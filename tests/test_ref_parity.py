@@ -112,6 +112,20 @@ def test_model_matches_reference():
     assert summary["worst_abs_diff"] < 1e-5
 
 
+def test_gradients_match_reference():
+    """GRADIENT-level training parity: float64 central finite differences
+    of the EXECUTING reference's total loss (VAE.create graph + Keras loss
+    bookkeeping through the shim) vs our jax.grad at the same parameter
+    coordinates, located via the transplant schedule -- across GRU/LSTM/
+    everything/hard_sigmoid configs. Proves the training step descends the
+    reference's gradient, not merely a similar loss."""
+    summary = _run("--grads", timeout=1200)
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_checks"] >= 30
+    assert summary["worst_rel_diff"] < 5e-3
+
+
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(

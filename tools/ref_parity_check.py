@@ -1364,11 +1364,16 @@ def _create_kwargs(cfg, epsilon_std: float = 0.0) -> dict:
     )
 
 
-def _transplant(cfg, params, registry) -> None:
+def _transplant(cfg, params, registry, pairs: list | None = None) -> None:
     """Copy the framework's parameter pytree into the reference graph's
     layers, walking the shim LAYER_REGISTRY in build order (the
     deterministic creation order of VAE.create, vae_definition.py:212-761).
     Shape asserts at every assignment; the registry must be fully consumed.
+
+    ``pairs`` (optional out-list) records (shim_layer, attr_name,
+    id(our_leaf)) per assigned array so the gradient differential can
+    perturb a reference weight and index the SAME coordinate in the
+    framework's gradient pytree.
     """
     it = iter(registry)
 
@@ -1377,6 +1382,10 @@ def _transplant(cfg, params, registry) -> None:
         if layer is None:
             raise AssertionError(f"registry exhausted, expected {kind}")
         return layer
+
+    def rec(layer, attr: str, leaf):
+        if pairs is not None:
+            pairs.append((layer, attr, id(leaf)))
 
     def set_dense(p, kind="Dense"):
         layer = nxt(kind)
@@ -1387,6 +1396,8 @@ def _transplant(cfg, params, registry) -> None:
         )
         assert layer.bias.shape == b.shape
         layer.kernel, layer.bias = w, b
+        rec(layer, "kernel", p["w"])
+        rec(layer, "bias", p["b"])
 
     def set_rnn(p, kind="RNN"):
         layer = nxt(kind)
@@ -1398,6 +1409,9 @@ def _transplant(cfg, params, registry) -> None:
         )
         assert layer.recurrent_kernel.shape == u.shape
         layer.kernel, layer.recurrent_kernel, layer.bias = w, u, b
+        rec(layer, "kernel", p["w"])
+        rec(layer, "recurrent_kernel", p["u"])
+        rec(layer, "bias", p["b"])
 
     enc = params["encoder"]
     if cfg.use_embedding:
@@ -1770,6 +1784,152 @@ def check_model(cfg, seed: int = 0) -> dict:
     }
 
 
+def check_gradients(cfg, seed: int = 0, coords_per_case: int = 8) -> dict:
+    """GRADIENT-level training parity: central finite differences of the
+    EXECUTING reference's total training loss (VAE.create graph + Keras
+    loss bookkeeping, evaluated in float64 through the executable shim)
+    against this framework's ``jax.grad`` at the SAME parameter
+    coordinates, located via the transplant schedule.
+
+    Forward parity (check_model) already proves the two losses are the
+    same function of the parameters; this check closes the loop on the
+    training step itself -- the gradient the reference's Keras ``fit``
+    would descend is the gradient this framework computes. Coordinates are
+    sampled across every layer family (encoder RNNs, fusion/extra/z heads,
+    decoder cells, readout Denses, state-init Denses)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+    from midi_vae_tpu.data import batching
+    from midi_vae_tpu.models.vae import MidiVAE, loss_and_metrics
+
+    vd = _load_vae_definition()
+    engine, math_mod, _backend = _shim_modules()
+    rng = np.random.default_rng(seed)
+    counts = {"match": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+    worst_rel = 0.0
+
+    cfg = cfg.replace(
+        bars_input_length=2, bars_output_length=2, max_voices=2,
+        lstm_size=16, latent_dim=24, use_pallas="off",
+    )
+    cases = _model_case_matrix(cfg)
+    picks = {name: c for name, c in cases}
+    matrix = [
+        ("shipped GRU", picks["shipped GRU"]),
+        ("shipped LSTM", picks["shipped LSTM"]),
+        ("everything GRU", picks["everything GRU"]),
+        ("shipped GRU hard_sigmoid (Keras-2.0.8 gates)",
+         picks["shipped GRU hard_sigmoid (Keras-2.0.8 gates)"]),
+    ]
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    for tag, cfg2 in matrix:
+        engine.reset_state()
+        math_mod.GATE_ACTIVATION = cfg2.gate_activation
+        _bind(vd, cfg2, {})
+        ref = vd.VAE()
+        ref.create(**_create_kwargs(cfg2))
+
+        model = MidiVAE(cfg2, platform="cpu")
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(11))
+        pairs: list = []
+        _transplant(cfg2, params, engine.LAYER_REGISTRY, pairs=pairs)
+
+        # float64 reference evaluation: accurate central differences
+        engine.set_floatx(np.float64)
+        try:
+            for layer, attr, _pid in pairs:
+                setattr(
+                    layer, attr, np.asarray(getattr(layer, attr), np.float64)
+                )
+
+            B = 4
+            X, Y, C, I, V, D, S, H = _random_prep_inputs(cfg2, rng, B)
+            in_list, out_list, sw = (
+                vd.prepare_autoencoder_input_and_output_list(
+                    X, Y, C, I, V, D, S, H, return_sample_weight=True
+                )
+            )
+            if cfg2.meta_next_notes and cfg2.meta_next_notes_teacher_force:
+                with jax.default_device(cpu):
+                    nb = batching.prepare_song_batch(
+                        X, Y, C, I, V, D, S, cfg2, H=H
+                    )
+                in_list = list(in_list) + [np.asarray(nb["N"])]
+
+            def ref_loss() -> float:
+                return ref.autoencoder.test_on_batch(
+                    in_list, out_list, sample_weight=sw
+                )["total"]
+
+            with jax.default_device(cpu):
+                batch = batching.prepare_song_batch(
+                    X, Y, C, I, V, D, S, cfg2, H=H
+                )
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+                def loss_fn(p):
+                    total, _ = loss_and_metrics(
+                        model, p, jbatch, rng=None, epsilon_std=0.0
+                    )
+                    return total
+
+                grads = jax.grad(loss_fn)(params)
+
+            id_to_grad = {}
+            pleaves = jax.tree_util.tree_leaves_with_path(params)
+            gleaves = jax.tree_util.tree_leaves_with_path(grads)
+            for (ppath, pleaf), (gpath, gleaf) in zip(pleaves, gleaves):
+                assert ppath == gpath
+                id_to_grad[id(pleaf)] = np.asarray(gleaf, np.float64)
+
+            stride = max(1, len(pairs) // coords_per_case)
+            for layer, attr, pid in pairs[::stride]:
+                arr = getattr(layer, attr)
+                idx = int(rng.integers(arr.size))
+                base = float(arr.flat[idx])
+                eps = 1e-4 * max(1.0, abs(base))
+                arr.flat[idx] = base + eps
+                loss_p = ref_loss()
+                arr.flat[idx] = base - eps
+                loss_m = ref_loss()
+                arr.flat[idx] = base
+                fd = (loss_p - loss_m) / (2.0 * eps)
+                ours = float(id_to_grad[pid].flat[idx])
+                denom = max(abs(fd), abs(ours), 1e-3)
+                rel = abs(fd - ours) / denom
+                worst_rel = max(worst_rel, rel)
+                ok = rel < 5e-3 or abs(fd - ours) < 1e-5
+                label = (
+                    f"{tag}: d(loss)/d({layer.name}.{attr}[{idx}]) "
+                    f"fd={fd:.6g} ours={ours:.6g} rel={rel:.2e}"
+                )
+                if ok:
+                    counts["match"] += 1
+                else:
+                    counts["MISMATCH"] += 1
+                    mismatches.append(label)
+        finally:
+            engine.set_floatx(np.float32)
+
+    return {
+        "surface": "gradients",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "worst_rel_diff": worst_rel,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -1816,6 +1976,12 @@ def main() -> int:
              "executable keras/recurrentshop shim, transplant our params, "
              "compare forwards + Keras loss bookkeeping",
     )
+    ap.add_argument(
+        "--grads", action="store_true",
+        help="GRADIENT-level training parity: float64 central differences "
+             "of the executing reference's total loss vs our jax.grad at "
+             "the same parameter coordinates",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -1837,6 +2003,8 @@ def main() -> int:
         result = check_batchprep(cfg, seed=args.seed)
     elif args.model:
         result = check_model(cfg, seed=args.seed)
+    elif args.grads:
+        result = check_gradients(cfg, seed=args.seed)
     elif args.sampling:
         result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:

@@ -21,6 +21,16 @@ import numpy as np
 # the framework's parameter pytree into the reference graph.
 LAYER_REGISTRY: list = []
 
+# Evaluation dtype. float32 matches the framework; the gradient-level
+# differential check switches to float64 so finite differences on the
+# reference loss are accurate enough to judge the framework's f32 grads.
+FLOATX = np.float32
+
+
+def set_floatx(dtype) -> None:
+    global FLOATX
+    FLOATX = np.dtype(dtype).type
+
 
 def reset_state() -> None:
     """Fresh registry + name counters (call before each reference build)."""

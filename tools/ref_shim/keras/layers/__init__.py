@@ -97,10 +97,10 @@ class _RNNBase(Layer):
         raise NotImplementedError
 
     def call(self, x):
-        x = np.asarray(x, np.float32)
+        x = np.asarray(x)  # dtype preserved (f64 under the gradient check)
         B, T, _ = x.shape
         states = tuple(
-            np.zeros((B, self.units), np.float32)
+            np.zeros((B, self.units), x.dtype)
             for _ in range(self.num_states)
         )
         order = range(T - 1, -1, -1) if self.go_backwards else range(T)

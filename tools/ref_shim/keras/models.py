@@ -65,13 +65,15 @@ _LOSSES = {
 
 def _weighted_loss(fn, y_true, y_pred, weights):
     """Keras training.py ``weighted`` wrapper semantics (2.0.x)."""
-    score = np.asarray(fn(y_true, y_pred), np.float32)
+    from . import engine as _engine
+
+    score = np.asarray(fn(y_true, y_pred), _engine.FLOATX)
     if weights is not None:
-        weights = np.asarray(weights, np.float32)
+        weights = np.asarray(weights, _engine.FLOATX)
         while score.ndim > weights.ndim:
             score = score.mean(axis=-1)
         score = score * weights
-        nonzero = np.mean((weights != 0).astype(np.float32))
+        nonzero = np.mean((weights != 0).astype(_engine.FLOATX))
         score = score / nonzero
     return float(np.mean(score))
 
@@ -112,9 +114,11 @@ class Model(Layer):
                 f"model {self.name!r} expects {len(self.input_nodes)} "
                 f"inputs, got {len(values)}"
             )
+        from . import engine as _engine
+
         feed = {}
         for node, v in zip(self.input_nodes, values):
-            v = np.asarray(v, np.float32)
+            v = np.asarray(v, _engine.FLOATX)
             if v.ndim == len(node.shape) - 1:
                 # Keras _standardize_input_data: a (B,) array feeds an
                 # Input(shape=(1,)) (the reference's velocity start symbol,
@@ -172,10 +176,9 @@ class Model(Layer):
         accuracies = []
         for pred, target, loss_name, w in zip(preds, targets, losses, sw):
             fn = _LOSSES[loss_name]
-            output_losses.append(
-                _weighted_loss(fn, np.asarray(target, np.float32), pred, w)
-            )
-            accuracies.append(_accuracy(np.asarray(target, np.float32), pred))
+            target = np.asarray(target)
+            output_losses.append(_weighted_loss(fn, target, pred, w))
+            accuracies.append(_accuracy(target, pred))
 
         add_loss = float(sum(ctx.losses))
         total = (

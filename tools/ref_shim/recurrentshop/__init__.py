@@ -98,7 +98,7 @@ class RecurrentModel(Layer):
         states = list(values[1 : 1 + self._n_states])
         gt = values[1 + self._n_states] if self._has_gt else None
         outs = []
-        prev = np.asarray(readout, np.float32)
+        prev = np.asarray(readout)  # dtype preserved
         for t in range(self.output_length):
             if t == 0:
                 step_in = prev
