@@ -41,6 +41,7 @@ import json
 import os
 import sys
 import tempfile
+import zlib
 
 import numpy as np
 
@@ -1536,7 +1537,40 @@ def _model_case_matrix(cfg):
             meta_velocity=True, meta_held_notes=True, history=True,
         )),
         ("embedding GRU", c(use_embedding=True, embedding_dim=8)),
-    ]
+    ] + _random_model_cases(cfg, c)
+
+
+def _random_model_cases(cfg, make, n: int = 6, seed: int = 99):
+    """Seeded random flag combinations beyond the deterministic matrix,
+    constrained to the semantically-comparable region (the fusion-bug
+    constraint from _model_case_matrix; composer_at_instrument needs
+    meta_instrument; next-notes teacher forcing needs next notes)."""
+    rng = np.random.default_rng(seed)
+    cases = []
+    for i in range(n):
+        f = lambda: bool(rng.integers(2))  # noqa: E731
+        inst, vel = f(), f()
+        held = f() and (inst or vel)
+        nxt = f()
+        flags = dict(
+            cell_type=str(rng.choice(["GRU", "LSTM", "SimpleRNN"])),
+            num_layers_encoder=int(rng.integers(1, 3)),
+            num_layers_decoder=int(rng.integers(1, 3)),
+            meta_instrument=inst, meta_velocity=vel, meta_held_notes=held,
+            meta_next_notes=nxt,
+            meta_next_notes_teacher_force=nxt and f(),
+            include_composer_decoder=f(), signature_decoder=f(),
+            composer_decoder_at_notes_output=f(),
+            composer_decoder_at_instrument_output=inst and f(),
+            history=f(), teacher_force=f(),
+            decoder_input_composer=f(),
+            append_signature_vector_to_latent=f(),
+            extra_layer=f(), split_lstm_vector=f(),
+            silent_weight=float(rng.choice([1.0, 3.0])),
+            gate_activation=str(rng.choice(["sigmoid", "hard_sigmoid"])),
+        )
+        cases.append((f"random {i}: {flags['cell_type']}", make(**flags)))
+    return cases
 
 
 def check_model(cfg, seed: int = 0) -> dict:
@@ -1617,8 +1651,9 @@ def check_model(cfg, seed: int = 0) -> dict:
 
         # --- framework build + transplant ---
         model = MidiVAE(cfg2, platform="cpu")
+        key = zlib.crc32(tag.encode()) % 2**31  # deterministic across runs
         with jax.default_device(cpu):
-            params = model.init_params(jax.random.PRNGKey(hash(tag) % 2**31))
+            params = model.init_params(jax.random.PRNGKey(key))
         _transplant(cfg2, params, engine.LAYER_REGISTRY)
 
         B = int(rng.integers(3, 6))
