@@ -40,6 +40,7 @@ class ClassifierSpec:
     lstm_size: int = 256
     num_layers: int = 2
     cell_type: str = "GRU"
+    gate_activation: str = "sigmoid"
     learning_rate: float = 2e-5
     batch_size: int = 512
     # velocity-kind preprocessing (velocity_classifier.py:58-71,138-144)
@@ -66,6 +67,7 @@ class ClassifierSpec:
             input_dim=dims[kind],
             num_classes=cfg.num_classes,
             cell_type=cfg.cell_type,
+            gate_activation=cfg.gate_activation,
             learning_rate=cls.DEFAULT_LEARNING_RATES[kind],
             velocity_threshold=cfg.velocity_threshold,
         )
@@ -113,7 +115,10 @@ class StyleClassifier:
         }
 
     def logits(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        h = encode_sequence(params["rnn"], x, self.spec.cell_type, "tanh")
+        h = encode_sequence(
+            params["rnn"], x, self.spec.cell_type, "tanh",
+            gate_activation=self.spec.gate_activation,
+        )
         return dense_apply(params["out"], h)
 
     def predict(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -126,6 +126,18 @@ def test_gradients_match_reference():
     assert summary["worst_rel_diff"] < 5e-3
 
 
+def test_classifiers_match_reference():
+    """Style-classifier differential parity: the reference's GRU-stack ->
+    Dense-softmax judge graph (pitch/velocity/instrument geometries,
+    incl. the Keras-2.0.8 hard_sigmoid gates the shipped judges trained
+    with) executed through the shim vs StyleClassifier -- predict, loss,
+    accuracy, and FD gradients of the training loss."""
+    summary = _run("--classifier", timeout=900)
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_checks"] >= 60
+
+
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(

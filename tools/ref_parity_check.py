@@ -1965,6 +1965,202 @@ def check_gradients(cfg, seed: int = 0, coords_per_case: int = 8) -> dict:
     }
 
 
+def check_classifier(cfg, seed: int = 0) -> dict:
+    """Differential parity for the three style classifiers vs the executing
+    reference graph: Input -> GRU stack (return_sequences on all but the
+    last) -> Dense softmax (pitch_classifier.py:89-97,
+    velocity_classifier.py:110-118, instrument_classifier.py:93-103), with
+    Keras categorical-crossentropy + accuracy semantics
+    (pitch_classifier.py:102-103) and a float64 finite-difference gradient
+    spot-check of the training loss.
+
+    The graph is rebuilt here layer-for-layer (the reference builds it
+    inline at script top level, so it cannot be imported without training);
+    the executed math is the shim's -- the same layers check_model runs for
+    the VAE encoder. 'hard_sigmoid' cases pin the Keras-2.0.8 default
+    recurrent_activation the reference classifiers actually trained with.
+    """
+    import importlib
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    import jax.numpy as jnp
+
+    from midi_vae_tpu.models.classifier import (
+        ClassifierSpec,
+        StyleClassifier,
+        classifier_loss,
+    )
+
+    engine, math_mod, _backend = _shim_modules()
+    sys.path.insert(0, SHIM_DIR)
+    try:
+        klayers = importlib.import_module("keras.layers")
+        kmodels = importlib.import_module("keras.models")
+    finally:
+        sys.path.remove(SHIM_DIR)
+
+    rng = np.random.default_rng(seed)
+    counts = {"match": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+    worst = 0.0
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["match"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def close(r, o, label: str, atol=3e-5, rtol=3e-4):
+        nonlocal worst
+        r = np.asarray(r, np.float64)
+        o = np.asarray(o, np.float64)
+        if r.shape != o.shape:
+            record(False, f"{label} shape {r.shape} vs {o.shape}")
+            return
+        diff = float(np.max(np.abs(r - o))) if r.size else 0.0
+        worst = max(worst, diff)
+        record(bool(np.allclose(r, o, atol=atol, rtol=rtol)),
+               f"{label} maxdiff={diff:.2e}")
+
+    cfg = cfg.replace(bars_input_length=2, bars_output_length=2, max_voices=2)
+    H = 16
+    geometry = {  # (T, input_dim) per kind; classifier_inputs_for_kind
+        "pitch": (cfg.input_length, cfg.input_dim),
+        "velocity": (cfg.output_length, 1),
+        "instrument": (cfg.max_voices, cfg.instrument_dim),
+    }
+    cases = [
+        (kind, n_layers, gate)
+        for kind in ("pitch", "velocity", "instrument")
+        for n_layers, gate in (
+            (2, "hard_sigmoid"),  # the reference's actual Keras-2.0.8 config
+            (2, "sigmoid"),
+            (1, "hard_sigmoid"),
+        )
+    ]
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    for kind, n_layers, gate in cases:
+        tag = f"{kind} n_layers={n_layers} {gate}"
+        T, in_dim = geometry[kind]
+        engine.reset_state()
+        math_mod.GATE_ACTIVATION = gate
+
+        # reference graph (pitch_classifier.py:89-97 pattern)
+        inputs = klayers.Input(shape=(None, in_dim))
+        h = inputs
+        for _ in range(n_layers - 1):
+            h = klayers.GRU(H, return_state=False, return_sequences=True)(h)
+        h = klayers.GRU(H, return_state=False, return_sequences=False)(h)
+        outputs = klayers.Dense(cfg.num_classes, activation="softmax")(h)
+        ref_model = kmodels.Model(inputs, outputs)
+        ref_model.compile(
+            optimizer=None, loss="categorical_crossentropy",
+            metrics=["accuracy"],
+        )
+
+        spec = ClassifierSpec.for_kind(
+            kind, cfg, lstm_size=H, num_layers=n_layers, gate_activation=gate,
+        )
+        model = StyleClassifier(spec)
+        key = zlib.crc32(tag.encode()) % 2**31
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(key))
+
+        # transplant our params into the shim layers (build order: GRUs
+        # then the softmax Dense)
+        pairs: list = []
+        it = iter(engine.LAYER_REGISTRY)
+        for p in params["rnn"]:
+            layer = next(it)
+            w, u, b = (np.asarray(p[k], np.float32) for k in ("w", "u", "b"))
+            assert layer.kernel.shape == w.shape, (tag, layer.kernel.shape)
+            assert layer.recurrent_kernel.shape == u.shape
+            layer.kernel, layer.recurrent_kernel, layer.bias = w, u, b
+            pairs += [(layer, "kernel", id(p["w"])),
+                      (layer, "recurrent_kernel", id(p["u"])),
+                      (layer, "bias", id(p["b"]))]
+        dense = next(it)
+        w = np.asarray(params["out"]["w"], np.float32)
+        b = np.asarray(params["out"]["b"], np.float32)
+        assert dense.kernel.shape == w.shape
+        dense.kernel, dense.bias = w, b
+        pairs += [(dense, "kernel", id(params["out"]["w"])),
+                  (dense, "bias", id(params["out"]["b"]))]
+        assert next(it, None) is None, "registry not fully consumed"
+
+        B = int(rng.integers(3, 6))
+        x = rng.random((B, T, in_dim)).astype(np.float32)
+        y = np.eye(cfg.num_classes, dtype=np.float32)[
+            rng.integers(cfg.num_classes, size=B)
+        ]
+
+        with jax.default_device(cpu):
+            jx, jy = jnp.asarray(x), jnp.asarray(y)
+            close(ref_model.predict(x), model.predict(params, jx),
+                  f"{tag}: predict")
+
+            ref_eval = ref_model.test_on_batch(x, y)
+            our_loss, our_m = classifier_loss(model, params, jx, jy)
+            close(ref_eval["output_losses"][0], float(our_loss),
+                  f"{tag}: loss")
+            close(ref_eval["accuracies"][0], float(our_m["acc"]),
+                  f"{tag}: accuracy")
+
+            grads = jax.grad(
+                lambda p: classifier_loss(model, p, jx, jy)[0]
+            )(params)
+        id_to_grad = {}
+        for (ppath, pleaf), (gpath, gleaf) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(grads),
+        ):
+            assert ppath == gpath
+            id_to_grad[id(pleaf)] = np.asarray(gleaf, np.float64)
+
+        # float64 finite differences of the reference loss
+        engine.set_floatx(np.float64)
+        try:
+            for layer, attr, _pid in pairs:
+                setattr(layer, attr,
+                        np.asarray(getattr(layer, attr), np.float64))
+            stride = max(1, len(pairs) // 4)
+            for layer, attr, pid in pairs[::stride]:
+                arr = getattr(layer, attr)
+                idx = int(rng.integers(arr.size))
+                base = float(arr.flat[idx])
+                eps = 1e-4 * max(1.0, abs(base))
+                arr.flat[idx] = base + eps
+                loss_p = ref_model.test_on_batch(x, y)["output_losses"][0]
+                arr.flat[idx] = base - eps
+                loss_m = ref_model.test_on_batch(x, y)["output_losses"][0]
+                arr.flat[idx] = base
+                fd = (loss_p - loss_m) / (2.0 * eps)
+                ours = float(id_to_grad[pid].flat[idx])
+                denom = max(abs(fd), abs(ours), 1e-3)
+                rel = abs(fd - ours) / denom
+                record(rel < 5e-3 or abs(fd - ours) < 1e-5,
+                       f"{tag}: grad {layer.name}.{attr}[{idx}] "
+                       f"fd={fd:.6g} ours={ours:.6g} rel={rel:.2e}")
+        finally:
+            engine.set_floatx(np.float32)
+
+    return {
+        "surface": "classifier",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "worst_abs_diff": worst,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -2017,6 +2213,12 @@ def main() -> int:
              "of the executing reference's total loss vs our jax.grad at "
              "the same parameter coordinates",
     )
+    ap.add_argument(
+        "--classifier", action="store_true",
+        help="differential check of the three style classifiers "
+             "(pitch/velocity/instrument GRU-stack -> Dense softmax) "
+             "forwards + loss/accuracy + FD gradients",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -2040,6 +2242,8 @@ def main() -> int:
         result = check_model(cfg, seed=args.seed)
     elif args.grads:
         result = check_gradients(cfg, seed=args.seed)
+    elif args.classifier:
+        result = check_classifier(cfg, seed=args.seed)
     elif args.sampling:
         result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:
