@@ -152,7 +152,7 @@ class Config:
     # ---------------- training (settings.py:108-241) ----------------
     batch_size: int = 256
     learning_rate: float = 2e-4
-    optimizer: str = "adam"                   # 'adam' | 'rmsprop'
+    optimizer: str = "adam"                   # 'adam' | 'rmsprop' | Keras-2.0.8-exact '{adam,rmsprop}_keras'
     epochs: int = 2000
     test_step: int = 1
     save_step: int = 10

@@ -39,10 +39,20 @@ from . import checkpoint as ckpt
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    if cfg.optimizer.lower() == "adam":
+    """'adam'/'rmsprop' use optax's stock implementations; the '_keras'
+    variants reproduce the exact Keras-2.0.8 update rules the reference
+    trained with (epsilon placement differs -- see keras_optim)."""
+    from .keras_optim import keras_adam, keras_rmsprop
+
+    name = cfg.optimizer.lower()
+    if name == "adam":
         return optax.adam(cfg.learning_rate)
-    if cfg.optimizer.lower() == "rmsprop":
+    if name == "rmsprop":
         return optax.rmsprop(cfg.learning_rate)
+    if name == "adam_keras":
+        return keras_adam(cfg.learning_rate)
+    if name == "rmsprop_keras":
+        return keras_rmsprop(cfg.learning_rate)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
