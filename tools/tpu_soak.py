@@ -58,6 +58,11 @@ CONFIGS: dict[str, dict] = {
         "fused_train_decoder": False,
     },
     "single_layer": {"num_layers_encoder": 1, "num_layers_decoder": 1},
+    # Keras-2.0.8-exact optimizer update rules (training/keras_optim.py)
+    "adam_keras": {"optimizer": "adam_keras"},
+    "rmsprop_keras": {"optimizer": "rmsprop_keras"},
+    # Keras-2.0.8 hard_sigmoid gates force the scan path on TPU too
+    "hard_sigmoid": {"gate_activation": "hard_sigmoid"},
 }
 
 
