@@ -123,4 +123,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
     main()
