@@ -152,3 +152,21 @@ class TestWiring:
         cfg = small_test_config(batch_size=2, epochs=1).replace(optimizer="sgd")
         with pytest.raises(ValueError, match="unknown optimizer"):
             make_optimizer(cfg)
+
+    @pytest.mark.parametrize("name", ["adam_keras", "rmsprop_keras"])
+    def test_state_survives_donation(self, name):
+        # The trainer jits its step with donate_argnums over (params,
+        # opt_state).  If init_fn aliases the same zeros array into two
+        # state leaves (e.g. sharing one zeros tree between Adam's m and
+        # v), XLA raises "Attempt to donate the same buffer twice".
+        cfg = small_test_config(batch_size=2, epochs=1).replace(optimizer=name)
+        opt = make_optimizer(cfg)
+        params = _tree(7)
+
+        def probe(params, state):
+            updates, state = opt.update(_grads(7, 0), state, params)
+            return optax.apply_updates(params, updates), state
+
+        donated = jax.jit(probe, donate_argnums=(0, 1))
+        stepped, _ = donated(params, opt.init(params))
+        assert np.all(np.isfinite(np.asarray(stepped["w"])))
