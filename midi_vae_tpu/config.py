@@ -221,6 +221,24 @@ class Config:
                 "gate_activation must be sigmoid/hard_sigmoid, "
                 f"got {self.gate_activation!r}"
             )
+        if self.vae_loss not in ("categorical_crossentropy", "mse", "mean_squared_error"):
+            # the notes-head loss selector (vae_definition.py:338); the
+            # reference forwards it verbatim to Keras compile, where only
+            # these names make sense for a softmax sequence head
+            raise ValueError(
+                "vae_loss must be categorical_crossentropy or mse, "
+                f"got {self.vae_loss!r}"
+            )
+        if self.composer_decoder_at_notes_activation != "softmax" or (
+            self.composer_decoder_at_instrument_activation != "softmax"
+        ):
+            # the adversarial probes are trained with categorical
+            # crossentropy (vae_definition.py:418,430); a non-softmax
+            # activation would silently change the loss semantics, and the
+            # reference never ships one (settings.py:197,200)
+            raise ValueError(
+                "composer_decoder_at_*_activation supports only 'softmax'"
+            )
         if self.smallest_note % 4 != 0:
             raise ValueError("smallest_note must be a multiple of 4")
         if self.num_layers_encoder <= 0 or self.num_layers_decoder <= 0:

@@ -49,8 +49,15 @@ class GenerationContext:
             )
             return {k: probs for k, (probs, _logits) in outs.items()}
 
-        def encode_fn(params, batch):
-            return model.encode(params, batch)  # deterministic z_mean
+        # do_not_sample_in_evaluation (settings.py:32): the reference
+        # rebuilds the eval model with epsilon_std=0 when set
+        # (vae_evaluation.py:481-486); when cleared, eval encodes sample z
+        # with the training epsilon
+        self._eval_eps = 0.0 if cfg.do_not_sample_in_evaluation else cfg.epsilon_std
+        self._encode_key = jax.random.PRNGKey(cfg.seed)
+
+        def encode_fn(params, batch, rng):
+            return model.encode(params, batch, rng, self._eval_eps)
 
         def decode_argmax_fn(params, z, H, A):
             outs = model.decode(
@@ -121,7 +128,12 @@ class GenerationContext:
         batch["I"][:n] = np.tile(I[None], (n, 1, 1))
         batch["V"][:n] = V3
         batch["D"][:n] = D_cat
-        z = np.asarray(self._encode(self.params, {k: jnp.asarray(v) for k, v in batch.items()}))
+        self._encode_key, sub = jax.random.split(self._encode_key)
+        z = np.asarray(
+            self._encode(
+                self.params, {k: jnp.asarray(v) for k, v in batch.items()}, sub
+            )
+        )
         return z[:n]
 
     # ------------------------------------------------------------------

@@ -727,10 +727,16 @@ def loss_and_metrics(
         denom = jnp.maximum(jnp.sum(M) * per_sample, 1e-8)
         return jnp.sum(x * m) / denom
 
-    # --- notes head: temporal-weighted xent ---
+    # --- notes head: temporal-weighted vae_loss (vae_definition.py:338;
+    # 'categorical_crossentropy' as shipped, 'mse' selectable) ---
     probs, logits = out["heads"]["notes"]
     Y = batch["Y"]
-    xent = _xent_from_logits(logits, Y)  # (B, T)
+    if cfg.vae_loss in ("mse", "mean_squared_error"):
+        # Keras mse on a (B,T,D) output: per-timestep mean over D, then the
+        # same temporal sample weighting as the crossentropy path
+        xent = jnp.mean((probs - Y) ** 2, axis=-1)  # (B, T)
+    else:
+        xent = _xent_from_logits(logits, Y)  # (B, T)
     if cfg.include_silent_note and cfg.silent_weight != 1.0:
         w = jnp.where(Y[..., -1] == 1, cfg.silent_weight, 1.0)
         nonzero = bmean((w != 0).astype(jnp.float32))

@@ -37,6 +37,10 @@ def make_mesh(
             raise ValueError(f"{n} devices not divisible by model axis {n_model}")
         n_data = n // n_model
     use = n_data * n_model
+    if use > n:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {use} devices, only {n} available"
+        )
     arr = np.asarray(devices[:use]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

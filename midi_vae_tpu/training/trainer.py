@@ -127,7 +127,7 @@ class VAETrainer:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(
-            n_model=cfg.mesh_model_axis
+            n_data=cfg.mesh_data_axis, n_model=cfg.mesh_model_axis
         )
         # route Pallas enablement by the mesh's actual device platform: a CPU
         # mesh in a TPU-default process must take the jnp fallback

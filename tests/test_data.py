@@ -85,6 +85,23 @@ class TestConfig:
         with pytest.raises(ValueError, match="gate_activation"):
             Config(gate_activation="tanh")
 
+    def test_vae_loss_validated(self):
+        """The notes-head loss selector (vae_definition.py:338): xent
+        (shipped default) and mse are supported; anything else errors
+        instead of being silently ignored."""
+        assert Config(vae_loss="mse").vae_loss == "mse"
+        assert Config(vae_loss="mean_squared_error") is not None
+        with pytest.raises(ValueError, match="vae_loss"):
+            Config(vae_loss="hinge")
+
+    def test_probe_activations_softmax_only(self):
+        """The adversarial-probe activations (settings.py:197,200) ship as
+        softmax and the xent probe losses assume it; other values error."""
+        with pytest.raises(ValueError, match="softmax"):
+            Config(composer_decoder_at_notes_activation="sigmoid")
+        with pytest.raises(ValueError, match="softmax"):
+            Config(composer_decoder_at_instrument_activation="tanh")
+
 
 class TestSMF:
     def test_roundtrip(self, tmp_path):

@@ -170,6 +170,22 @@ class TestGenerationContext:
         z = ctx.encode_song(ds.X_train[0], ds.I_train[0], ds.V_train[0], ds.D_train[0])
         assert z.shape == (3, cfg.latent_dim)
 
+    def test_do_not_sample_in_evaluation(self, tiny_setup):
+        """When True (default), eval encodes are deterministic z_mean; when
+        False, the reference keeps its training epsilon at eval time
+        (vae_evaluation.py:481-486) so repeated encodes differ."""
+        cfg, model, params, ds = tiny_setup
+        args = (ds.X_train[0], ds.I_train[0], ds.V_train[0], ds.D_train[0])
+        ctx = GenerationContext(cfg, model, params)
+        np.testing.assert_array_equal(ctx.encode_song(*args), ctx.encode_song(*args))
+        ctx_s = GenerationContext(
+            cfg.replace(do_not_sample_in_evaluation=False), model, params
+        )
+        za, zb = ctx_s.encode_song(*args), ctx_s.encode_song(*args)
+        assert not np.array_equal(za, zb)
+        # epsilon_std=0.01: samples stay close to the mean
+        assert float(np.max(np.abs(za - zb))) < 0.2
+
     def test_sweep_dimension_batched(self, tiny_setup):
         cfg, model, params, ds = tiny_setup
         ctx = GenerationContext(cfg, model, params)

@@ -60,6 +60,7 @@ FLAG_MATRIX = [
      "composer_decoder_at_instrument_output": True},
     {"decoder_input_composer": True},
     {"num_layers_decoder": 1},
+    {"vae_loss": "mse"},
 ]
 
 
@@ -82,6 +83,27 @@ class TestFlagMatrix:
         np.testing.assert_allclose(
             np.asarray(probs.sum(-1)), 1.0, rtol=1e-5
         )  # softmax rows
+
+    def test_vae_loss_mse_matches_closed_form(self):
+        """vae_loss='mse' (vae_definition.py:338): Keras mse on the notes
+        output = per-timestep mean over the pitch axis of (probs - Y)^2,
+        with the same temporal silent weighting as the xent path."""
+        cfg = small_test_config(vae_loss="mse", silent_weight=1.0)
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        rng = jax.random.PRNGKey(1)
+        _, metrics = loss_and_metrics(model, params, batch, rng, 0.01)
+        out = model.apply(params, batch, rng, 0.01)
+        probs, _ = out["heads"]["notes"]
+        expected = float(jnp.mean((probs - batch["Y"]) ** 2))
+        assert abs(float(metrics["notes_loss"]) - expected) < 1e-6
+        # and it is a different objective from the xent default
+        _, m_x = loss_and_metrics(
+            MidiVAE(cfg.replace(vae_loss="categorical_crossentropy")),
+            params, batch, rng, 0.01,
+        )
+        assert abs(float(m_x["notes_loss"]) - expected) > 1e-3
 
 
 class TestGradients:

@@ -70,14 +70,18 @@ class TestNativeParser:
         make_song(path, n_notes=2000, seed=7)
         data = open(path, "rb").read()
 
-        t0 = time.perf_counter()
-        for _ in range(5):
-            smf.parse_midi_bytes(data)
-        py_time = time.perf_counter() - t0
+        def best_of(fn, repeats=5, rounds=3):
+            # best-of-rounds makes the comparison robust to transient host
+            # load (scheduler noise only ever adds time)
+            best = float("inf")
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                for _ in range(repeats):
+                    fn(data)
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-        t0 = time.perf_counter()
-        for _ in range(5):
-            smf._parse_midi_bytes_native(data)
-        nat_time = time.perf_counter() - t0
+        py_time = best_of(smf.parse_midi_bytes)
+        nat_time = best_of(smf._parse_midi_bytes_native)
         # the C++ walk should comfortably beat the Python byte loop
         assert nat_time < py_time

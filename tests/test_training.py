@@ -33,6 +33,14 @@ class TestTrainer:
             m = trainer.run_epoch(state, flat, shuffle=False).means()
         assert m["loss"] < m0["loss"]
 
+    def test_mesh_axes_honor_config(self, cfg):
+        """mesh_data_axis / mesh_model_axis must reach make_mesh: a trainer
+        built from config alone gets the requested mesh geometry."""
+        trainer = VAETrainer(cfg.replace(mesh_data_axis=2, mesh_model_axis=2))
+        assert trainer.mesh.shape == {"data": 2, "model": 2}
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh(n_data=16, n_model=2)
+
     def test_padded_batch_mask_neutral(self, cfg):
         """Metrics from a full batch == metrics from the same data padded."""
         model = MidiVAE(cfg)
