@@ -547,20 +547,9 @@ class Evaluator:
                 )
 
             # --- note start errors (vae_eval.py:2211-2244) ---
-            if cfg.meta_held_notes or (cfg.meta_velocity and cfg.velocity_threshold > 0):
-                pred_silent = Y_pred.sum(axis=1) == 0
-                orig_silent = (
-                    Y[:, :, -1].reshape(-1) == 1
-                    if cfg.include_silent_note
-                    else Y.reshape(-1, Y.shape[-1]).sum(axis=1) == 0
-                )
-                starts = D_pred == 0
-                row["predicted_note_start_to_predicted_errors"] = float(
-                    np.mean(pred_silent & starts)
-                )
-                row["predicted_note_start_to_original_errors"] = float(
-                    np.mean(orig_silent & starts)
-                )
+            start_errors = stats.note_start_errors(Y, Y_pred, D_pred, cfg)
+            if start_errors is not None:
+                row.update(start_errors)
 
             # --- per-window classification/signature/harmonicity of recon ---
             windows = split_song_back_to_samples(Y_pred, cfg.output_length)
@@ -593,15 +582,10 @@ class Evaluator:
                 )
 
             # --- pitch reconstruction accuracy (vae_eval.py:2380-2415) ---
-            difference = song * 2 + Y_pred
-            unique, counts = np.unique(difference, return_counts=True)
-            diff_stats = dict(zip(unique, counts))
-            total_original = int(np.count_nonzero(song))
-            total_predicted = int(np.count_nonzero(Y_pred))
-            correct = int(diff_stats.get(3, 0))
-            recon_acc = correct / total_original if total_original else 0.0
-            row["total_original_notes"] = total_original
-            row["total_predicted_notes"] = total_predicted
+            recon_stats = stats.pitch_reconstruction_stats(song, Y_pred)
+            recon_acc = recon_stats["pitch_reconstruction_accuracy"]
+            row["total_original_notes"] = recon_stats["total_original_notes"]
+            row["total_predicted_notes"] = recon_stats["total_predicted_notes"]
             row["pitch_reconstruction_accuracy"] = recon_acc
             reconstruction_accuracy_array.append(recon_acc)
 

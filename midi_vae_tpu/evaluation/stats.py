@@ -4,6 +4,10 @@ Re-implements /root/reference/vae_evaluation.py:160-400: per-class song/window
 counts, per-split and per-class harmonicity score-pair matrices, frankenstein
 baselines (random pitches / cross-song voice mixes), and the per-class
 instrument program probability tables used by the style-switch evaluation.
+Also hosts the per-song reconstruction bookkeeping of the autoencoding
+section (vae_evaluation.py:2205-2244, 2380-2415) as free functions so the
+differential checker (tools/ref_parity_check.py --evalmetrics) can compare
+them against the executing reference code.
 """
 
 from __future__ import annotations
@@ -141,6 +145,66 @@ def program_statistics(ds: Dataset, cfg: Config) -> ProgramStats:
             for k in d:
                 d[k] /= total
     return stats
+
+
+def note_start_errors(Y: np.ndarray, Y_pred: np.ndarray, D_pred, cfg: Config) -> dict | None:
+    """Note-start error rates of a reconstruction (vae_evaluation.py:2205-2244).
+
+    A "note start" is a step whose predicted duration/held flag is 0; the
+    reference counts how often such a step is silent in the prediction
+    (``predicted_errors``) and in the original (``original_errors``),
+    normalized by total steps. Only meaningful when a duration signal exists
+    (held-notes head, or velocity head with a played-note threshold) -- the
+    reference guards on the same condition and we return None otherwise.
+
+    Shapes: ``Y`` is the original windows (num_samples, output_length, dim
+    incl. silent column when configured); ``Y_pred``/``D_pred`` are the
+    flattened decoder outputs (num_samples*output_length, ...).
+    """
+    if not (cfg.meta_held_notes or (cfg.meta_velocity and cfg.velocity_threshold > 0)):
+        return None
+    pred_silent = np.asarray(Y_pred).sum(axis=1) == 0
+    if cfg.include_silent_note:
+        orig_silent = np.asarray(Y)[:, :, -1].reshape(-1) == 1
+    else:
+        Y_flat = np.asarray(Y).reshape(-1, np.asarray(Y).shape[-1])
+        orig_silent = Y_flat.sum(axis=1) == 0
+    starts = np.asarray(D_pred).reshape(-1) == 0
+    return {
+        "predicted_note_start_to_predicted_errors": float(
+            np.mean(pred_silent & starts)
+        ),
+        "predicted_note_start_to_original_errors": float(
+            np.mean(orig_silent & starts)
+        ),
+    }
+
+
+def pitch_reconstruction_stats(song: np.ndarray, Y_pred: np.ndarray) -> dict:
+    """Note-level reconstruction accuracy (vae_evaluation.py:2380-2415).
+
+    ``difference = 2*original + predicted`` classifies every cell: 3 = note
+    correctly predicted, 2 = original note missed, 1 = spurious new note.
+    Accuracy = correct / total original notes (0 when the song is empty --
+    the reference would divide by zero there).
+    """
+    song = np.asarray(song)
+    Y_pred = np.asarray(Y_pred)
+    difference = song * 2 + Y_pred
+    unique, counts = np.unique(difference, return_counts=True)
+    diff_stats = dict(zip(unique, counts))
+    total_original = int(np.count_nonzero(song))
+    total_predicted = int(np.count_nonzero(Y_pred))
+    correct = int(diff_stats.get(3, 0))
+    return {
+        "total_original_notes": total_original,
+        "total_predicted_notes": total_predicted,
+        "not_predicted_notes": int(diff_stats.get(2, 0)),
+        "new_predicted_notes": int(diff_stats.get(1, 0)),
+        "pitch_reconstruction_accuracy": (
+            correct / total_original if total_original else 0.0
+        ),
+    }
 
 
 def switch_percentage_between_classes(stats: ProgramStats, cfg: Config) -> np.ndarray:

@@ -138,6 +138,23 @@ def test_classifiers_match_reference():
     assert summary["n_checks"] >= 60
 
 
+def test_evalmetrics_match_reference():
+    """L5 differential parity: the evaluation harness's metric bookkeeping
+    (ensemble weighting, frankenstein harmonicity baselines, per-class
+    program probability tables + switch percentages, signature prep +
+    normalization, note-start errors, pitch reconstruction stats) vs the
+    reference's vae_evaluation.py blocks executed by line range. The
+    documented held-note signature deviation must be exercised and exactly
+    predicted by the emulation; everything else bit-equal or within f32
+    storage tolerance."""
+    summary = _run("--evalmetrics")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_checks"] >= 100
+    assert summary["exact"] >= 50
+    assert summary["known_deviation"] >= 1
+
+
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(

@@ -2161,6 +2161,438 @@ def check_classifier(cfg, seed: int = 0) -> dict:
     }
 
 
+def _eval_harness_lines(start: int, end: int) -> str:
+    """Extract + dedent lines [start, end] of the reference's
+    vae_evaluation.py for exec (the script cannot be imported: module level
+    runs the whole 2,910-line evaluation and crashes on undefined variables,
+    SURVEY.md §2.4)."""
+    import textwrap
+
+    path = os.path.join(REFERENCE_DIR, "vae_evaluation.py")
+    with open(path) as f:
+        lines = f.readlines()
+    return textwrap.dedent("".join(lines[start - 1 : end]))
+
+
+def _exec_eval_lines(start: int, end: int, namespace: dict) -> str:
+    """exec the extracted block with prints captured; returns stdout."""
+    import contextlib
+    import io
+
+    src = _eval_harness_lines(start, end)
+    buf = io.StringIO()
+    code = compile(src, f"<vae_evaluation.py:{start}-{end}>", "exec")
+    with contextlib.redirect_stdout(buf):
+        exec(code, namespace)
+    return buf.getvalue()
+
+
+def _random_onehot_windows(rng, n_windows: int, T: int, n_notes: int,
+                           silent_prob: float = 0.25) -> np.ndarray:
+    """Unrolled monophonic windows WITH trailing silent column, float64."""
+    Y = np.zeros((n_windows, T, n_notes + 1))
+    for w in range(n_windows):
+        for t in range(T):
+            if rng.random() < silent_prob:
+                Y[w, t, n_notes] = 1.0
+            else:
+                Y[w, t, rng.integers(n_notes)] = 1.0
+    return Y
+
+
+def check_evalmetrics(cfg, seed: int = 0) -> dict:
+    """L5 differential parity: the evaluation harness's METRIC BOOKKEEPING.
+
+    Executes the reference's vae_evaluation.py computation blocks (extracted
+    by line range -- the script itself cannot be imported) on random inputs
+    and compares against this framework's free functions:
+
+      :110-117   ensemble_prediction weighting  -> models.classifier.ensemble_prediction
+      :196-214   random-pitch harmonicity spm   -> stats.frankenstein_random_pitches
+      :219-242   frankenstein cross-song spm    -> stats.frankenstein_from_songs
+      :262-299   per-split/class harmonicity    -> stats.harmonicity_for_split
+      :306-338   program probability tables     -> stats.program_statistics
+      :384-400   instrument switch percentages  -> stats.switch_percentage_between_classes
+      :407-442   signature prep + normalization -> batching.signature_vectors_for_songs
+                                                   + normalize_signatures
+      :2211-2236 note-start error rates         -> stats.note_start_errors
+      :2380-2397 pitch reconstruction stats     -> stats.pitch_reconstruction_stats
+
+    The random-draw sequences of the frankenstein baselines are mirrored
+    call-for-call, so seeding the global numpy RandomState makes both sides
+    bit-identical. data_class.py is the REFERENCE module, executing
+    unmodified.
+    """
+    import types
+
+    from midi_vae_tpu.data.batching import (
+        normalize_signatures,
+        signature_vectors_for_songs,
+    )
+    from midi_vae_tpu.evaluation import stats as our_stats
+    from midi_vae_tpu.models.classifier import (
+        DEFAULT_ENSEMBLE_WEIGHT,
+        ensemble_prediction,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        dc = load_reference_module("data_class", workdir)
+    for key, value in {
+        "max_voices": cfg.max_voices,
+        "SMALLEST_NOTE": cfg.smallest_note,
+        "low_crop": cfg.low_crop,
+        "high_crop": cfg.high_crop,
+    }.items():
+        setattr(dc, key, value)
+
+    rng = np.random.default_rng(seed)
+    counts = {"exact": 0, "close": 0, "known_deviation": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(label: str, ref, ours, atol: float = 0.0, rtol: float = 0.0):
+        ref = np.asarray(ref, dtype=np.float64)
+        ours = np.asarray(ours, dtype=np.float64)
+        if ref.shape == ours.shape and np.array_equal(ref, ours, equal_nan=True):
+            counts["exact"] += 1
+        elif ref.shape == ours.shape and atol and np.allclose(
+            ref, ours, atol=atol, rtol=rtol, equal_nan=True
+        ):
+            counts["close"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(
+                f"{label}: ref={np.ravel(ref)[:4]} ours={np.ravel(ours)[:4]}"
+            )
+
+    T = cfg.output_length
+    mv = cfg.max_voices
+    notes = cfg.new_num_notes
+    k = cfg.num_classes
+
+    # --- ensemble weighting (vae_evaluation.py:110-117) -------------------
+    class _Stub:
+        def __init__(self, out):
+            self.out = out
+
+        def predict(self, x):
+            return self.out
+
+    for case in range(8):
+        p, i, v = (rng.random((5, k)).astype(np.float32) for _ in range(3))
+        ns = {
+            "np": np,
+            "pitches_classifier_model": _Stub(p),
+            "instrument_classifier_model": _Stub(i),
+            "velocity_classifier_model": _Stub(v),
+            "pitches_classifier_model_weight": 0.999 - 0.5,
+            "instrument_classifier_model_weight": 0.999 - 0.5,
+            "velocity_classifier_model_weight": 0.999 - 0.5,
+        }
+        _exec_eval_lines(110, 117, ns)
+        ref_out = ns["ensemble_prediction"](None, None, None)
+        assert DEFAULT_ENSEMBLE_WEIGHT == 0.999 - 0.5
+        record(f"ensemble[{case}]", ref_out,
+               np.asarray(ensemble_prediction(p, i, v)), atol=1e-6, rtol=1e-6)
+
+    # --- frankenstein harmonicity baselines (:196-213, :219-241) ----------
+    base_ns = {
+        "np": np,
+        "data_class": dc,
+        "output_length": T,
+        "new_num_notes": notes,
+        "max_voices": mv,
+        "include_silent_note": cfg.include_silent_note,
+    }
+    ns = dict(base_ns)
+    _exec_eval_lines(196, 214, ns)
+    np.random.seed(seed + 1)
+    with np.errstate(all="ignore"):
+        ref_spm = ns["spm_based_on_random_pitches"](total_evaluations=15)
+    np.random.seed(seed + 1)
+    our_spm = our_stats.frankenstein_random_pitches(cfg, 15, rng=np.random)
+    record("frankenstein_random_pitches", ref_spm, our_spm)
+
+    Y_songs = [
+        _random_onehot_windows(rng, int(rng.integers(2, 5)), T, notes)
+        for _ in range(mv + 3)
+    ]
+    ns = dict(base_ns)
+    _exec_eval_lines(219, 242, ns)
+    np.random.seed(seed + 2)
+    with np.errstate(all="ignore"):
+        ref_spm = ns["frankenstein_spm_based_on_Y_list"](Y_songs, total_evaluations=15)
+    np.random.seed(seed + 2)
+    our_spm = our_stats.frankenstein_from_songs(Y_songs, cfg, 15, rng=np.random)
+    record("frankenstein_from_songs", ref_spm, our_spm)
+
+    # --- per-split/per-class harmonicity (:262-299) ------------------------
+    C_train = [int(rng.integers(k)) for _ in range(len(Y_songs))]
+    for C in range(k):  # every class needs >= 1 song on both splits
+        C_train[C] = C
+    Y_test_songs = Y_songs[: k + 1]
+    C_test = list(range(k)) + [0]
+    ns = dict(
+        base_ns,
+        Y_train=Y_songs,
+        C_train=C_train,
+        Y_test=Y_test_songs,
+        C_test=C_test,
+        num_classes=k,
+        classes=list(cfg.classes),
+    )
+    with np.errstate(all="ignore"):
+        _exec_eval_lines(262, 299, ns)
+    ours_train = our_stats.harmonicity_for_split(Y_songs, C_train, cfg)
+    ours_test = our_stats.harmonicity_for_split(Y_test_songs, C_test, cfg)
+    record("harmonicity_train_mean", ns["spm_train_mean"], ours_train["mean"])
+    record("harmonicity_test_mean", ns["spm_test_mean"], ours_test["mean"])
+    for C in range(k):
+        record(
+            f"harmonicity_train_class{C}",
+            ns["spm_train_mean_for_each_class"][C], ours_train["per_class"][C],
+        )
+        record(
+            f"harmonicity_test_class{C}",
+            ns["spm_test_mean_for_each_class"][C], ours_test["per_class"][C],
+        )
+
+    # --- instrument program statistics (:306-338) + switch %s (:384-400) ---
+    for attach in ("1hot-category", "1hot-instrument"):
+        inst_dim = 128 if attach == "1hot-instrument" else 16
+        I_songs = []
+        for _ in Y_songs:
+            I = np.zeros((mv, inst_dim))
+            I[np.arange(mv), rng.integers(0, inst_dim, size=mv)] = 1.0
+            I_songs.append(I)
+        X_songs = [np.zeros((Y.shape[0], 1)) for Y in Y_songs]
+        ns = dict(
+            base_ns,
+            Y_train=Y_songs,
+            I_train=I_songs,
+            X_train=X_songs,
+            C_train=C_train,
+            num_classes=k,
+            classes=list(cfg.classes),
+            instrument_attach_method=attach,
+        )
+        _exec_eval_lines(306, 338, ns)
+        a_cfg = cfg.replace(instrument_attach_method=attach)
+        ds = types.SimpleNamespace(
+            I_train=I_songs, X_train=X_songs, C_train=C_train
+        )
+        ours_ps = our_stats.program_statistics(ds, a_cfg)
+        for C in range(k):
+            record(
+                f"programs_for_class{C}[{attach}]",
+                sorted(ns["programs_for_each_class"][C]),
+                sorted(ours_ps.programs_for_each_class[C]),
+            )
+            record(
+                f"total_programs_class{C}[{attach}]",
+                ns["total_programs_for_each_class"][C],
+                ours_ps.total_programs_for_each_class[C],
+            )
+            ref_d = ns["program_probability_dict_for_each_class"][C]
+            our_d = ours_ps.program_probability_dict_for_each_class[C]
+            record(
+                f"program_probs_class{C}[{attach}]",
+                [ref_d[p] for p in sorted(ref_d)],
+                [our_d[p] for p in sorted(our_d)] if sorted(ref_d) == sorted(our_d)
+                else [np.nan],
+            )
+            ref_pl = ns["all_programs_plus_length_for_each_class"][C]
+            our_pl = ours_ps.all_programs_plus_length_for_each_class[C]
+            record(
+                f"programs_plus_length_class{C}[{attach}]",
+                [list(p) + [n] for p, n in ref_pl],
+                [list(p) + [n] for p, n in our_pl],
+            )
+        out = _exec_eval_lines(384, 400, ns)
+        ref_pcts = [
+            float(line.rsplit(" ", 1)[-1])
+            for line in out.splitlines()
+            if line.startswith("Switch percentage: ")
+        ]
+        our_matrix = our_stats.switch_percentage_between_classes(ours_ps, a_cfg)
+        our_pcts = [
+            our_matrix[C, C_sw]
+            for C in range(k)
+            for C_sw in range(k)
+            if C != C_sw
+        ]
+        record(f"switch_percentages[{attach}]", ref_pcts, our_pcts)
+
+    # --- signature prep + train normalization (:407-442) -------------------
+    from midi_vae_tpu.utils import music as our_music
+
+    ns = dict(
+        base_ns,
+        Y_train=Y_songs,
+        C_train=C_train,
+        num_classes=k,
+        signature_vector_length=cfg.signature_vector_length,
+    )
+    _exec_eval_lines(407, 442, ns)
+    # per-window signatures: ours (f32, bug fixed) must match ref up to the
+    # DOCUMENTED held-note deletion deviation (PARITY.md #6) on the
+    # duration-derived dims {0, 11..14}, which the _ref_durations emulation
+    # predicts bit-exactly (same machinery as --analysis, here through the
+    # harness's composite unrolled->khot->signature path)
+    our_S_train = signature_vectors_for_songs(Y_songs, cfg)
+    for i, Y_song in enumerate(Y_songs):
+        for w, window in enumerate(Y_song):
+            ref_s = np.asarray(ns["S_train"][i][w], dtype=np.float64)
+            our_f64 = np.asarray(
+                our_music.signature_from_unrolled_pianoroll(
+                    window, mv, cfg.include_silent_note, cfg.low_crop
+                ),
+                dtype=np.float64,
+            )
+            poly = our_music.monophonic_to_khot_pianoroll(window, mv)[:, :-1]
+            song_t = [
+                tuple(int(x) + cfg.low_crop for x in np.nonzero(st)[0])
+                for st in poly
+            ]
+            durations = _ref_durations(song_t)
+            expected = list(our_f64)
+            expected[0] = len(durations) / len(song_t)
+            expected[11:15] = our_music.get_statistics_on_list(durations, scale=1.0)
+            if np.array_equal(ref_s, our_f64, equal_nan=True):
+                counts["exact"] += 1
+            elif np.array_equal(ref_s, np.asarray(expected), equal_nan=True):
+                counts["known_deviation"] += 1
+            else:
+                counts["MISMATCH"] += 1
+                mismatches.append(
+                    f"signature[{i},{w}]: ref={ref_s} expected={expected}"
+                )
+            # our f32 storage must round-trip the f64 computation
+            record(
+                f"signature_f32[{i},{w}]", our_f64, our_S_train[i][w],
+                atol=1e-5, rtol=1e-5,
+            )
+    # normalization arithmetic (mean/std, the 1e-10 zero-std guard, per-song
+    # normalized vectors): bit-compare our normalize_signatures ON THE
+    # REFERENCE'S OWN signatures, isolating it from the deviation above
+    norm_train, _, mean_sig, std_sig = normalize_signatures(
+        [np.asarray(s, dtype=np.float64) for s in ns["S_train"]], []
+    )
+    record("mean_signature", ns["mean_signature"], mean_sig)
+    record("std_signature", ns["std_signature"], std_sig)
+    for i, (ref_s, our_s) in enumerate(zip(ns["normalized_S_train"], norm_train)):
+        record(f"normalized_signature_song{i}", ref_s, our_s)
+
+    # --- note-start errors (:2211-2236) -------------------------------------
+    for case, (held, vel, thresh) in enumerate(
+        [(True, False, 0.0), (False, True, 0.5), (True, True, 0.5)]
+    ):
+        m_cfg = cfg.replace(
+            meta_held_notes=held, meta_velocity=vel, velocity_threshold=thresh
+        )
+        num_samples = int(rng.integers(2, 5))
+        Y = _random_onehot_windows(rng, num_samples, T, notes)
+        Y_pred = _random_onehot_windows(rng, num_samples, T, notes)[
+            :, :, :-1
+        ].reshape(num_samples * T, notes)
+        D_pred = rng.integers(0, 2, size=num_samples * T).astype(float)
+        ns = {
+            "np": np,
+            "Y": Y,
+            "Y_pred": Y_pred,
+            "D_pred": D_pred,
+            "num_samples": num_samples,
+            "output_length": T,
+            "include_silent_note": cfg.include_silent_note,
+            "meta_held_notes": held,
+            "meta_velocity": vel,
+            "velocity_threshold_such_that_it_is_a_played_note": thresh,
+        }
+        _exec_eval_lines(2211, 2236, ns)
+        ours_ns = our_stats.note_start_errors(Y, Y_pred, D_pred, m_cfg)
+        record(
+            f"note_start[{case}]",
+            [
+                ns["predicted_note_start_to_original_errors"],
+                ns["predicted_note_start_to_predicted_errors"],
+            ],
+            [
+                ours_ns["predicted_note_start_to_original_errors"],
+                ours_ns["predicted_note_start_to_predicted_errors"],
+            ],
+        )
+    # guard-off: the reference still emits 0.0 rows; we return None (the
+    # harness then omits the CSV columns) -- assert the ref value IS 0.0 so
+    # the deviation stays schema-only
+    ns = {
+        "np": np,
+        "Y": _random_onehot_windows(rng, 2, T, notes),
+        "Y_pred": np.zeros((2 * T, notes)),
+        "D_pred": np.zeros(2 * T),
+        "num_samples": 2,
+        "output_length": T,
+        "include_silent_note": cfg.include_silent_note,
+        "meta_held_notes": False,
+        "meta_velocity": False,
+        "velocity_threshold_such_that_it_is_a_played_note": 0.0,
+    }
+    _exec_eval_lines(2211, 2236, ns)
+    record(
+        "note_start[guard_off_ref_zero]",
+        [
+            ns["predicted_note_start_to_original_errors"],
+            ns["predicted_note_start_to_predicted_errors"],
+        ],
+        [0.0, 0.0],
+    )
+    assert (
+        our_stats.note_start_errors(
+            ns["Y"], ns["Y_pred"], ns["D_pred"],
+            cfg.replace(
+                meta_held_notes=False, meta_velocity=False,
+                velocity_threshold=0.0,
+            ),
+        )
+        is None
+    )
+
+    # --- pitch reconstruction stats (:2380-2397) ----------------------------
+    for case in range(10):
+        n_steps = int(rng.integers(1, 4)) * T
+        song = (rng.random((n_steps, notes)) < 0.1).astype(float)
+        song[0, 0] = 1.0  # the reference divides by total_original_notes
+        Y_pred = (rng.random((n_steps, notes)) < 0.1).astype(float)
+        if case % 3 == 0:
+            Y_pred = np.copy(song)  # exercise the all-correct diagonal
+        ns = {"np": np, "song": song, "Y_pred": Y_pred}
+        _exec_eval_lines(2380, 2397, ns)
+        ours_rs = our_stats.pitch_reconstruction_stats(song, Y_pred)
+        record(
+            f"recon_stats[{case}]",
+            [
+                ns["total_original_notes"],
+                ns["total_predicted_notes"],
+                ns["not_predicted_notes"],
+                ns["new_predicted_notes"],
+                ns["pitch_reconstruction_accuracy"],
+            ],
+            [
+                ours_rs["total_original_notes"],
+                ours_rs["total_predicted_notes"],
+                ours_rs["not_predicted_notes"],
+                ours_rs["new_predicted_notes"],
+                ours_rs["pitch_reconstruction_accuracy"],
+            ],
+        )
+
+    return {
+        "surface": "evalmetrics",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -2214,6 +2646,12 @@ def main() -> int:
              "the same parameter coordinates",
     )
     ap.add_argument(
+        "--evalmetrics", action="store_true",
+        help="differential check of the L5 evaluation-harness metric "
+             "bookkeeping (vae_evaluation.py blocks executed by line range) "
+             "vs evaluation.stats / data.batching",
+    )
+    ap.add_argument(
         "--classifier", action="store_true",
         help="differential check of the three style classifiers "
              "(pitch/velocity/instrument GRU-stack -> Dense softmax) "
@@ -2244,6 +2682,8 @@ def main() -> int:
         result = check_gradients(cfg, seed=args.seed)
     elif args.classifier:
         result = check_classifier(cfg, seed=args.seed)
+    elif args.evalmetrics:
+        result = check_evalmetrics(cfg, seed=args.seed)
     elif args.sampling:
         result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:
