@@ -76,9 +76,20 @@ class GenerationContext:
                 res["next_idx"] = jnp.argmax(outs["next"][0], axis=-1)
             return res
 
+        def transfer_argmax_fn(params, batch, perm, rng):
+            """encode -> latent-dim swap -> history roll -> decode -> argmax,
+            ONE device program. ``perm`` is a latent-index permutation (the
+            z[C] <-> z[C_switch] swap of vae_evaluation.py:2474-2478 as a
+            gather, so every class pair shares the compiled program)."""
+            z = model.encode(params, batch, rng, self._eval_eps)
+            switched = z[:, perm]
+            H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
+            return decode_argmax_fn(params, switched, H, None), switched
+
         self._decode = jax.jit(decode_fn)
         self._decode_argmax = jax.jit(decode_argmax_fn)
         self._encode = jax.jit(encode_fn)
+        self._transfer_argmax = jax.jit(transfer_argmax_fn)
 
     # ------------------------------------------------------------------
     def _decode_padded(self, fn, z, history, additional) -> dict[str, np.ndarray]:
@@ -107,10 +118,10 @@ class GenerationContext:
         """Decode (B, latent) -> head probability arrays, batched on device."""
         return self._decode_padded(self._decode, z, history, additional)
 
-    def encode_song(
+    def _padded_encoder_batch(
         self, X: np.ndarray, I: np.ndarray, V: np.ndarray, D: np.ndarray
-    ) -> np.ndarray:
-        """Windows of one song -> deterministic latents (B, latent)."""
+    ) -> tuple[dict, int]:
+        """Windows of one song -> bucket-padded device batch + real count."""
         from ..data.batching import held_to_categorical, prepare_velocity
 
         cfg = self.cfg
@@ -128,13 +139,49 @@ class GenerationContext:
         batch["I"][:n] = np.tile(I[None], (n, 1, 1))
         batch["V"][:n] = V3
         batch["D"][:n] = D_cat
+        return {k: jnp.asarray(v) for k, v in batch.items()}, n
+
+    def encode_song(
+        self, X: np.ndarray, I: np.ndarray, V: np.ndarray, D: np.ndarray
+    ) -> np.ndarray:
+        """Windows of one song -> deterministic latents (B, latent)."""
+        batch, n = self._padded_encoder_batch(X, I, V, D)
         self._encode_key, sub = jax.random.split(self._encode_key)
-        z = np.asarray(
-            self._encode(
-                self.params, {k: jnp.asarray(v) for k, v in batch.items()}, sub
-            )
-        )
+        z = np.asarray(self._encode(self.params, batch, sub))
         return z[:n]
+
+    def style_transfer_song(
+        self,
+        X: np.ndarray,
+        I: np.ndarray,
+        V: np.ndarray,
+        D: np.ndarray,
+        C: int,
+        C_switch: int,
+    ):
+        """The style-transfer serving round trip in ONE device program.
+
+        encode -> z[C] <-> z[C_switch] swap (vae_evaluation.py:2474-2478) ->
+        history roll -> autoregressive decode -> per-head argmax, all inside
+        a single jitted dispatch (the per-pair swap is a traced gather, so
+        every class pair shares the compiled program). Returns the processed
+        rolls tuple of decode_and_process(argmax) plus the switched latents.
+
+        The sectioned evaluation harness keeps the separate
+        encode_song/decode_and_process calls (it reuses one encode across
+        targets and mirrors the reference's bookkeeping); this entry point
+        is for serving, where per-dispatch latency dominates.
+        """
+        cfg = self.cfg
+        batch, n = self._padded_encoder_batch(X, I, V, D)
+        perm = np.arange(cfg.latent_dim)
+        perm[[C, C_switch]] = perm[[C_switch, C]]
+        self._encode_key, sub = jax.random.split(self._encode_key)
+        idx, switched = self._transfer_argmax(
+            self.params, batch, jnp.asarray(perm), sub
+        )
+        idx = {k: np.asarray(v)[:n] for k, v in idx.items()}
+        return sampling.process_argmax_outputs(idx, cfg), np.asarray(switched)[:n]
 
     # ------------------------------------------------------------------
     def decode_and_process(

@@ -186,6 +186,28 @@ class TestGenerationContext:
         # epsilon_std=0.01: samples stay close to the mean
         assert float(np.max(np.abs(za - zb))) < 0.2
 
+    def test_style_transfer_song_matches_separate_calls(self, tiny_setup):
+        """The one-dispatch serving path (encode -> z-swap -> history roll ->
+        decode -> argmax fused in one jitted program) must reproduce the
+        harness's separate encode_song + manual swap + decode_and_process
+        exactly."""
+        cfg, model, params, ds = tiny_setup
+        args = (ds.X_train[0], ds.I_train[0], ds.V_train[0], ds.D_train[0])
+        ctx = GenerationContext(cfg, model, params)
+        z = ctx.encode_song(*args)
+        C, C_switch = 0, 1
+        switched = np.copy(z)
+        switched[:, C] = z[:, C_switch]
+        switched[:, C_switch] = z[:, C]
+        H = np.zeros_like(switched)
+        H[1:] = switched[:-1]
+        ref = ctx.decode_and_process(switched, history=H, sample_method="argmax")
+
+        out, switched_fused = ctx.style_transfer_song(*args, C=C, C_switch=C_switch)
+        np.testing.assert_allclose(switched_fused, switched, rtol=1e-5, atol=1e-6)
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(a, b)
+
     def test_sweep_dimension_batched(self, tiny_setup):
         cfg, model, params, ds = tiny_setup
         ctx = GenerationContext(cfg, model, params)

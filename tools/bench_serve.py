@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Serving-path benchmark: the generation/evaluation hot paths on one chip.
+
+The training bench (bench.py, the driver contract) measures the pjit
+training step; THIS tool measures what a deployed MIDI-VAE service runs --
+the reference's ``encoder.predict`` / ``decoder.predict`` +
+``process_decoder_outputs`` loops (vae_evaluation.py:705-2625), served here
+by jitted batched calls over the whole-scan Pallas inference kernels.
+
+Two regimes, both at reference scale (GRU 256x2, latent 256, 64-step
+windows, B=256-window batches):
+
+* ``sustained_*``: K batches pre-staged on device, processed by ONE jitted
+  ``lax.scan`` dispatch -- the offline/bulk-generation rate the chip itself
+  sustains. This is the honest chip number in this environment: the dev TPU
+  sits behind a tunnel that adds a ~26 ms floor + several host<->device
+  round trips to EVERY dispatch, which a real deployment (host attached to
+  the chip) does not pay.
+* ``percall_*``: the GenerationContext public API called once per batch from
+  the host, including tunnel dispatch + input upload + index fetch -- the
+  per-request latency path AS OBSERVED THROUGH THE TUNNEL (lower bound on
+  what an attached host would see).
+
+``sustained_transfer`` runs the full style-transfer round trip (encode ->
+z-dim swap -> history roll -> autoregressive decode -> per-head argmax)
+fused in one program per batch -- the same computation
+``GenerationContext.style_transfer_song`` serves.
+
+Methodology: everything warmed/compiled first, BEST of N timing windows
+(the shared dev chip is time-sliced by other tenants; interference only
+adds time). Prints one JSON line per metric in note-steps/s/chip
+(windows * output_length / s), directly comparable with the training bench
+and the 50k/s baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=256, help="windows per batch")
+    ap.add_argument("--scan-batches", type=int, default=64,
+                    help="batches per sustained dispatch (64 amortizes the "
+                         "tunnel's ~26 ms dispatch floor to <0.5 ms/batch; "
+                         "128 converges ~15%% higher at 2x the staged bytes)")
+    ap.add_argument("--reps", type=int, default=9, help="timing windows")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from midi_vae_tpu.config import Config
+    from midi_vae_tpu.evaluation.generation import GenerationContext
+    from midi_vae_tpu.models import MidiVAE
+    from midi_vae_tpu.utils.synthetic import synthetic_flat
+
+    cfg = Config()
+    model = MidiVAE(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ctx = GenerationContext(cfg, model, params)
+    dev_params = ctx.params
+
+    B, K = args.batch, args.scan_batches
+    flat = synthetic_flat(cfg, n_songs=1, windows_per_song=B, seed=1)
+    rng = np.random.RandomState(2)
+    I_song = flat.I[0]
+
+    def timed(fn, calls=2) -> float:
+        fn()  # compile + warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            for _ in range(calls):
+                fn()
+            best = min(best, (time.perf_counter() - t0) / calls)
+        return best
+
+    results = {}  # metric -> (seconds per batch, note-steps per batch)
+    note_steps = B * cfg.output_length
+
+    # ---- sustained: K device-resident batches, one lax.scan dispatch ----
+    enc_batch, _ = ctx._padded_encoder_batch(
+        flat.X, I_song, flat.V[..., 0], flat.D[..., 1]
+    )
+    enc_many = {
+        k: jax.device_put(
+            jnp.broadcast_to(v, (K, *v.shape)).copy(), jax.devices()[0]
+        )
+        for k, v in enc_batch.items()
+    }
+    zs = jax.device_put(
+        jnp.asarray(rng.randn(K, B, cfg.latent_dim).astype(np.float32)),
+        jax.devices()[0],
+    )
+    perm = np.arange(cfg.latent_dim)
+    perm[[0, 1]] = perm[[1, 0]]
+    perm = jnp.asarray(perm)
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def encode_many(params, batches):
+        def body(c, batch):
+            z = model.encode(params, batch, None, 0.0)
+            return c, z
+
+        _, out = jax.lax.scan(body, 0, batches)
+        return out
+
+    def _argmax_heads_from(params, z, H):
+        outs = model.decode(
+            params, z, history=H, additional=None, inference=True
+        )
+        return tuple(
+            jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            if name != "velocity" else probs[..., 0]
+            for name, (probs, _logits) in sorted(outs.items())
+        )
+
+    def _argmax_heads(params, z):
+        return _argmax_heads_from(params, z, jnp.zeros_like(z))
+
+    @jax.jit
+    def decode_many(params, zs):
+        def body(c, z):
+            return c, _argmax_heads(params, z)
+
+        _, out = jax.lax.scan(body, 0, zs)
+        return out
+
+    @jax.jit
+    def transfer_many(params, batches, perm, key):
+        def body(c, batch):
+            z = model.encode(params, batch, key, ctx._eval_eps)
+            switched = z[:, perm]
+            H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
+            # all heads fetched -- the serving transfer needs every head, so
+            # none may be dead-code-eliminated out of the measurement
+            return c, _argmax_heads_from(params, switched, H)
+
+        _, out = jax.lax.scan(body, 0, batches)
+        return out
+
+    results["sustained_encode"] = (
+        timed(lambda: jax.block_until_ready(encode_many(dev_params, enc_many)))
+        / K,
+        note_steps,
+    )
+    results["sustained_decode"] = (
+        timed(lambda: jax.block_until_ready(decode_many(dev_params, zs))) / K,
+        note_steps,
+    )
+    results["sustained_transfer"] = (
+        timed(
+            lambda: jax.block_until_ready(
+                transfer_many(dev_params, enc_many, perm, key)
+            )
+        )
+        / K,
+        note_steps,
+    )
+
+    # ---- per-call: the public API through the tunnel ----
+    z_batch = rng.randn(B, cfg.latent_dim).astype(np.float32)
+    H = np.zeros_like(z_batch)
+    results["percall_encode"] = (
+        timed(lambda: ctx.encode_song(flat.X, I_song, flat.V[..., 0], flat.D[..., 1])),
+        note_steps,
+    )
+    results["percall_decode_full"] = (
+        timed(lambda: ctx.decode_and_process(z_batch, history=H, sample_method="argmax")),
+        note_steps,
+    )
+    results["percall_style_transfer"] = (
+        timed(
+            lambda: ctx.style_transfer_song(
+                flat.X, I_song, flat.V[..., 0], flat.D[..., 1], C=0, C_switch=1
+            )
+        ),
+        note_steps,
+    )
+
+    for metric, (dt, steps) in results.items():
+        print(
+            json.dumps(
+                {
+                    "metric": f"serve_{metric}_note_steps_per_sec_per_chip",
+                    "value": round(steps / dt, 1),
+                    "unit": "note-steps/s/chip",
+                    "ms_per_batch": round(dt * 1e3, 3),
+                    "vs_baseline": round(steps / dt / 50_000.0, 4),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
