@@ -30,16 +30,31 @@ def _bucket(n: int) -> int:
 
 
 class GenerationContext:
-    """Owns jitted encode/decode on a trained model; all IO in numpy."""
+    """Owns jitted encode/decode on a trained model; all IO in numpy.
 
-    def __init__(self, cfg: Config, model: MidiVAE, params):
+    ``mesh``: optional ``jax.sharding.Mesh`` from ``parallel.make_mesh`` --
+    params get the mesh's param shardings (replicated for DP, tensor-sharded
+    over 'model' when that axis is >1), batches shard their leading axis
+    over 'data', and GSPMD partitions the same jitted programs across the
+    chips. Default (None) serves on a single device.
+    """
+
+    def __init__(self, cfg: Config, model: MidiVAE, params, mesh=None):
         self.cfg = cfg
         self.model = model
-        # params may be host-committed (init_params initializes on CPU);
-        # place them on the compute device ONCE with an EXPLICIT target
-        # (a bare device_put is a no-op for committed arrays) -- otherwise
-        # every jitted call re-streams the whole tree over the TPU tunnel
-        self.params = jax.device_put(params, jax.devices()[0])
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, shard_params
+
+            self.params = shard_params(params, mesh)
+            self._data_sharding = batch_sharding(mesh)
+        else:
+            # params may be host-committed (init_params initializes on CPU);
+            # place them on the compute device ONCE with an EXPLICIT target
+            # (a bare device_put is a no-op for committed arrays) -- otherwise
+            # every jitted call re-streams the whole tree over the TPU tunnel
+            self.params = jax.device_put(params, jax.devices()[0])
+            self._data_sharding = None
 
         def decode_fn(params, z, H, A):
             outs = model.decode(
@@ -92,11 +107,27 @@ class GenerationContext:
         self._transfer_argmax = jax.jit(transfer_argmax_fn)
 
     # ------------------------------------------------------------------
+    def _bucket_for(self, n: int) -> int:
+        """Static-shape bucket; on a mesh, also divisible by the data axis."""
+        b = _bucket(n)
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            nd = self.mesh.shape[DATA_AXIS]
+            b += (-b) % nd
+        return b
+
+    def _put(self, arr):
+        a = jnp.asarray(arr)
+        if self._data_sharding is not None:
+            a = jax.device_put(a, self._data_sharding)
+        return a
+
     def _decode_padded(self, fn, z, history, additional) -> dict[str, np.ndarray]:
         cfg = self.cfg
         z = np.atleast_2d(np.asarray(z, np.float32))
         n = z.shape[0]
-        b = _bucket(n)
+        b = self._bucket_for(n)
         zp = np.zeros((b, cfg.latent_dim), np.float32)
         zp[:n] = z
         Hp = np.zeros((b, cfg.latent_dim), np.float32)
@@ -106,7 +137,7 @@ class GenerationContext:
         Ap = np.zeros((b, max(1, cfg.decoder_additional_input_dim)), np.float32)
         if additional is not None:
             Ap[:n] = np.atleast_2d(additional)[:n]
-        outs = fn(self.params, jnp.asarray(zp), jnp.asarray(Hp), jnp.asarray(Ap))
+        outs = fn(self.params, self._put(zp), self._put(Hp), self._put(Ap))
         return {k: np.asarray(v)[:n] for k, v in outs.items()}
 
     def decode_batch(
@@ -126,7 +157,7 @@ class GenerationContext:
 
         cfg = self.cfg
         n = X.shape[0]
-        b = _bucket(n)
+        b = self._bucket_for(n)
         D_cat = held_to_categorical(np.atleast_2d(D))
         V3 = prepare_velocity(np.atleast_2d(V), D_cat, cfg)
         batch = {
@@ -139,7 +170,7 @@ class GenerationContext:
         batch["I"][:n] = np.tile(I[None], (n, 1, 1))
         batch["V"][:n] = V3
         batch["D"][:n] = D_cat
-        return {k: jnp.asarray(v) for k, v in batch.items()}, n
+        return {k: self._put(v) for k, v in batch.items()}, n
 
     def encode_song(
         self, X: np.ndarray, I: np.ndarray, V: np.ndarray, D: np.ndarray

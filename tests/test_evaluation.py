@@ -208,6 +208,37 @@ class TestGenerationContext:
         for a, b in zip(out, ref):
             np.testing.assert_array_equal(a, b)
 
+    def test_generation_context_on_mesh(self, tiny_setup):
+        """Serving over a device mesh: DP (8x1) and DP+TP (4x2) contexts must
+        reproduce the single-device encode/transfer outputs (GSPMD partitions
+        the same jitted programs; the batch axis shards over 'data')."""
+        from midi_vae_tpu.parallel import make_mesh
+
+        cfg, model, params, ds = tiny_setup
+        args = (ds.X_train[0], ds.I_train[0], ds.V_train[0], ds.D_train[0])
+        ref_ctx = GenerationContext(cfg, model, params)
+        z_ref = ref_ctx.encode_song(*args)
+        probs_ref = ref_ctx.decode_batch(z_ref)
+        out_ref, sw_ref = ref_ctx.style_transfer_song(*args, C=0, C_switch=1)
+        for n_model in (1, 2):
+            mesh = make_mesh(n_model=n_model)
+            ctx = GenerationContext(cfg, model, params, mesh=mesh)
+            np.testing.assert_allclose(
+                ctx.encode_song(*args), z_ref, rtol=1e-5, atol=1e-5
+            )
+            # continuous surfaces must agree across shardings (argmax rolls
+            # are tie-brittle at random init, where softmax is near-uniform)
+            probs = ctx.decode_batch(z_ref)
+            assert probs.keys() == probs_ref.keys()
+            for k in probs:
+                np.testing.assert_allclose(
+                    probs[k], probs_ref[k], rtol=1e-5, atol=1e-6
+                )
+            out, sw = ctx.style_transfer_song(*args, C=0, C_switch=1)
+            np.testing.assert_allclose(sw, sw_ref, rtol=1e-5, atol=1e-5)
+            for a, b in zip(out, out_ref):
+                assert np.asarray(a).shape == np.asarray(b).shape
+
     def test_sweep_dimension_batched(self, tiny_setup):
         cfg, model, params, ds = tiny_setup
         ctx = GenerationContext(cfg, model, params)
