@@ -111,6 +111,41 @@ def test_three_class_switch_matrix(workdir3):
         )
 
 
+def test_transfer_cli(workdir):
+    """transfer.py: MIDI file in -> style-swapped MIDI out, through the
+    one-program serving path (plus the --write-reconstruction companion)."""
+    d = workdir
+    run(
+        [os.path.join(REPO, "train.py"), "--source", str(d / "corpus"),
+         "--output", str(d / "vae_t"), "--cache", str(d / "cache"),
+         "--epochs", "2", "--cpu"] + SMALL,
+        cwd=str(d),
+    )
+    src = next(
+        str(d / "corpus" / "style1" / f)
+        for f in sorted(os.listdir(d / "corpus" / "style1"))
+    )
+    out = run(
+        [os.path.join(REPO, "transfer.py"), "--model", str(d / "vae_t"),
+         "--input", src, "--to-class", "style2",
+         "--output", str(d / "transfer"), "--write-reconstruction", "--cpu"],
+        cwd=str(d),
+    )
+    assert "style1_to_style2" in out
+    midis = sorted(os.listdir(d / "transfer"))
+    assert any(m.endswith("_style1_to_style2.mid") for m in midis)
+    assert any(m.endswith("_reconstruction.mid") for m in midis)
+    # the source class came from the path substring rule; also check the
+    # explicit flags and the same-class guard
+    out = run(
+        [os.path.join(REPO, "transfer.py"), "--model", str(d / "vae_t"),
+         "--input", src, "--from-class", "style2", "--to-class", "style2",
+         "--output", str(d / "transfer"), "--cpu"],
+        cwd=str(d),
+    )
+    assert "source class equals target class" in out
+
+
 def test_train_classify_evaluate(workdir):
     d = workdir
     out = run(

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Style-transfer a MIDI file with a trained MIDI-VAE checkpoint.
+
+Standalone CLI for the product the reference buries inside its evaluation
+script (vae_evaluation.py:2448-2625): tensorize a song, encode it, swap the
+style dimensions z[C] <-> z[C_switch] that the composer latent probe pins
+(vae_definition.py:730-734), decode, and write the transferred MIDI. Runs
+the whole encode -> swap -> decode round trip as ONE device program
+(``GenerationContext.style_transfer_song``).
+
+Examples:
+    python transfer.py --model runs/jvp --input song.mid \\
+        --to-class pop --output out/
+    python transfer.py --model runs/jvp --input song.mid \\
+        --from-class jazz --to-class pop --output out/ --write-reconstruction
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _class_index(cfg, value: str, flag: str) -> int:
+    """Accept a class name (exact), or an integer index."""
+    if value in cfg.classes:
+        return cfg.classes.index(value)
+    try:
+        idx = int(value)
+    except ValueError:
+        raise SystemExit(
+            f"{flag}: {value!r} is not one of {list(cfg.classes)} or an index"
+        )
+    if not 0 <= idx < len(cfg.classes):
+        raise SystemExit(f"{flag}: index {idx} out of range for {list(cfg.classes)}")
+    return idx
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True, help="VAE run dir (train.py --output)")
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--input", required=True, nargs="+", help="MIDI file(s)")
+    p.add_argument("--output", required=True, help="output folder")
+    p.add_argument(
+        "--to-class", required=True,
+        help="target style: class name or index (z[C] <-> z[C_switch] swap)",
+    )
+    p.add_argument(
+        "--from-class", default=None,
+        help="source style; default: substring match of class names against "
+             "the input path (the dataset-labeling rule), else class 0",
+    )
+    p.add_argument(
+        "--write-reconstruction", action="store_true",
+        help="also write the un-switched autoencoding for comparison",
+    )
+    p.add_argument("--bpm", type=float, default=None,
+                   help="output tempo (default: the input's steady-span tempo)")
+    p.add_argument("--keep-instruments", action="store_true",
+                   help="render with the INPUT's programs instead of the "
+                        "predicted (voted) instruments")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from midi_vae_tpu.data.tensorize import (
+        instrument_matrix_to_programs,
+        load_rolls_from_path,
+        save_rolls_as_midi,
+    )
+    from midi_vae_tpu.evaluation.generation import (
+        GenerationContext,
+        vote_for_programs,
+    )
+    from midi_vae_tpu.models import MidiVAE
+    from midi_vae_tpu.training import checkpoint as ckpt
+
+    cfg = ckpt.load_config(args.model)
+    state = ckpt.restore_checkpoint(args.model, args.epoch)
+    model = MidiVAE(cfg)
+    ctx = GenerationContext(cfg, model, state["params"])
+    os.makedirs(args.output, exist_ok=True)
+
+    C_switch = _class_index(cfg, args.to_class, "--to-class")
+
+    for path in args.input:
+        song = load_rolls_from_path(path, cfg)
+        if song is None or song.X.shape[0] == 0:
+            print(f"skip {path}: no usable windows")
+            continue
+        if args.from_class is not None:
+            C = _class_index(cfg, args.from_class, "--from-class")
+        else:
+            matches = [i for i, c in enumerate(cfg.classes) if c in path]
+            C = matches[0] if matches else 0
+        if C == C_switch:
+            print(f"skip {path}: source class equals target class")
+            continue
+
+        (Y_sw, I_sw, V_sw, D_sw, _N), _switched = ctx.style_transfer_song(
+            song.X, song.I, song.V, song.D, C=C, C_switch=C_switch
+        )
+        input_programs = instrument_matrix_to_programs(
+            song.I, cfg.instrument_attach_method
+        )
+        programs = (
+            input_programs if args.keep_instruments or not cfg.meta_instrument
+            else vote_for_programs(I_sw, cfg)
+        )
+        bpm = args.bpm if args.bpm is not None else song.tempo
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(
+            args.output,
+            f"{stem}_{cfg.classes[C]}_to_{cfg.classes[C_switch]}.mid",
+        )
+        save_rolls_as_midi(Y_sw, programs, cfg, out, bpm, V_sw, D_sw)
+        print(f"{path} [{cfg.classes[C]}] -> {out} "
+              f"(programs {input_programs} -> {programs})")
+
+        if args.write_reconstruction:
+            z = ctx.encode_song(song.X, song.I, song.V, song.D)
+            H = np.zeros_like(z)
+            H[1:] = z[:-1]
+            Y_r, I_r, V_r, D_r, _ = ctx.decode_and_process(
+                z, history=H, sample_method="argmax"
+            )
+            rec = os.path.join(args.output, f"{stem}_reconstruction.mid")
+            rec_programs = (
+                input_programs if args.keep_instruments or not cfg.meta_instrument
+                else vote_for_programs(I_r, cfg)
+            )
+            save_rolls_as_midi(Y_r, rec_programs, cfg, rec, bpm, V_r, D_r)
+            print(f"  reconstruction -> {rec}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
