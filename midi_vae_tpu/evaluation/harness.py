@@ -97,25 +97,13 @@ class Evaluator:
         os.makedirs(save_folder, exist_ok=True)
 
         # classifier predict fns (batched, bucket-padded); None -> disabled
+        from ..models.classifier import make_judge
+
         self.clf = {}
         classifiers = classifiers or {}
         for kind in ("pitch", "velocity", "instrument"):
             entry = classifiers.get(kind)
-            if entry is None:
-                self.clf[kind] = None
-                continue
-            model, cparams = entry
-            jitted = jax.jit(model.predict)
-
-            def predict(x, _jitted=jitted, _params=cparams, _spec=model.spec):
-                x = np.asarray(_spec.preprocess_inputs(x), np.float32)
-                n = x.shape[0]
-                b = generation._bucket(n)
-                xp = np.zeros((b, *x.shape[1:]), np.float32)
-                xp[:n] = x
-                return np.asarray(_jitted(_params, xp))[:n]
-
-            self.clf[kind] = predict
+            self.clf[kind] = None if entry is None else make_judge(*entry)
 
         self.results: dict = {}
         self._prepare_signatures()

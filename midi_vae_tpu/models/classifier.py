@@ -22,6 +22,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from .cells import dense_apply, dense_init, get_cell
@@ -168,6 +169,27 @@ def ensemble_prediction(
     return (pitch_probs * wp + instrument_probs * wi + velocity_probs * wv) / (
         wp + wi + wv
     )
+
+
+def make_judge(model, params):
+    """Wrap a trained (StyleClassifier, params) into a padded numpy-in,
+    probs-out predict callable (the judge form the evaluation harness and
+    transfer CLI consume): inputs preprocessed per the classifier spec,
+    bucket-padded to keep jit shapes static, trimmed on return."""
+    jitted = jax.jit(model.predict)
+    spec = model.spec
+
+    def predict(x):
+        x = np.asarray(spec.preprocess_inputs(x), np.float32)
+        n = x.shape[0]
+        b = 1
+        while b < n:
+            b *= 2
+        xp = np.zeros((b, *x.shape[1:]), np.float32)
+        xp[:n] = x
+        return np.asarray(jitted(params, xp))[:n]
+
+    return predict
 
 
 def classifier_inputs_for_kind(kind: str, X, V, I):

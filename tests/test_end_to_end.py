@@ -125,13 +125,22 @@ def test_transfer_cli(workdir):
         str(d / "corpus" / "style1" / f)
         for f in sorted(os.listdir(d / "corpus" / "style1"))
     )
+    run(
+        [os.path.join(REPO, "classify.py"), "--source", str(d / "corpus"),
+         "--output", str(d / "clf_t"), "--cache", str(d / "cache"),
+         "--epochs", "2", "--cpu", "--lstm-size", "24", "--batch-size", "16",
+         "--kinds", "pitch"],
+        cwd=str(d),
+    )
     out = run(
         [os.path.join(REPO, "transfer.py"), "--model", str(d / "vae_t"),
          "--input", src, "--to-class", "style2",
-         "--output", str(d / "transfer"), "--write-reconstruction", "--cpu"],
+         "--output", str(d / "transfer"), "--write-reconstruction",
+         "--classifiers", str(d / "clf_t"), "--cpu"],
         cwd=str(d),
     )
     assert "style1_to_style2" in out
+    assert "judge confidence in style2 (transferred): pitch" in out
     midis = sorted(os.listdir(d / "transfer"))
     assert any(m.endswith("_style1_to_style2.mid") for m in midis)
     assert any(m.endswith("_reconstruction.mid") for m in midis)

@@ -12,7 +12,9 @@ Examples:
     python transfer.py --model runs/jvp --input song.mid \\
         --to-class pop --output out/
     python transfer.py --model runs/jvp --input song.mid \\
-        --from-class jazz --to-class pop --output out/ --write-reconstruction
+        --from-class jazz --to-class pop --output out/ --write-reconstruction \\
+        --classifiers runs/clf   # judge the result: per-judge target-class
+                                 # confidence for original vs transferred
 """
 
 from __future__ import annotations
@@ -56,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         "--write-reconstruction", action="store_true",
         help="also write the un-switched autoencoding for comparison",
     )
+    p.add_argument(
+        "--classifiers", default=None,
+        help="classifier run dir (classify.py --output): judge the "
+             "transferred song and report per-judge target-class confidence",
+    )
     p.add_argument("--bpm", type=float, default=None,
                    help="output tempo (default: the input's steady-span tempo)")
     p.add_argument("--keep-instruments", action="store_true",
@@ -88,6 +95,39 @@ def main(argv: list[str] | None = None) -> int:
     model = MidiVAE(cfg)
     ctx = GenerationContext(cfg, model, state["params"])
     os.makedirs(args.output, exist_ok=True)
+
+    judges = {}
+    if args.classifiers:
+        from midi_vae_tpu.models.classifier import make_judge
+        from midi_vae_tpu.training.classifier_trainer import load_classifier
+
+        for kind in ("pitch", "velocity", "instrument"):
+            kind_dir = os.path.join(args.classifiers, kind)
+            if os.path.isdir(kind_dir):
+                judges[kind] = make_judge(*load_classifier(kind_dir))
+
+    def judge_windows(Y_song, I_pred, V_flat, label, C_target):
+        """Mean per-judge confidence that the windows are class C_target
+        (the evaluation harness's switched-judge columns, for one song)."""
+        from midi_vae_tpu.evaluation.generation import split_song_back_to_samples
+        from midi_vae_tpu.evaluation.sampling import add_silent_column
+
+        windows = split_song_back_to_samples(Y_song, cfg.output_length)
+        report = []
+        if "pitch" in judges:
+            x = np.stack([add_silent_column(w, cfg) for w in windows])
+            report.append(("pitch", judges["pitch"](x)))
+        if "velocity" in judges and V_flat is not None:
+            v = V_flat.reshape(len(windows), cfg.output_length, 1)
+            report.append(("velocity", judges["velocity"](v)))
+        if "instrument" in judges and I_pred is not None:
+            report.append(("instrument", judges["instrument"](I_pred)))
+        if report:
+            parts = ", ".join(
+                f"{name} {float(np.mean(probs[:, C_target])):.3f}"
+                for name, probs in report
+            )
+            print(f"  judge confidence in {cfg.classes[C_target]} ({label}): {parts}")
 
     C_switch = _class_index(cfg, args.to_class, "--to-class")
 
@@ -124,6 +164,19 @@ def main(argv: list[str] | None = None) -> int:
         save_rolls_as_midi(Y_sw, programs, cfg, out, bpm, V_sw, D_sw)
         print(f"{path} [{cfg.classes[C]}] -> {out} "
               f"(programs {input_programs} -> {programs})")
+        if judges:
+            n_w = song.Y.shape[0]
+            judge_windows(
+                song.Y[..., : cfg.new_num_notes].reshape(-1, cfg.new_num_notes),
+                np.tile(song.I[None], (n_w, 1, 1)),
+                song.V.reshape(-1),
+                "original", C_switch,
+            )
+            judge_windows(
+                Y_sw, I_sw if cfg.meta_instrument else None,
+                V_sw if cfg.meta_velocity else None,
+                "transferred", C_switch,
+            )
 
         if args.write_reconstruction:
             z = ctx.encode_song(song.X, song.I, song.V, song.D)
