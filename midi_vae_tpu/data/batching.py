@@ -30,6 +30,15 @@ def one_hot(indices, depth: int) -> np.ndarray:
     return arr
 
 
+def bucket_pow2(n: int) -> int:
+    """Next power-of-two >= n: the shared batch-padding policy that keeps
+    jitted program shapes static (generation contexts, classifier judges)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def held_to_categorical(D: np.ndarray) -> np.ndarray:
     """(B, T) held flags -> (B, T, 2) one-hot (vae_definition.py:774-781)."""
     D = np.asarray(D)

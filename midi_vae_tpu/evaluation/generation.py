@@ -22,11 +22,7 @@ from ..utils import music
 from . import sampling
 
 
-def _bucket(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+from ..data.batching import bucket_pow2 as _bucket  # shared padding policy
 
 
 class GenerationContext:

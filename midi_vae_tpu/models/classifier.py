@@ -176,16 +176,15 @@ def make_judge(model, params):
     probs-out predict callable (the judge form the evaluation harness and
     transfer CLI consume): inputs preprocessed per the classifier spec,
     bucket-padded to keep jit shapes static, trimmed on return."""
+    from ..data.batching import bucket_pow2
+
     jitted = jax.jit(model.predict)
     spec = model.spec
 
     def predict(x):
         x = np.asarray(spec.preprocess_inputs(x), np.float32)
         n = x.shape[0]
-        b = 1
-        while b < n:
-            b *= 2
-        xp = np.zeros((b, *x.shape[1:]), np.float32)
+        xp = np.zeros((bucket_pow2(n), *x.shape[1:]), np.float32)
         xp[:n] = x
         return np.asarray(jitted(params, xp))[:n]
 

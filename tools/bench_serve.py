@@ -85,12 +85,15 @@ def main() -> None:
         return best
 
     results = {}  # metric -> (seconds per batch, note-steps per batch)
-    note_steps = B * cfg.output_length
 
     # ---- sustained: K device-resident batches, one lax.scan dispatch ----
     enc_batch, _ = ctx._padded_encoder_batch(
         flat.X, I_song, flat.V[..., 0], flat.D[..., 1]
     )
+    # the encoder batch is bucket-padded; credit the rows the chip actually
+    # processes, and give the decode path the same geometry
+    B = int(enc_batch["X"].shape[0])
+    note_steps = B * cfg.output_length
     enc_many = {
         k: jax.device_put(
             jnp.broadcast_to(v, (K, *v.shape)).copy(), jax.devices()[0]

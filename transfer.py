@@ -139,8 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         if args.from_class is not None:
             C = _class_index(cfg, args.from_class, "--from-class")
         else:
-            matches = [i for i, c in enumerate(cfg.classes) if c in path]
-            C = matches[0] if matches else 0
+            # the dataset labeling rule (data/dataset.py): first class whose
+            # lowercased name appears in the file's DIRECTORY path
+            dirpath = (os.path.dirname(os.path.abspath(path)) + "/").lower()
+            C = next(
+                (i for i, c in enumerate(cfg.classes) if c.lower() in dirpath),
+                None,
+            )
+            if C is None:
+                C = 0
+                print(
+                    f"note: no class name found in the directory of {path}; "
+                    f"assuming source class {cfg.classes[0]!r} "
+                    "(use --from-class to override)"
+                )
         if C == C_switch:
             print(f"skip {path}: source class equals target class")
             continue
@@ -165,10 +177,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{path} [{cfg.classes[C]}] -> {out} "
               f"(programs {input_programs} -> {programs})")
         if judges:
-            n_w = song.Y.shape[0]
             judge_windows(
                 song.Y[..., : cfg.new_num_notes].reshape(-1, cfg.new_num_notes),
-                np.tile(song.I[None], (n_w, 1, 1)),
+                song.I[None],  # one matrix per song, like the reference judge
                 song.V.reshape(-1),
                 "original", C_switch,
             )
