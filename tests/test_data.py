@@ -5,6 +5,8 @@ monophonicity invariants, velocity scaling <= 1) as a real test suite
 (SURVEY.md §4).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -600,3 +602,86 @@ class TestKhotInstrument:
         I = tensorize.programs_to_instrument_matrix(programs, "khot-instrument", 4)
         back = tensorize.instrument_matrix_to_programs(I, "khot-instrument")
         assert back == programs  # complemented code + complemented inverse
+
+
+class TestReleasedRunConfigs:
+    """configs/*.json reproduce the reference's released runs: every
+    overlapping field of each config must match that run's params.txt dump
+    (/root/reference/models/*/params.txt)."""
+
+    # params.txt name -> Config field (None = retired/derived-elsewhere, skip)
+    SKIP = {
+        "load_from_pickle_instead_of_midi", "pickle_load_path",
+        "train_set_size", "test_set_size", "train_paths", "test_paths",
+        # retired flags absent from the current reference settings.py too
+        # (SURVEY.md §2.4: leftovers of an older schema)
+        "instrument_pianoroll", "to_monophonic", "silent_noise",
+        "noise_in_melody", "noise_factor_method", "noise_factor",
+        "vae_without_log",
+        # reference's params.txt records instrument_dim for the ATTACHED
+        # encoding (0 when attach_instruments is off); ours is the
+        # meta-instrument matrix width, asserted separately below
+        "instrument_dim",
+        # Keras optimizer name casing ('Adam') vs ours ('adam'): semantic
+        # equivalence is asserted separately
+        "optimizer",
+        # decoder_additional_input(_dim) are derived properties here
+        "decoder_additional_input", "decoder_additional_input_dim",
+        "meta_instrument_dim", "meta_instrument_length", "signature_dim",
+        "meta_held_notes_length", "meta_next_notes_output_length",
+        "input_dim", "output_dim", "composer_length", "num_composers",
+    }
+
+    @pytest.mark.skipif(
+        not os.path.isdir("/root/reference/models"),
+        reason="reference repo not mounted",
+    )
+    @pytest.mark.parametrize(
+        "run,name", [("JvP", "jvp"), ("CvJ", "cvj"), ("CvP", "cvp"), ("BvM", "bvm")]
+    )
+    def test_released_run_configs_match_params_txt(self, run, name):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = Config.load(os.path.join(repo, "configs", f"{name}.json"))
+        params = {}
+        with open(f"/root/reference/models/{run}/params.txt") as f:
+            for line in f:
+                if ": " not in line:
+                    continue
+                key, value = line.split(": ", 1)
+                params[key.strip()] = value.strip()
+
+        def parse(v):
+            if v in ("True", "False"):
+                return v == "True"
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        checked = 0
+        for key, raw in params.items():
+            if key in self.SKIP or raw.startswith("["):
+                continue
+            assert hasattr(cfg, key), f"params.txt field {key} missing on Config"
+            ours = getattr(cfg, key)
+            assert ours == parse(raw), f"{key}: ref={raw} ours={ours}"
+            checked += 1
+        assert checked >= 55
+
+        # the derived geometry of the released runs
+        assert cfg.input_dim == int(params["input_dim"]) == 61
+        assert cfg.output_dim == int(params["output_dim"]) == 61
+        assert cfg.meta_instrument_dim == int(params["meta_instrument_dim"])
+        assert cfg.meta_instrument_length == int(params["meta_instrument_length"])
+        assert cfg.signature_vector_length == int(params["signature_dim"])
+        assert cfg.decoder_additional_input == (
+            params["decoder_additional_input"] == "True"
+        )
+        assert cfg.meta_held_notes_length == int(params["meta_held_notes_length"])
+        assert cfg.meta_next_notes_output_length == int(
+            params["meta_next_notes_output_length"]
+        )
+        assert cfg.optimizer == params["optimizer"].lower()
+        assert cfg.num_classes == 2
