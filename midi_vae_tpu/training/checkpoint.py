@@ -24,8 +24,10 @@ def _ocp():
 
 
 def save_checkpoint(
-    ckpt_dir: str, epoch: int, params, opt_state, rng, cfg: Config
+    ckpt_dir: str, epoch: int, params, opt_state, rng, cfg: Config | None
 ) -> str:
+    """Write the full training state; cfg=None skips the config.json (the
+    classifier trainer writes its spec.json instead)."""
     ocp = _ocp()
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -37,7 +39,8 @@ def save_checkpoint(
     }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    cfg.save(os.path.join(ckpt_dir, "config.json"))
+    if cfg is not None:
+        cfg.save(os.path.join(ckpt_dir, "config.json"))
     return path
 
 

@@ -196,10 +196,17 @@ class ClassifierTrainer:
         ]
 
     def evaluate(
-        self, state: ClassifierState, inputs: np.ndarray, labels: np.ndarray
+        self,
+        state: ClassifierState,
+        inputs: np.ndarray,
+        labels: np.ndarray,
+        preprocessed: bool = False,
     ) -> dict:
-        """Loss + accuracy + confusion[true, predicted]."""
-        inputs = self.spec.preprocess_inputs(inputs)
+        """Loss + accuracy + confusion[true, predicted]. ``preprocessed``
+        skips spec.preprocess_inputs (fit preprocesses the test split once
+        instead of at every test boundary)."""
+        if not preprocessed:
+            inputs = self.spec.preprocess_inputs(inputs)
         n = inputs.shape[0]
         num_classes = self.spec.num_classes
         onehot = np.eye(num_classes, dtype=np.float32)[labels]
@@ -245,6 +252,7 @@ class ClassifierTrainer:
         import jax.numpy as jnp
 
         history: dict[str, list] = {"train": [], "test": [], "epoch": []}
+        last_saved_epoch = -1
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
 
@@ -254,6 +262,11 @@ class ClassifierTrainer:
         onehot = np.eye(self.spec.num_classes, dtype=np.float32)[train_labels]
         device_data = {"x": jnp.asarray(x_train), "c": jnp.asarray(onehot)}
         n_train = x_train.shape[0]
+        x_test = (
+            self.spec.preprocess_inputs(test_inputs)
+            if test_inputs is not None and len(test_inputs)
+            else None
+        )
 
         def is_boundary(x: int) -> bool:
             if test_inputs is not None and len(test_inputs) and x % test_step == 0:
@@ -280,8 +293,8 @@ class ClassifierTrainer:
                 history["train"].append(m)
             state.epoch = b + 1
             e = b
-            if test_inputs is not None and len(test_inputs) and e % test_step == 0:
-                tm = self.evaluate(state, test_inputs, test_labels)
+            if x_test is not None and e % test_step == 0:
+                tm = self.evaluate(state, x_test, test_labels, preprocessed=True)
                 confusion = tm.pop("confusion")
                 history["test"].append({"epoch": e, **tm})
                 log_fn(f"  test acc={tm['accuracy']:.4f} loss={tm.get('loss', 0):.4f}")
@@ -299,32 +312,23 @@ class ClassifierTrainer:
                         print(f"confusion plot failed: {err}")
             if output_dir and e % save_step == 0:
                 self.save(output_dir, state)
+                last_saved_epoch = state.epoch
                 with open(os.path.join(output_dir, "history.json"), "w") as f:
                     json.dump(history, f)
             e = b + 1
         if output_dir:
-            self.save(output_dir, state)
+            if last_saved_epoch != state.epoch:  # avoid a duplicate final save
+                self.save(output_dir, state)
             with open(os.path.join(output_dir, "history.json"), "w") as f:
                 json.dump(history, f)
         return history
 
     # ------------------------------------------------------------------
     def save(self, output_dir: str, state: ClassifierState) -> None:
-        import orbax.checkpoint as ocp
-
-        path = os.path.abspath(os.path.join(output_dir, f"epoch_{state.epoch - 1}"))
-        os.makedirs(output_dir, exist_ok=True)
-        with ocp.StandardCheckpointer() as c:
-            c.save(
-                path,
-                {
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "epoch": np.asarray(state.epoch - 1),
-                    "rng": state.rng,
-                },
-                force=True,
-            )
+        ckpt.save_checkpoint(
+            output_dir, state.epoch - 1, state.params, state.opt_state,
+            state.rng, None,
+        )
         with open(os.path.join(output_dir, "spec.json"), "w") as f:
             json.dump(self.spec.__dict__, f, indent=2)
 
@@ -337,10 +341,11 @@ class ClassifierTrainer:
             "rng": template_state.rng,
         }
         restored = ckpt.restore_checkpoint(output_dir, epoch, template)
+        # re-place with the mesh's sharding policy (see VAETrainer.restore)
         return ClassifierState(
-            params=restored["params"],
-            opt_state=restored["opt_state"],
-            rng=restored["rng"],
+            params=pmesh.shard_params(restored["params"], self.mesh),
+            opt_state=pmesh.shard_params(restored["opt_state"], self.mesh),
+            rng=jax.device_put(restored["rng"], pmesh.replicated(self.mesh)),
             epoch=restored["epoch"] + 1,
         )
 

@@ -141,9 +141,6 @@ class VAETrainer:
         cfg = self.cfg
         model = self.model
         optimizer = self.optimizer
-        mesh = self.mesh
-        bsh = pmesh.batch_sharding(mesh)
-        rep = pmesh.replicated(mesh)
 
         def train_step(params, opt_state, batch, rng):
             rng, sample_key = jax.random.split(rng)
@@ -166,7 +163,6 @@ class VAETrainer:
 
         # inputs arrive pre-placed (shard_params / shard_batch); jit infers
         # shardings from them, so the same step runs DP-only or DP+TP meshes
-        del bsh, rep
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self.eval_step = jax.jit(eval_step)
         self.encode_step = jax.jit(encode_step)
@@ -179,7 +175,11 @@ class VAETrainer:
     # in-jit gathers, mirroring the host path's _slice_batch.
     # ------------------------------------------------------------------
     def supports_device_epoch(self) -> bool:
-        return True
+        # multi-process runs assemble GLOBAL batches per process
+        # (run_epoch_distributed / global_batch_from_local); the
+        # device-resident epoch path uploads process-local arrays into a
+        # multi-process mesh, which jax rejects -- host-driven epochs there
+        return jax.process_count() == 1
 
     def prepare_device_data(self, flat: FlatSplit) -> dict:
         """Upload the full split to device memory once."""
@@ -365,7 +365,18 @@ class VAETrainer:
         cfg = self.cfg
         bs = cfg.batch_size
         n_batches = max(1, (num_windows + bs - 1) // bs)
-        base_seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
+        # the seed draw is a blocking host<->device round trip; skip it when
+        # nothing shuffles. fold_in (not state.rng itself) keeps the shuffle
+        # stream decorrelated from the device sampling chain rooted at rng
+        base_seed = (
+            int(
+                jax.random.randint(
+                    jax.random.fold_in(state.rng, 17), (), 0, 2**31 - 1
+                )
+            )
+            if shuffle
+            else 0
+        )
         orders = np.empty((n_epochs, n_batches, bs), np.int32)
         masks = np.empty((n_epochs, n_batches, bs), np.float32)
         h_scales = np.empty((n_epochs,), np.float32)
@@ -424,38 +435,28 @@ class VAETrainer:
         data: dict,
         num_windows: int,
         shuffle: bool = True,
-        use_history: bool = True,
+        use_history: bool | None = None,
+        first_epoch: int | None = None,
     ) -> EpochMetrics:
-        """One full epoch as a single jitted call over device-resident data."""
-        cfg = self.cfg
-        bs = cfg.batch_size
-        order = np.arange(num_windows)
-        if shuffle:
-            seed = int(jax.random.randint(state.rng, (), 0, 2**31 - 1))
-            np.random.RandomState(seed).shuffle(order)
-        n_batches = max(1, (num_windows + bs - 1) // bs)
-        padded = np.full((n_batches * bs,), -1, np.int32)
-        padded[:num_windows] = order
-        order2d = padded.reshape(n_batches, bs)
-        mask2d = (order2d >= 0).astype(np.float32)
+        """One full epoch as a single jitted call over device-resident data.
 
-        z_cache = self._get_z_cache(state, data, 1 if use_history else 0)
-        if not hasattr(self, "_device_epoch_jit"):
-            self._device_epoch_jit = jax.jit(
-                self._device_epoch_fn, donate_argnums=(0, 1, 3)
-            )
-        state.params, state.opt_state, state.rng, state.z_cache, metrics = (
-            self._device_epoch_jit(
-                state.params, state.opt_state, state.rng, z_cache, data,
-                jnp.asarray(order2d), jnp.asarray(mask2d),
-                jnp.asarray(1.0 if use_history else 0.0, jnp.float32),
-            )
+        Thin wrapper over ``run_epochs_device(n_epochs=1)`` (one shared jit,
+        no drift between the paths). ``first_epoch`` defaults to
+        ``state.epoch`` and advances it, so a fresh state's first epoch
+        trains with H=0 (the reference zeroes history while the encoder is
+        untrained, vae_training.py:789) and looping callers get history from
+        the second epoch on. ``use_history=False`` disables history for this
+        epoch regardless.
+        """
+        e0 = state.epoch if first_epoch is None else first_epoch
+        per_epoch = self.run_epochs_device(
+            state, data, num_windows, 1, shuffle=shuffle, first_epoch=e0,
+            use_history=True if use_history is None else use_history,
         )
+        if first_epoch is None:
+            state.epoch = e0 + 1
         agg = EpochMetrics()
-        weights = mask2d.sum(axis=1)
-        host_metrics = {k: np.asarray(v) for k, v in metrics.items()}
-        for b in range(n_batches):
-            agg.update({k: v[b] for k, v in host_metrics.items()}, float(weights[b]))
+        agg.update(per_epoch[0], weight=float(max(num_windows, 1)))
         return agg
 
     # ------------------------------------------------------------------
@@ -471,16 +472,39 @@ class VAETrainer:
     # ------------------------------------------------------------------
     def compute_history(self, params, flat: FlatSplit) -> np.ndarray:
         """One batched encoder pass -> H[i] = z[i-1] within each song
-        (the reference's per-song predict+roll, vae_training.py:787-798)."""
+        (the reference's per-song predict+roll, vae_training.py:787-798).
+
+        Multi-process: every process holds the same flat split; each batch
+        is assembled globally (its process-local rows contributed, like
+        run_epoch_distributed) and the sharded z is allgathered back so
+        every process ends with the full H."""
         cfg = self.cfg
         n = flat.num_windows
         zs = np.zeros((n, cfg.latent_dim), np.float32)
         bs = cfg.batch_size
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            from ..parallel import distributed as dist
+
+            assert bs % n_proc == 0, "batch_size must divide by process count"
+            per = bs // n_proc
+            pi = jax.process_index()
         for start in range(0, n, bs):
             idx = np.arange(start, min(start + bs, n))
             batch = {k: getattr(flat, k)[idx] for k in ("X", "I", "V", "D")}
             batch, mask = pmesh.pad_batch_to(batch, bs)
-            z = np.asarray(self.encode_step(params, batch))
+            if n_proc > 1:
+                local = {k: v[pi * per : (pi + 1) * per] for k, v in batch.items()}
+                gbatch = dist.global_batch_from_local(local, self.mesh)
+                z = np.asarray(
+                    multihost_utils.process_allgather(
+                        self.encode_step(params, gbatch), tiled=True
+                    )
+                ).reshape(bs, cfg.latent_dim)
+            else:
+                z = np.asarray(self.encode_step(params, batch))
             zs[idx] = z[: len(idx)]
         H = np.zeros_like(zs)
         H[1:] = zs[:-1]
@@ -567,13 +591,24 @@ class VAETrainer:
             H = self.compute_history(state.params, flat)
         agg = EpochMetrics()
         bs = cfg.batch_size
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            from ..parallel import distributed as dist
+
+            assert bs % n_proc == 0, "batch_size must divide by process count"
+            per = bs // n_proc
+            pi = jax.process_index()
         pending = []
         for start in range(0, flat.num_windows, bs):
             idx = np.arange(start, min(start + bs, flat.num_windows))
             batch = _slice_batch(flat, idx, cfg, H)
             batch, mask = pmesh.pad_batch_to(batch, bs)
             batch["M"] = mask
-            batch = pmesh.shard_batch(batch, self.mesh)
+            if n_proc > 1:
+                local = {k: v[pi * per : (pi + 1) * per] for k, v in batch.items()}
+                batch = dist.global_batch_from_local(local, self.mesh)
+            else:
+                batch = pmesh.shard_batch(batch, self.mesh)
             metrics = self.eval_step(state.params, batch)
             pending.append((metrics, float(mask.sum())))
         for metrics, w in pending:
@@ -601,6 +636,26 @@ class VAETrainer:
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             cfg.save(os.path.join(output_dir, "config.json"))
+            if state.epoch > 0:
+                # resuming: keep the pre-resume training record (entries at
+                # or past the resume epoch are re-run and would duplicate)
+                hist_path = os.path.join(output_dir, "history.json")
+                if os.path.exists(hist_path):
+                    try:
+                        with open(hist_path) as f:
+                            prev = json.load(f)
+                        keep = [
+                            i for i, ep in enumerate(prev.get("epoch", []))
+                            if ep < state.epoch
+                        ]
+                        history["epoch"] = [prev["epoch"][i] for i in keep]
+                        history["train"] = [prev["train"][i] for i in keep]
+                        history["test"] = [
+                            t for t in prev.get("test", [])
+                            if t.get("epoch", -1) < state.epoch
+                        ]
+                    except (ValueError, KeyError, IndexError):
+                        pass  # unreadable/foreign history: start fresh
 
         device_data = None
         if self.supports_device_epoch() and train.num_windows:
@@ -613,6 +668,8 @@ class VAETrainer:
                 return True
             return False
 
+        start_epoch = state.epoch
+        last_saved_epoch = -1
         e = state.epoch
         while e < epochs:
             t0 = time.time()
@@ -631,10 +688,13 @@ class VAETrainer:
                 H = None
                 if cfg.history and e > 0:
                     H = self.compute_history(state.params, train)
+                run = (
+                    self.run_epoch_distributed
+                    if jax.process_count() > 1
+                    else self.run_epoch
+                )
                 per_epoch = [
-                    self.run_epoch(
-                        state, train, shuffle=cfg.shuffle_train_set, H=H
-                    ).means()
+                    run(state, train, shuffle=cfg.shuffle_train_set, H=H).means()
                 ]
             train_metrics = per_epoch[-1]
             dt = time.time() - t0
@@ -662,14 +722,19 @@ class VAETrainer:
                 ckpt.save_checkpoint(
                     output_dir, b, state.params, state.opt_state, state.rng, cfg
                 )
+                last_saved_epoch = b
                 with open(os.path.join(output_dir, "history.json"), "w") as f:
                     json.dump(history, f)
             e = b + 1
 
         if output_dir:
-            ckpt.save_checkpoint(
-                output_dir, epochs - 1, state.params, state.opt_state, state.rng, cfg
-            )
+            # final checkpoint -- unless the loop already saved this epoch,
+            # or nothing was trained (resume of an already-complete run)
+            if last_saved_epoch != epochs - 1 and start_epoch < epochs:
+                ckpt.save_checkpoint(
+                    output_dir, epochs - 1, state.params, state.opt_state,
+                    state.rng, cfg,
+                )
             with open(os.path.join(output_dir, "history.json"), "w") as f:
                 json.dump(history, f)
             if plot:
@@ -693,9 +758,14 @@ class VAETrainer:
             "rng": template_state.rng,
         }
         restored = ckpt.restore_checkpoint(ckpt_dir, epoch, template)
+        # orbax returns COMMITTED single-device arrays; re-place the state
+        # with the mesh's sharding policy (params AND optimizer moments --
+        # shard_params' per-leaf policy applies to both; scalars/rng
+        # replicate) or the first jitted step on a >1-device mesh rejects
+        # the mixed device sets
         return TrainState(
-            params=restored["params"],
-            opt_state=restored["opt_state"],
-            rng=restored["rng"],
+            params=pmesh.shard_params(restored["params"], self.mesh),
+            opt_state=pmesh.shard_params(restored["opt_state"], self.mesh),
+            rng=jax.device_put(restored["rng"], pmesh.replicated(self.mesh)),
             epoch=restored["epoch"] + 1,
         )

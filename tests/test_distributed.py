@@ -70,6 +70,21 @@ WORKER = textwrap.dedent(
         m = trainer.run_epoch_distributed(state, flat, shuffle=False).means()
     print("EPOCHS", pid, m0["loss"], m["loss"], flush=True)
     assert m["loss"] < m0["loss"]
+
+    # fit() must route multi-process runs through run_epoch_distributed,
+    # the distributed compute_history (history=True forces the encoder
+    # pass from epoch 1 on), and the distributed evaluate at test
+    # boundaries -- the train.py --coordinator path end to end
+    cfg_h = small_test_config(batch_size=8, history=True, epochs=2, test_step=1)
+    trainer2 = VAETrainer(cfg_h, mesh=mesh)
+    state2 = trainer2.init_state(seed=0)
+    state2.params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), state2.params)
+    state2.opt_state = trainer2.optimizer.init(state2.params)
+    hist = trainer2.fit(state2, flat, test=flat, log_fn=lambda s: None, plot=False)
+    print("FIT", pid, hist["train"][0]["loss"], hist["train"][-1]["loss"],
+          hist["test"][-1]["loss"], flush=True)
     """
 )
 
@@ -104,12 +119,15 @@ def test_two_process_training_step(tmp_path):
 
     losses = []
     epoch_losses = []
+    fit_losses = []
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 losses.append(float(line.split()[2]))
             if line.startswith("EPOCHS"):
                 epoch_losses.append((float(line.split()[2]), float(line.split()[3])))
+            if line.startswith("FIT"):
+                fit_losses.append(tuple(float(x) for x in line.split()[2:5]))
     assert len(losses) == 2
     # both processes compute the same global loss
     assert abs(losses[0] - losses[1]) < 1e-5
@@ -117,3 +135,10 @@ def test_two_process_training_step(tmp_path):
     assert len(epoch_losses) == 2
     assert abs(epoch_losses[0][1] - epoch_losses[1][1]) < 1e-5
     assert epoch_losses[0][1] < epoch_losses[0][0]
+    # fit() end to end: both processes agree on train + test losses
+    assert len(fit_losses) == 2
+    for a, b in zip(*fit_losses):
+        assert abs(a - b) < 1e-5
+    import math
+
+    assert all(math.isfinite(v) for t in fit_losses for v in t)

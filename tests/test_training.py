@@ -98,6 +98,37 @@ class TestTrainer:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
+    def test_resume_preserves_history(self, cfg, tmp_path):
+        """Resuming must keep the pre-resume training record in history.json
+        and must not duplicate the final checkpoint save."""
+        import json
+        import os
+
+        out = str(tmp_path / "run")
+        trainer = VAETrainer(cfg, mesh=make_mesh())
+        state = trainer.init_state(seed=0)
+        flat = synthetic_flat(cfg)
+        trainer.fit(state, flat, epochs=2, output_dir=out,
+                    log_fn=lambda s: None, plot=False)
+        with open(os.path.join(out, "history.json")) as f:
+            assert json.load(f)["epoch"] == [0, 1]
+
+        resumed = trainer.restore(out)
+        assert resumed.epoch == 2
+        trainer.fit(resumed, flat, epochs=4, output_dir=out,
+                    log_fn=lambda s: None, plot=False)
+        with open(os.path.join(out, "history.json")) as f:
+            hist = json.load(f)
+        assert hist["epoch"] == [0, 1, 2, 3]
+        assert len(hist["train"]) == 4
+
+        # resuming an already-complete run must not erase the record
+        done = trainer.restore(out)
+        trainer.fit(done, flat, epochs=4, output_dir=out,
+                    log_fn=lambda s: None, plot=False)
+        with open(os.path.join(out, "history.json")) as f:
+            assert json.load(f)["epoch"] == [0, 1, 2, 3]
+
     def test_tensor_parallel_compiles(self, cfg):
         """DP+TP: 4x2 mesh, gate dims sharded over 'model'; one step runs."""
         mesh = make_mesh(n_model=2)
