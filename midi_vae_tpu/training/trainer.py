@@ -193,6 +193,36 @@ class VAETrainer:
         each train step) instead of a per-epoch whole-split encode pass."""
         return self.cfg.history and self.cfg.history_from_train_z
 
+    def _gather_batch(self, data: dict, idx, m, H_all, N: int) -> dict:
+        """In-jit batch assembly from device-resident split data: window
+        gather + history + next-window targets + decoder additional input
+        (mirrors the host path's _slice_batch)."""
+        cfg = self.cfg
+        safe = jnp.maximum(idx, 0)
+        batch = {k: jnp.take(data[k], safe, axis=0) for k in BATCH_KEYS}
+        batch["H"] = jnp.take(H_all, safe, axis=0)
+        batch["M"] = m
+        if cfg.meta_next_notes:
+            # next-window targets; last window of each song predicts
+            # silence (same as _slice_batch on the host path)
+            nxt = jnp.minimum(safe + 1, N - 1)
+            same = (
+                jnp.take(data["song_id"], nxt) == jnp.take(data["song_id"], safe)
+            ) & (nxt != safe)
+            Nt = jnp.take(data["Y"], nxt, axis=0)
+            silent = jnp.zeros_like(Nt)
+            if cfg.include_silent_note:
+                silent = silent.at[..., -1].set(1.0)
+            batch["N"] = jnp.where(same[:, None, None], Nt, silent)
+        if cfg.decoder_additional_input:
+            parts = []
+            if cfg.decoder_input_composer:
+                parts.append(batch["C"])
+            if cfg.append_signature_vector_to_latent:
+                parts.append(batch["S"])
+            batch["A"] = jnp.concatenate(parts, axis=-1)
+        return batch
+
     def _device_epoch_fn(self, params, opt_state, rng, z_cache, data, order,
                          mask, h_scale, history_active=True):
         """order: (n_batches, B) int32 window ids (-1 = padding);
@@ -229,30 +259,7 @@ class VAETrainer:
         def body(carry, xs):
             params, opt_state, rng, z_cache = carry
             idx, m = xs
-            safe = jnp.maximum(idx, 0)
-            batch = {k: jnp.take(data[k], safe, axis=0) for k in BATCH_KEYS}
-            batch["H"] = jnp.take(H_all, safe, axis=0)
-            batch["M"] = m
-            if cfg.meta_next_notes:
-                # next-window targets; last window of each song predicts
-                # silence (same as _slice_batch on the host path)
-                nxt = jnp.minimum(safe + 1, N - 1)
-                same = (
-                    jnp.take(data["song_id"], nxt)
-                    == jnp.take(data["song_id"], safe)
-                ) & (nxt != safe)
-                Nt = jnp.take(data["Y"], nxt, axis=0)
-                silent = jnp.zeros_like(Nt)
-                if cfg.include_silent_note:
-                    silent = silent.at[..., -1].set(1.0)
-                batch["N"] = jnp.where(same[:, None, None], Nt, silent)
-            if cfg.decoder_additional_input:
-                parts = []
-                if cfg.decoder_input_composer:
-                    parts.append(batch["C"])
-                if cfg.append_signature_vector_to_latent:
-                    parts.append(batch["S"])
-                batch["A"] = jnp.concatenate(parts, axis=-1)
+            batch = self._gather_batch(data, idx, m, H_all, N)
             rng, sample_key = jax.random.split(rng)
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: loss_and_metrics(
@@ -390,6 +397,50 @@ class VAETrainer:
             masks[e] = (orders[e] >= 0).astype(np.float32)
             h_scales[e] = 1.0 if (use_history and first_epoch + e > 0) else 0.0
         return orders, masks, h_scales
+
+    def _device_eval_fn(self, params, data, order, mask):
+        """Whole-split evaluation in ONE jitted program: in-jit history
+        encode pass (test H always comes from the CURRENT params, like the
+        reference's per-song predict in test(), vae_training.py:243-300)
+        + a lax.scan over batches with the deterministic-latent loss."""
+        cfg = self.cfg
+        model = self.model
+        N = data["X"].shape[0]
+        if cfg.history:
+            z_all = self._encode_all_z(params, data)
+            H_all = jnp.roll(z_all, 1, axis=0).at[0].set(0.0)
+            H_all = jnp.where(data["first_in_song"][:, None], 0.0, H_all)
+        else:
+            H_all = jnp.zeros((N, cfg.latent_dim), jnp.float32)
+
+        def body(carry, xs):
+            idx, m = xs
+            batch = self._gather_batch(data, idx, m, H_all, N)
+            _, metrics = loss_and_metrics(model, params, batch, None, 0.0)
+            return carry, metrics
+
+        _, metrics = jax.lax.scan(body, 0, (order, mask))
+        w = mask.sum(axis=1)
+        tot = jnp.maximum(w.sum(), 1.0)
+        return {k: jnp.sum(v * w) / tot for k, v in metrics.items()}
+
+    def evaluate_device(
+        self, state: TrainState, data: dict, num_windows: int
+    ) -> dict:
+        """evaluate() over device-resident test data, one dispatch total
+        (the host loop pays the per-call tunnel floor once per BATCH)."""
+        bs = self.cfg.batch_size
+        n_batches = max(1, (num_windows + bs - 1) // bs)
+        padded = np.full((n_batches * bs,), -1, np.int32)
+        padded[:num_windows] = np.arange(num_windows)
+        order = padded.reshape(n_batches, bs)
+        mask = (order >= 0).astype(np.float32)
+        if not hasattr(self, "_device_eval_jit"):
+            self._device_eval_jit = jax.jit(self._device_eval_fn)
+        metrics = self._device_eval_jit(
+            state.params, data, jnp.asarray(order), jnp.asarray(mask)
+        )
+        return {k: float(v) for k, v in metrics.items()}
 
     def run_epochs_device(
         self,
@@ -658,8 +709,11 @@ class VAETrainer:
                         pass  # unreadable/foreign history: start fresh
 
         device_data = None
+        test_device_data = None
         if self.supports_device_epoch() and train.num_windows:
             device_data = self.prepare_device_data(train)
+            if test is not None and test.num_windows:
+                test_device_data = self.prepare_device_data(test)
 
         def is_boundary(x: int) -> bool:
             if test is not None and test.num_windows and x % cfg.test_step == 0:
@@ -711,7 +765,11 @@ class VAETrainer:
                 history["train"].append(m)
 
             if test is not None and test.num_windows and b % cfg.test_step == 0:
-                test_metrics = self.evaluate(state, test).means()
+                test_metrics = (
+                    self.evaluate_device(state, test_device_data, test.num_windows)
+                    if test_device_data is not None
+                    else self.evaluate(state, test).means()
+                )
                 history["test"].append({"epoch": b, **test_metrics})
                 log_fn(
                     f"  test: loss={test_metrics.get('loss', float('nan')):.4f} "

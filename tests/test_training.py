@@ -98,6 +98,21 @@ class TestTrainer:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
+    def test_evaluate_device_matches_host(self, cfg):
+        """The one-dispatch device evaluation (in-jit history encode pass +
+        batch scan) must reproduce the host evaluate loop."""
+        trainer = VAETrainer(cfg, mesh=make_mesh())
+        state = trainer.init_state(seed=0)
+        flat = synthetic_flat(cfg)
+        m_host = trainer.evaluate(state, flat).means()
+        data = trainer.prepare_device_data(flat)
+        m_dev = trainer.evaluate_device(state, data, flat.num_windows)
+        assert set(m_dev) == set(m_host)
+        for k in m_host:
+            np.testing.assert_allclose(
+                m_dev[k], m_host[k], rtol=2e-5, atol=1e-6, err_msg=k
+            )
+
     def test_resume_preserves_history(self, cfg, tmp_path):
         """Resuming must keep the pre-resume training record in history.json
         and must not duplicate the final checkpoint save."""
