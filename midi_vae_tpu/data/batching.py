@@ -131,9 +131,12 @@ def normalize_signatures(
     S_train: list[np.ndarray], S_test: list[np.ndarray]
 ) -> tuple[list[np.ndarray], list[np.ndarray], np.ndarray, np.ndarray]:
     """Normalize by train mean/std; zero stds -> 1e-10 (vae_training.py:686-716)."""
-    all_S = np.concatenate(S_train, axis=0) if S_train else np.zeros((0, 15))
-    mean = all_S.mean(axis=0) if len(all_S) else np.zeros(15)
-    std = all_S.std(axis=0) if len(all_S) else np.ones(15)
+    # empty-train fallback: take the signature width from whichever split
+    # has data (a hardcoded 15 would break custom signature lengths)
+    dim = next((s.shape[-1] for s in list(S_train) + list(S_test) if len(s)), 15)
+    all_S = np.concatenate(S_train, axis=0) if S_train else np.zeros((0, dim))
+    mean = all_S.mean(axis=0) if len(all_S) else np.zeros(dim)
+    std = all_S.std(axis=0) if len(all_S) else np.ones(dim)
     std = np.where(std == 0, 1.0e-10, std)
     norm_train = [(s - mean) / std for s in S_train]
     norm_test = [(s - mean) / std for s in S_test]

@@ -58,30 +58,34 @@ class Dataset:
         return len(self.X_test)
 
 
-def _config_digest(cfg: Config) -> str:
-    """Digest over the fields that affect tensorization + splitting."""
+def _config_digest(cfg: Config, folder: str) -> str:
+    """Digest over the source folder + the fields that affect
+    tensorization + splitting."""
     keys = [
         "classes", "include_unknown", "only_unknown", "test_fraction",
         "split_seed", "high_crop", "low_crop", "smallest_note",
         "max_voices_per_track", "max_songs", "equal_mini_songs",
         "attach_instruments", "include_only_monophonic_instruments",
         "max_voices", "instrument_attach_method", "song_completion",
-        "velocity_threshold", "smaller_training_set_factor",
+        "velocity_threshold", "max_velocity", "smaller_training_set_factor",
         "bars_input_length", "bars_output_length", "include_silent_note",
     ]
     d = cfg.to_dict()
-    blob = repr([(k, d[k]) for k in keys]).encode()
+    blob = repr(
+        [("source", os.path.abspath(folder))] + [(k, d[k]) for k in keys]
+    ).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
 def find_midi_files(folder: str, cfg: Config) -> list[tuple[str, int]]:
     """Walk ``folder``; return (path, class_index) honoring the reference's
-    substring labeling, unknown handling and max_songs cap."""
+    substring labeling and unknown handling. The ``max_songs`` cap applies
+    to successfully IMPORTED songs (the reference's ``no_imported`` counter,
+    import_midi.py:383-433), so the import loop enforces it -- unparseable
+    files must not shrink the corpus below the cap."""
     found: list[tuple[str, int]] = []
     for path, _subdirs, files in sorted(os.walk(folder)):
         for name in sorted(files):
-            if len(found) >= cfg.max_songs:
-                return found
             if not (name.endswith(".mid") or name.endswith(".midi")):
                 continue
             full = os.path.join(path, name)
@@ -99,14 +103,15 @@ def find_midi_files(folder: str, cfg: Config) -> list[tuple[str, int]]:
     return found
 
 
-def windows_per_song(song_Y: np.ndarray, cfg: Config) -> int:
-    """Window count used by equal_mini_songs (import_midi.py:508).
+def windows_per_song(song_X: np.ndarray, cfg: Config) -> int:
+    """Window count used by equal_mini_songs (import_midi.py:506-508).
 
-    The reference computes ceil(len(X_song_list) / (output_length//max_voices))
-    where the 'song' is the list of already-windowed chunks; len(song) is the
-    number of windows, so this mirrors that exactly.
+    The reference computes ceil(len(X_train[i]) / (output_length//max_voices))
+    -- over the X windows specifically, which matters when
+    bars_input_length != bars_output_length (X and Y then have different
+    window counts).
     """
-    return math.ceil(len(song_Y) / (cfg.output_length // cfg.max_voices))
+    return math.ceil(len(song_X) / (cfg.output_length // cfg.max_voices))
 
 
 def _load_one(args):
@@ -124,7 +129,9 @@ def import_midi_from_folder(
 ) -> Dataset:
     """Import + split a labeled MIDI corpus (import_midi.py:352-574)."""
     if cache_dir:
-        cache_path = os.path.join(cache_dir, f"dataset_{_config_digest(cfg)}.pkl")
+        cache_path = os.path.join(
+            cache_dir, f"dataset_{_config_digest(cfg, folder)}.pkl"
+        )
         if os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 payload = pickle.load(f)
@@ -151,12 +158,16 @@ def import_midi_from_folder(
                 )
             )
         for (full, label), song in zip(files, results):
+            if len(songs) >= cfg.max_songs:
+                break
             if song is not None and song.X is not None:
                 songs.append(song)
                 labels.append(label)
                 paths.append(full)
     else:
         for full, label in files:
+            if len(songs) >= cfg.max_songs:
+                break
             if verbose:
                 print(f"Importing class {label} song {os.path.basename(full)}")
             song = load_rolls_from_path(full, cfg, preprocessed_dir=preprocessed_dir)
@@ -209,12 +220,12 @@ def import_midi_from_folder(
     if cfg.equal_mini_songs and train_songs:
         splits_per_class = np.zeros((cfg.num_classes,))
         for song, c in zip(train_songs, train_labels):
-            splits_per_class[c] += windows_per_song(song.Y, cfg)
+            splits_per_class[c] += windows_per_song(song.X, cfg)
         amount = int(min(splits_per_class) * cfg.smaller_training_set_factor)
         new_songs, new_labels, new_paths = [], [], []
         counts = np.zeros((cfg.num_classes,))
         for song, c, p in zip(train_songs, train_labels, train_paths):
-            w = windows_per_song(song.Y, cfg)
+            w = windows_per_song(song.X, cfg)
             if counts[c] + w <= amount:
                 new_songs.append(song)
                 new_labels.append(c)

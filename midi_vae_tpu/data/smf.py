@@ -133,6 +133,11 @@ def _parse_track_events(data: bytes):
         elif status in (0xF0, 0xF7):  # sysex
             length, pos = _read_varlen(data, pos)
             pos += length
+        elif status >= 0xF0:
+            # system common (0xF1-0xF6) / realtime (0xF8-0xFE): skip their
+            # fixed-size payloads -- misreading them as 2-byte channel
+            # events desynchronizes every later delta-time in the track
+            pos += {0xF1: 1, 0xF2: 2, 0xF3: 1}.get(status, 0)
         else:
             kind = status & 0xF0
             nbytes = 1 if kind in (0xC0, 0xD0) else 2

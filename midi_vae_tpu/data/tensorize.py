@@ -22,6 +22,11 @@ Known reference bugs intentionally NOT replicated (SURVEY.md §2.4):
   (import_midi.py:201) -- we append the held-note column.
 * `2^exponent` XOR in the khot inverse (data_class.py:359-372) -- we use
   `2**exponent`.
+* the renderer's velocity un-scaling subtracts a HARDCODED 0.5
+  (midi_functions.py:77) even though the import scaled by
+  `velocity_threshold` (import_midi.py:272) -- we subtract the threshold,
+  the exact inverse, so round-trips hold at any threshold. Identical at
+  the shipped default threshold 0.5.
 """
 
 from __future__ import annotations
@@ -241,10 +246,12 @@ def load_rolls(
     # windows). Verified bit-exact against the executing reference by
     # tools/ref_parity_check.py --adversarial (multi_tempo/span_straddle).
 
-    # order instruments by activity, descending (stable argsort, reversed,
-    # matching np.argsort(counts)[::-1] of import_midi.py:74)
+    # order instruments by activity, descending: np.argsort(counts)[::-1]
+    # exactly as import_midi.py:74 -- DEFAULT sort kind, because numpy's
+    # introsort is only stable below its insertion-sort threshold (16), and
+    # tie order on >16 instrument streams must match the reference's
     counts = _activity_counts(mid)
-    permutation = np.argsort(counts, kind="stable")[::-1]
+    permutation = np.argsort(counts)[::-1]
     instruments = [mid.instruments[i] for i in permutation]
 
     quarter = 60.0 / tempo

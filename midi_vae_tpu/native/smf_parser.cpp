@@ -169,6 +169,12 @@ int smf_parse(const uint8_t* data, int64_t len, SmfResult* out) {
             } else if (status == 0xF0 || status == 0xF7) {
                 int64_t slen = p.varlen();
                 p.pos += slen;
+            } else if (status >= 0xF0) {
+                // system common (0xF1-0xF6) / realtime (0xF8-0xFE):
+                // fixed-size payloads; misreading them as 2-byte channel
+                // events desynchronizes every later delta-time
+                if (status == 0xF2) p.pos += 2;
+                else if (status == 0xF1 || status == 0xF3) p.pos += 1;
             } else {
                 int kind = status & 0xF0;
                 int channel = status & 0x0F;

@@ -567,12 +567,17 @@ class TestDatasetFilters:
         make_midi(notes).write(str(root / rel))
 
     def test_max_songs_cap(self, tmp_path):
+        """The cap counts successfully IMPORTED songs (the reference's
+        no_imported counter): unparseable files must not shrink the corpus."""
         for i in range(6):
             self._write(tmp_path, f"style1/s{i}.mid")
+        # a corrupt file that sorts FIRST: load_rolls_from_path returns None
+        (tmp_path / "style1" / "a_corrupt.mid").write_bytes(b"not a midi")
         cfg = Config(max_songs=3, classes=("style1",))
-        from midi_vae_tpu.data.dataset import find_midi_files
+        from midi_vae_tpu.data.dataset import import_midi_from_folder
 
-        assert len(find_midi_files(str(tmp_path), cfg)) == 3
+        ds = import_midi_from_folder(str(tmp_path), cfg)
+        assert ds.train_set_size + ds.test_set_size == 3
 
     def test_include_unknown(self, tmp_path):
         self._write(tmp_path, "style1/a.mid")
@@ -685,3 +690,35 @@ class TestReleasedRunConfigs:
         )
         assert cfg.optimizer == params["optimizer"].lower()
         assert cfg.num_classes == 2
+
+
+class TestSystemCommonEvents:
+    def test_song_select_does_not_desync_parser(self, tmp_path):
+        """0xF1-0xF6 system-common events carry 0-2 data bytes, not the 2
+        assumed for channel events; a Song Select (0xF3, 1 byte) must not
+        shift every later delta-time."""
+        import struct
+
+        def track(events: bytes) -> bytes:
+            body = events + bytes([0x00, 0xFF, 0x2F, 0x00])
+            return b"MTrk" + struct.pack(">I", len(body)) + body
+
+        note = bytes(
+            [0x00, 0x90, 60, 90]      # note on C4
+            + [0x60, 0x80, 60, 0]     # delta 96, note off
+        )
+        header = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+        clean = tmp_path / "clean.mid"
+        clean.write_bytes(header + track(note))
+        with_f3 = tmp_path / "f3.mid"
+        # Song Select (0xF3 + 1 data byte), then Tune Request (0xF6, no
+        # data), then the same note events
+        with_f3.write_bytes(
+            header + track(bytes([0x00, 0xF3, 0x05, 0x00, 0xF6]) + note)
+        )
+
+        a = smf.read_midi(str(clean))
+        b = smf.read_midi(str(with_f3))
+        na = [(n.pitch, n.velocity, n.start, n.end) for n in a.instruments[0].notes]
+        nb = [(n.pitch, n.velocity, n.start, n.end) for n in b.instruments[0].notes]
+        assert na == nb and len(na) == 1

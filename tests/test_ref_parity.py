@@ -37,7 +37,7 @@ def _run(*args: str, timeout: int = 600) -> dict:
 def test_adversarial_battery_matches_reference():
     summary = _run("--adversarial")
     assert summary["ok"], summary
-    assert summary["n_files"] == 10
+    assert summary["n_files"] == 11
     assert summary["MISMATCH"] == 0
     # the exact-multiple files must hit the documented flood deviation path,
     # proving the classifier distinguishes it from real mismatches

@@ -399,6 +399,17 @@ def write_adversarial_corpus(folder: str) -> None:
         melody(inst(mid, 20), [70, 72] * 8)  # same cell count, same span
     song("activity_tie.mid", tie)
 
+    # 7b. >16 instrument streams with tied activity: numpy's argsort is
+    # introsort above its 16-element insertion-sort threshold, so tie ORDER
+    # depends on the sort algorithm -- the tensorizer must use the same
+    # default sort as import_midi.py:74 (a kind='stable' argsort diverges
+    # exactly here)
+    def many_ties(mid):
+        melody(inst(mid, 0), [60 + (k % 12) for k in range(32)])
+        for j in range(19):
+            melody(inst(mid, 1 + j), [50 + j, 52 + j] * 4)  # all tied
+    song("many_tied_streams.mid", many_ties)
+
     # 8. notes straddling the steady-span boundary are dropped
     def straddle(mid):
         ins = inst(mid, 0)
