@@ -77,8 +77,6 @@ class ClassifierSpec:
 
     def preprocess_inputs(self, x):
         """Kind-specific input transforms (velocity_classifier.py:138-144)."""
-        import numpy as np
-
         if self.kind != "velocity":
             return x
         x = np.copy(np.asarray(x))
@@ -91,11 +89,26 @@ class ClassifierSpec:
 
 
 class StyleClassifier:
-    """Stacked-GRU sequence classifier; pure functions + param pytree."""
+    """Stacked-GRU sequence classifier; pure functions + param pytree.
 
-    def __init__(self, spec: ClassifierSpec):
+    ``platform``: platform of the COMPUTE devices (see MidiVAE.__init__) --
+    'tpu' enables the fused whole-layer Pallas encoder kernels for both the
+    training loss and predict; None keys off the default backend.
+    """
+
+    def __init__(self, spec: ClassifierSpec, platform: str | None = None):
         self.spec = spec
+        self.platform = platform
         self.cell = get_cell(spec.cell_type)
+
+    def _pallas_enabled(self) -> bool:
+        if self.spec.cell_type not in ("GRU", "LSTM"):
+            return False
+        if getattr(self.spec, "gate_activation", "sigmoid") != "sigmoid":
+            return False  # kernels implement exact-sigmoid gates only
+        if self.platform is not None:
+            return self.platform == "tpu"
+        return jax.default_backend() == "tpu"
 
     def init_params(self, key: jax.Array) -> Params:
         # host-CPU init; see MidiVAE.init_params for why
@@ -115,16 +128,20 @@ class StyleClassifier:
             "out": dense_init(keys[-1], spec.lstm_size, spec.num_classes),
         }
 
-    def logits(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def logits(
+        self, params: Params, x: jnp.ndarray, inference: bool = False
+    ) -> jnp.ndarray:
         h = encode_sequence(
             params["rnn"], x, self.spec.cell_type, "tanh",
+            fused=self._pallas_enabled(),
+            inference=inference,
             gate_activation=self.spec.gate_activation,
         )
         return dense_apply(params["out"], h)
 
     def predict(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """Softmax class probabilities -- the Keras ``model.predict``."""
-        return jax.nn.softmax(self.logits(params, x), axis=-1)
+        return jax.nn.softmax(self.logits(params, x, inference=True), axis=-1)
 
 
 def classifier_loss(

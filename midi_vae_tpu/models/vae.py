@@ -494,7 +494,11 @@ class MidiVAE:
             }
 
         outputs: dict = {}
-        merge = cfg.merge_decoder_scans
+        # merged per-step scans exist to cut scan/dispatch overhead on the
+        # NON-fused path; at inference with whole-scan kernels available,
+        # run_head's fused decode is strictly faster -- never let the merge
+        # flag pre-empt it
+        merge = cfg.merge_decoder_scans and not (inference and fused_step is not None)
         notes_tf = cfg.teacher_force and ground_truth is not None
 
         if (
@@ -765,8 +769,11 @@ def loss_and_metrics(
         probs_v, _ = out["heads"]["velocity"]
         V = batch["V"]
         loss_v = bmean((probs_v - V) ** 2)
-        # Keras binary_accuracy on a regression head (SURVEY.md §2.1)
-        acc_v = bmean((jnp.round(probs_v) == jnp.round(V)).astype(jnp.float32))
+        # Keras-2.0.8 binary_accuracy on a regression head (SURVEY.md §2.1):
+        # mean(equal(y_true, round(y_pred))) -- y_true is NOT rounded, so a
+        # continuous played-note velocity only ever scores when the target
+        # is exactly 0 or 1 (the reference's actual, quirky, training curve)
+        acc_v = bmean((jnp.round(probs_v) == V).astype(jnp.float32))
         metrics["meta_velocity_loss"] = loss_v
         metrics["meta_velocity_acc"] = acc_v
         total = total + cfg.meta_velocity_weight * loss_v

@@ -53,8 +53,12 @@ class ClassifierState:
 class ClassifierTrainer:
     def __init__(self, spec: ClassifierSpec, mesh=None):
         self.spec = spec
-        self.model = StyleClassifier(spec)
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        # Pallas enablement keys off the mesh's actual device platform
+        # (see VAETrainer.__init__ / MidiVAE.__init__)
+        self.model = StyleClassifier(
+            spec, platform=self.mesh.devices.flat[0].platform
+        )
         self.optimizer = optax.adam(spec.learning_rate)
 
         model = self.model

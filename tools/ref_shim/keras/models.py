@@ -83,7 +83,7 @@ def _accuracy(y_true, y_pred):
     categorical_accuracy otherwise."""
     if y_pred.shape[-1] == 1:
         return float(
-            np.mean((np.round(y_pred) == np.round(y_true)).astype(np.float32))
+            np.mean((np.round(y_pred) == y_true).astype(np.float32))
         )
     return float(
         np.mean(
