@@ -87,15 +87,17 @@ class GenerationContext:
                 res["next_idx"] = jnp.argmax(outs["next"][0], axis=-1)
             return res
 
-        def transfer_argmax_fn(params, batch, perm, rng):
+        def transfer_argmax_fn(params, batch, perm, A, rng):
             """encode -> latent-dim swap -> history roll -> decode -> argmax,
             ONE device program. ``perm`` is a latent-index permutation (the
             z[C] <-> z[C_switch] swap of vae_evaluation.py:2474-2478 as a
-            gather, so every class pair shares the compiled program)."""
+            gather, so every class pair shares the compiled program); ``A``
+            is the decoder additional input for the TARGET class
+            (vae_evaluation.py:2481 passes C_switch + S)."""
             z = model.encode(params, batch, rng, self._eval_eps)
             switched = z[:, perm]
             H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
-            return decode_argmax_fn(params, switched, H, None), switched
+            return decode_argmax_fn(params, switched, H, A), switched
 
         self._decode = jax.jit(decode_fn)
         self._decode_argmax = jax.jit(decode_argmax_fn)
@@ -177,6 +179,31 @@ class GenerationContext:
         z = np.asarray(self._encode(self.params, batch, sub))
         return z[:n]
 
+    def additional_for(
+        self, C: int | None, S: np.ndarray | None, n: int
+    ) -> np.ndarray | None:
+        """Decoder additional input rows, [C one-hot ⊕ S] per the configured
+        flags (prepare_decoder_input, vae_definition.py:835-847). None when
+        the config has no additional input."""
+        cfg = self.cfg
+        if not cfg.decoder_additional_input:
+            return None
+        parts = []
+        if cfg.decoder_input_composer:
+            onehot = np.zeros((n, cfg.num_classes), np.float32)
+            if C is not None:
+                onehot[:, C] = 1.0
+            parts.append(onehot)
+        if cfg.append_signature_vector_to_latent:
+            if S is None:
+                sig = np.zeros((n, cfg.signature_vector_length), np.float32)
+            else:
+                sig = np.zeros((n, cfg.signature_vector_length), np.float32)
+                S = np.atleast_2d(np.asarray(S, np.float32))
+                sig[: min(n, len(S))] = S[:n]
+            parts.append(sig)
+        return np.concatenate(parts, axis=-1)
+
     def style_transfer_song(
         self,
         X: np.ndarray,
@@ -185,6 +212,7 @@ class GenerationContext:
         D: np.ndarray,
         C: int,
         C_switch: int,
+        S: np.ndarray | None = None,
     ):
         """The style-transfer serving round trip in ONE device program.
 
@@ -201,11 +229,18 @@ class GenerationContext:
         """
         cfg = self.cfg
         batch, n = self._padded_encoder_batch(X, I, V, D)
+        b = next(iter(batch.values())).shape[0]
         perm = np.arange(cfg.latent_dim)
         perm[[C, C_switch]] = perm[[C_switch, C]]
+        # additional input carries the TARGET class (+ signature), like the
+        # reference's switch decode (vae_evaluation.py:2481)
+        Ap = np.zeros((b, max(1, cfg.decoder_additional_input_dim)), np.float32)
+        A = self.additional_for(C_switch, S, n)
+        if A is not None:
+            Ap[:n] = A
         self._encode_key, sub = jax.random.split(self._encode_key)
         idx, switched = self._transfer_argmax(
-            self.params, batch, jnp.asarray(perm), sub
+            self.params, batch, jnp.asarray(perm), self._put(Ap), sub
         )
         idx = {k: np.asarray(v)[:n] for k, v in idx.items()}
         return sampling.process_argmax_outputs(idx, cfg), np.asarray(switched)[:n]
@@ -330,15 +365,26 @@ def generate_random_song(
     rng: np.random.RandomState,
     sample_method: str = "choice",
     style_class: int | None = None,
+    z: np.ndarray | None = None,
 ):
     """One random-latent song; optional composer-knob forcing
-    (vae_evaluation.py:1771-1814): z[0:k] = -1, z[C] = 1."""
+    (vae_evaluation.py:1771-1814): z[0:k] = -1, z[C] = 1. Pass ``z`` to
+    reuse one latent across classes (the reference flips the knob on a
+    SHARED random_code so per-class outputs differ only by the knob)."""
     cfg = ctx.cfg
-    z = rng.normal(0.0, z_std, size=(1, cfg.latent_dim)).astype(np.float32)
+    if z is None:
+        z = rng.normal(0.0, z_std, size=(1, cfg.latent_dim)).astype(np.float32)
+    z = np.copy(np.atleast_2d(z)).astype(np.float32)
     if style_class is not None:
         z[0, : cfg.num_classes] = -1
         z[0, style_class] = 1
-    return ctx.decode_and_process(z, sample_method=sample_method, rng=rng)
+    return ctx.decode_and_process(
+        z,
+        additional=ctx.additional_for(
+            style_class if style_class is not None else 0, None, len(z)
+        ),
+        sample_method=sample_method, rng=rng,
+    )
 
 
 def generate_interpolation_song(

@@ -51,6 +51,7 @@ class EvalSections:
 
     harmonicity_evaluations: bool = False
     frankenstein_harmonicity_evaluations: bool = False
+    frankenstein_evaluations: int = 1000  # draws per baseline (vae_eval.py:196)
     max_new_chosen_interpolation_songs: int = 0
     interpolation_length: int = 4
     how_many_songs_in_one_medley: int = 3
@@ -181,13 +182,28 @@ class Evaluator:
             "test": stats.harmonicity_for_split(self.ds.Y_test, self.ds.C_test, cfg),
         }
         if sec.frankenstein_harmonicity_evaluations:
-            r["random_pitches"] = stats.frankenstein_random_pitches(cfg, 100, self.rng)
+            n_evals = sec.frankenstein_evaluations
+            r["random_pitches"] = stats.frankenstein_random_pitches(
+                cfg, n_evals, self.rng
+            )
             r["frankenstein_train"] = stats.frankenstein_from_songs(
-                self.ds.Y_train, cfg, 100, self.rng
+                self.ds.Y_train, cfg, n_evals, self.rng
             )
             r["frankenstein_test"] = stats.frankenstein_from_songs(
-                self.ds.Y_test, cfg, 100, self.rng
+                self.ds.Y_test, cfg, n_evals, self.rng
             )
+            # per-class frankenstein baselines (vae_eval.py:244-255)
+            for split, Y_list, C_list in (
+                ("train", self.ds.Y_train, self.ds.C_train),
+                ("test", self.ds.Y_test, self.ds.C_test),
+            ):
+                per_class = []
+                for C in range(cfg.num_classes):
+                    Y_c = [y for y, c in zip(Y_list, C_list) if c == C]
+                    per_class.append(
+                        stats.frankenstein_from_songs(Y_c, cfg, n_evals, self.rng)
+                    )
+                r[f"frankenstein_{split}_per_class"] = per_class
         self.results["harmonicity"] = r
 
     def section_program_stats(self, sec: EvalSections) -> None:
@@ -386,10 +402,18 @@ class Evaluator:
             if sec.save_anything:
                 self._save_midi(f"random_{song_num}", Y, programs, V, D, sec.bpm)
             if cfg.include_composer_decoder:
+                # ONE shared random_code per song; only the composer knob
+                # changes across classes, so per-class differences isolate
+                # the knob effect (vae_evaluation.py:1792-1800)
+                shared_z = self.rng.normal(
+                    0.0, self.z_std_train, size=(1, cfg.latent_dim)
+                ).astype(np.float32)
+                previous_Y = None
+                previous_programs = None
                 for C in range(cfg.num_classes):
                     Y, I, V, D, _ = generation.generate_random_song(
                         self.ctx, self.z_std_train, self.rng,
-                        cfg.sample_method, style_class=C,
+                        cfg.sample_method, style_class=C, z=shared_z,
                     )
                     programs = instrument_matrix_to_programs(
                         I[0], cfg.instrument_attach_method
@@ -398,6 +422,24 @@ class Evaluator:
                         self._save_midi(
                             f"random_{song_num}_{C}", Y, programs, V, D, sec.bpm
                         )
+                        if previous_Y is not None:
+                            # cross-class switchdiff plot (vae_eval.py:1808)
+                            from ..utils.plotting import draw_difference_pianoroll
+
+                            self._plot_safely(
+                                draw_difference_pianoroll,
+                                generation.prepare_for_drawing(Y, cfg),
+                                generation.prepare_for_drawing(previous_Y, cfg),
+                                name_1=f"{song_num}_{C} programs {programs}",
+                                name_2=f"{song_num}_{C-1} programs "
+                                       f"{previous_programs}",
+                                save_path=os.path.join(
+                                    self.save_folder,
+                                    f"random_{song_num}_{C}_vs_{C-1}"
+                                    "_switchdiff.png",
+                                ),
+                            )
+                    previous_Y, previous_programs = Y, programs
 
     def section_long_songs(self, sec: EvalSections) -> None:
         if not len(self.all_z):
@@ -503,10 +545,17 @@ class Evaluator:
                 class_dir = os.path.join(self.save_folder, cfg.classes[C])
                 os.makedirs(class_dir, exist_ok=True)
                 np.save(os.path.join(class_dir, f"z_{song_name}.npy"), z)
-            H = np.zeros_like(z)
-            H[1:] = z[:-1]
+            # reference QUIRK deliberately replicated: the eval autoencode
+            # feeds H = z UNSHIFTED (vae_evaluation.py:2190 passes the raw
+            # encoded_representation into prepare_autoencoder_input...,
+            # which appends it verbatim) -- each window is conditioned on
+            # its OWN latent, unlike training's rolled H[i]=z[i-1]. The
+            # released evaluation numbers were computed this way.
+            nS_song = nS_list[song_num] if song_num < len(nS_list) else None
             Y_pred, I_pred, V_pred, D_pred, _ = self.ctx.decode_and_process(
-                z, history=H, sample_method="argmax"
+                z, history=z,
+                additional=self.ctx.additional_for(C, nS_song, len(z)),
+                sample_method="argmax",
             )
             if sec.save_anything:
                 self._save_midi(
@@ -579,10 +628,17 @@ class Evaluator:
 
             # --- mix with previous song (vae_eval.py:2422-2442) ---
             if sec.mix_with_previous and previous_latent is not None:
+                from ..data.batching import history_from_latents
+
                 n = min(len(z), len(previous_latent))
                 mixed = (z[:n] + previous_latent[:n]) / 2
+                # the reference decodes the mix through prepare_decoder_input
+                # defaults: ROLLED history of the mixed latents, additional =
+                # original class C + zero signature (S_mix, vae_eval.py:2433)
                 Ym, Im, Vm, Dm, _ = self.ctx.decode_and_process(
-                    mixed, sample_method="argmax"
+                    mixed, history=history_from_latents(mixed),
+                    additional=self.ctx.additional_for(C, None, n),
+                    sample_method="argmax",
                 )
                 mixed_programs = vote_for_programs(Im, cfg)
                 if sec.save_anything:
@@ -611,13 +667,20 @@ class Evaluator:
                     if C_switch == C:
                         continue
                     pair = f"{C}to{C_switch}"
+                    from ..data.batching import history_from_latents
+
                     switched = np.copy(z)
                     switched[:, C] = z[:, C_switch]
                     switched[:, C_switch] = z[:, C]
-                    H_sw = np.zeros_like(switched)
-                    H_sw[1:] = switched[:-1]
+                    # rolled switched history + TARGET-class additional input
+                    # (vae_eval.py:2480-2481: previous_switched_rep chain,
+                    # prepare_decoder_input(switched, C_switch, S[i], ...))
                     Y_sw, I_sw, V_sw, D_sw, _ = self.ctx.decode_and_process(
-                        switched, history=H_sw, sample_method="argmax"
+                        switched, history=history_from_latents(switched),
+                        additional=self.ctx.additional_for(
+                            C_switch, nS_song, len(switched)
+                        ),
+                        sample_method="argmax",
                     )
                     sw_windows = split_song_back_to_samples(Y_sw, cfg.output_length)
                     sw_with_silent = np.stack(

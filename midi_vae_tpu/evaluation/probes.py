@@ -70,24 +70,27 @@ def pitch_window(pitch: int, cfg: Config):
     return X[None], I, V[None], D[None]
 
 
+def _encode_windows(ctx: GenerationContext, windows):
+    """Stack per-probe windows into ONE encode dispatch (the probes share
+    the all-piano instrument matrix, so they batch like one song)."""
+    X = np.concatenate([w[0] for w in windows], axis=0)
+    V = np.concatenate([w[2] for w in windows], axis=0)
+    D = np.concatenate([w[3] for w in windows], axis=0)
+    return ctx.encode_song(X, windows[0][1], V, D)
+
+
 def encode_chords(ctx: GenerationContext, chords: dict, octave: int = 5):
-    """-> (names, latents (n, latent_dim))."""
-    names, zs = [], []
-    for name, chord in chords.items():
-        X, I, V, D = chord_window(chord, octave, ctx.cfg)
-        zs.append(ctx.encode_song(X, I, V, D)[0])
-        names.append(name)
-    return names, np.asarray(zs)
+    """-> (names, latents (n, latent_dim)); one batched encode dispatch."""
+    names = list(chords)
+    windows = [chord_window(chord, octave, ctx.cfg) for chord in chords.values()]
+    return names, _encode_windows(ctx, windows)
 
 
 def encode_pitches(ctx: GenerationContext):
     cfg = ctx.cfg
     pitches = list(range(cfg.low_crop, cfg.high_crop))
-    zs = []
-    for pitch in pitches:
-        X, I, V, D = pitch_window(pitch, cfg)
-        zs.append(ctx.encode_song(X, I, V, D)[0])
-    return pitches, np.asarray(zs)
+    windows = [pitch_window(pitch, cfg) for pitch in pitches]
+    return pitches, _encode_windows(ctx, windows)
 
 
 def embed_2d(latents: np.ndarray, method: str = "pca", n_components: int = 2):

@@ -321,9 +321,19 @@ def render_sweeped_songs(
     sample_method: str = "argmax",
 ):
     """Decode a whole song's latents with one dimension pinned (the sweep MIDI
-    rendering path, vae_evaluation.py:1224-1274). Returns (Y, programs, V, D)."""
+    rendering path, vae_evaluation.py:1224-1274). Returns (Y, programs, V, D).
+
+    Decodes through the reference's prepare_decoder_input defaults
+    (vae_evaluation.py:1136-1138): ROLLED history of the pinned latents,
+    additional input = class 0 + zero signature."""
+    from ..data.batching import history_from_latents
+
     zs = np.copy(np.atleast_2d(z_song)).astype(np.float32)
     zs[:, dim] = value
-    Y, I, V, D, _ = ctx.decode_and_process(zs, sample_method=sample_method)
+    Y, I, V, D, _ = ctx.decode_and_process(
+        zs, history=history_from_latents(zs),
+        additional=ctx.additional_for(0, None, len(zs)),
+        sample_method=sample_method,
+    )
     programs = vote_for_programs(I, ctx.cfg)
     return Y, programs, V, D

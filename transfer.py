@@ -191,10 +191,12 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.write_reconstruction:
             z = ctx.encode_song(song.X, song.I, song.V, song.D)
-            H = np.zeros_like(z)
-            H[1:] = z[:-1]
+            # reference-eval reconstruction semantics: H = z unshifted
+            # (see evaluation/harness.py section_autoencoding)
             Y_r, I_r, V_r, D_r, _ = ctx.decode_and_process(
-                z, history=H, sample_method="argmax"
+                z, history=z,
+                additional=ctx.additional_for(C, None, len(z)),
+                sample_method="argmax",
             )
             rec = os.path.join(args.output, f"{stem}_reconstruction.mid")
             rec_programs = (
