@@ -65,8 +65,6 @@ def _decode_kernel_2layer(
     h1_s, h2_s, x_s,
     *, act, out_act_name,
 ):
-    t = jax.lax.convert_element_type(0, jnp.int32)  # placate linters
-    del t
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
@@ -159,14 +157,10 @@ def _decode_scan_pallas(
     H = init_states[0].shape[-1]
 
     grid = (T,)
-    const = lambda *_: (0, 0)  # noqa: E731 -- weights: same block every step
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def outspec():
         return pl.BlockSpec((1, B, D), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    vmc = lambda: pl.BlockSpec(None, None, memory_space=pltpu.VMEM)  # noqa: E731
-    del vmc, const
 
     out_shape = (
         jax.ShapeDtypeStruct((T, B, D), start.dtype),
@@ -235,9 +229,15 @@ def fused_decode_scan(
     """
     act = _activation(activation)
     out_act_fn = _out_act_fn(out_activation)
-    if not interpret and (
-        jax.default_backend() != "tpu"
-        or not decoder_scan_supported(cell_params, start, init_states)
+    # the kernels implement 1/2-layer heads -- a structural constraint that
+    # holds in interpret mode too (a 3-layer head would silently decode as
+    # 1-layer); only the backend/VMEM checks are hardware-only
+    if len(cell_params) not in (1, 2) or (
+        not interpret
+        and (
+            jax.default_backend() != "tpu"
+            or not decoder_scan_supported(cell_params, start, init_states)
+        )
     ):
         return _decode_scan_reference(
             cell_params, out_dense, init_states, start, T, act, out_act_fn
@@ -357,13 +357,9 @@ def _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret):
         else jax.ShapeDtypeStruct((B, H), xp.dtype)
     )
     out_spec = (
-        pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-        if False
-        else (
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-            if return_sequences
-            else pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM)
-        )
+        pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+        if return_sequences
+        else pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
         kernel,

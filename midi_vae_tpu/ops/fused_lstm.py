@@ -562,9 +562,13 @@ def fused_lstm_decode_scan(
     each (T, B, D) time-major."""
     act = _activation(activation)
     out_act_fn = _out_act_fn(out_activation)
-    if not interpret and (
-        jax.default_backend() != "tpu"
-        or not decoder_scan_supported(cell_params, start, init_states)
+    # 1/2-layer heads only: structural, holds in interpret mode too
+    if len(cell_params) not in (1, 2) or (
+        not interpret
+        and (
+            jax.default_backend() != "tpu"
+            or not decoder_scan_supported(cell_params, start, init_states)
+        )
     ):
         return _decode_scan_reference(
             cell_params, out_dense, init_states, start, T, act, out_act_fn

@@ -235,6 +235,11 @@ def _train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
 
 
 def _use_pallas(xp, h0, activation, interpret) -> bool:
+    # the backward kernels hardcode the tanh derivative: the activation
+    # check is SEMANTIC and must hold in interpret mode too (only the
+    # backend/VMEM checks are hardware-only)
+    if activation != "tanh":
+        return False
     if interpret:
         return True
     return (
@@ -733,10 +738,14 @@ def _dec_train_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
 
 def _dec_use_pallas(cell_params, start, init_states, activation,
                     out_activation, interpret) -> bool:
-    if interpret:
-        return True
+    # SEMANTIC constraints (hold in interpret mode too): the kernels
+    # implement 1/2-layer heads, tanh cells, and these output activations
     if len(cell_params) not in (1, 2):
         return False
+    if activation != "tanh" or out_activation not in ("softmax", "sigmoid", "linear"):
+        return False
+    if interpret:
+        return True
     B, D = start.shape
     H = init_states[0].shape[-1]
     # narrow heads (velocity D=1, held D=2) take this kernel too: earlier
@@ -1065,6 +1074,8 @@ def _lstm_train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
 
 
 def _lstm_use_pallas(xp, h0, activation, interpret) -> bool:
+    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
+        return False
     if interpret:
         return True
     return (
@@ -1349,6 +1360,8 @@ def _x_train_vmem_ok(B: int, D: int, H: int, itemsize: int = 4) -> bool:
 
 
 def _x_use_pallas(x, h0, activation, interpret) -> bool:
+    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
+        return False
     if interpret:
         return True
     return (
@@ -1624,6 +1637,8 @@ def _lstm_x_train_vmem_ok(B: int, D: int, H: int, itemsize: int = 4) -> bool:
 
 
 def _lstm_x_use_pallas(x, h0, activation, interpret) -> bool:
+    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
+        return False
     if interpret:
         return True
     return (
@@ -1903,6 +1918,8 @@ def _stack2_vmem_ok(B: int, D: int, H: int) -> bool:
 
 
 def _stack2_use_pallas(x, h01, activation, interpret) -> bool:
+    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
+        return False
     if interpret:
         return True
     return (
@@ -2510,6 +2527,11 @@ def _mh_vmem_ok(B, Dp, dks, H) -> bool:
 
 
 def _mh_use_pallas(primary, heads, activation, out_acts, interpret) -> bool:
+    # semantic constraints hold in interpret mode too
+    if activation != "tanh" or not all(
+        a in ("softmax", "sigmoid", "linear") for a in out_acts
+    ):
+        return False
     if interpret:
         return True
     B, Dp = primary["start"].shape
@@ -2954,8 +2976,10 @@ def _encmb_vmem_ok(B, D, dks, H) -> bool:
 
 
 def _encmb_use_pallas(stack, branches, activation, interpret) -> bool:
+    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
+        return False
     if interpret:
-        return True
+        return all(br["x"].shape[0] <= stack["x"].shape[0] for br in branches)
     T, B, D = stack["x"].shape
     H = stack["p1"]["u"].shape[0]
     return (

@@ -48,11 +48,22 @@ def global_mesh(n_model: int = 1) -> Mesh:
 
 
 def process_slice(n_items: int) -> slice:
-    """The contiguous range of a length-n dataset owned by this process."""
+    """The contiguous range of a length-n dataset owned by this process.
+
+    ``global_batch_from_local`` requires EQUAL per-process row counts
+    (jax.make_array_from_process_local_data infers the global shape from
+    uniform local shapes), so n_items must divide by the process count --
+    pad first (parallel.mesh.pad_batch_to) when it doesn't.
+    """
     k = jax.process_count()
     i = jax.process_index()
-    per = (n_items + k - 1) // k
-    return slice(i * per, min((i + 1) * per, n_items))
+    if n_items % k != 0:
+        raise ValueError(
+            f"{n_items} rows not divisible by {k} processes; pad the batch "
+            "first (global_batch_from_local needs equal per-process shards)"
+        )
+    per = n_items // k
+    return slice(i * per, (i + 1) * per)
 
 
 def global_batch_from_local(batch: dict, mesh: Mesh) -> dict:

@@ -119,7 +119,12 @@ def plot_confusion_matrix(
     plt = _plt()
     n = confusion.shape[0]
     row_sums = confusion.sum(axis=1, keepdims=True)
-    normed = np.divide(confusion, row_sums, where=row_sums > 0)
+    # out= is required: where= alone leaves the masked (zero-sum) rows
+    # UNINITIALIZED, corrupting the plot's color scale
+    normed = np.divide(
+        confusion, row_sums, out=np.zeros_like(confusion, dtype=np.float64),
+        where=row_sums > 0,
+    )
     plt.figure()
     plt.imshow(normed, interpolation="nearest")
     plt.title(f"Total accuracy: {accuracy * 100:.2f}%")

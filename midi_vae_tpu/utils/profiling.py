@@ -12,6 +12,7 @@ progress). The framework provides:
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 from dataclasses import dataclass, field
 
@@ -59,7 +60,10 @@ class StepTimer:
             "steps": n,
             "mean_s": sum(ts) / n,
             "p50_s": ts[n // 2],
-            "p90_s": ts[min(n - 1, int(n * 0.9))],
+            # nearest-rank p90: ceil(0.9n)-th order statistic (int(n*0.9)
+            # selects one rank too high whenever 0.9n is integral -- the
+            # MAX for any n <= 10)
+            "p90_s": ts[max(0, math.ceil(n * 0.9) - 1)],
             "min_s": ts[0],
             "max_s": ts[-1],
         }
