@@ -33,6 +33,11 @@ log "XL 500-song corpus 2500 epochs"
 [ -f $R/vae_xl/history.json ] || python train.py --source $R/xl --output $R/vae_xl --cache $R/cache_xl --epochs 2500 --set test_step=250 --set save_step=1250
 [ -d $R/clf_xl/instrument ] || python classify.py --source $R/xl --output $R/clf_xl --cache $R/cache_xl --epochs 120
 
+log "XXL 1000-song corpus 2500 epochs"
+[ -d $R/xxl ] || python tools/make_demo_corpus.py $R/xxl --songs-per-style 500 --chords --seed 4
+[ -f $R/vae_xxl/history.json ] || python train.py --source $R/xxl --output $R/vae_xxl --cache $R/cache_xxl --epochs 2500 --set test_step=250 --set save_step=1250
+[ -d $R/clf_xxl/instrument ] || python classify.py --source $R/xxl --output $R/clf_xxl --cache $R/cache_xxl --epochs 120
+
 log "judges"
 [ -d $R/clf_poly/instrument ] || python classify.py --source $R/poly --output $R/clf_poly --cache $R/cache_poly --epochs 120
 [ -d $R/clf_big/instrument ] || python classify.py --source $R/big --output $R/clf_big --cache $R/cache_big --epochs 120
@@ -45,5 +50,6 @@ python evaluate.py --source $R/poly --model $R/vae_tf --classifiers $R/clf_poly 
 python evaluate.py --source $R/big --model $R/vae_big --classifiers $R/clf_big --output $R/eval_big --cache $R/cache_big --sections autoencoding
 python evaluate.py --source $R/tri --model $R/vae_tri --classifiers $R/clf_tri --output $R/eval_tri --cache $R/cache_tri --sections autoencoding
 python evaluate.py --source $R/xl --model $R/vae_xl --classifiers $R/clf_xl --output $R/eval_xl --cache $R/cache_xl --sections autoencoding
+python evaluate.py --source $R/xxl --model $R/vae_xxl --classifiers $R/clf_xxl --output $R/eval_xxl --cache $R/cache_xxl --sections autoencoding
 
 log "R2 STUDY DONE"

@@ -70,7 +70,7 @@ def main():
     print("## Training summaries\n")
     print("| run | epochs | train loss | train notes acc | test loss | test notes acc |")
     print("|---|---|---|---|---|---|")
-    for name in ("vae_f32", "vae_bf16", "vae_tf", "vae_big", "vae_tri", "vae_xl"):
+    for name in ("vae_f32", "vae_bf16", "vae_tf", "vae_big", "vae_tri", "vae_xl", "vae_xxl"):
         run = os.path.join(R, name)
         if not os.path.exists(os.path.join(run, "history.json")):
             continue
@@ -91,7 +91,7 @@ def main():
     print("\n## Evaluation summaries (test set)\n")
     print("| eval | pitch recon | ens orig | ens autoenc | ens switched | conf orig→switched |")
     print("|---|---|---|---|---|---|")
-    for name in ("eval_f32", "eval_bf16", "eval_tf", "eval_big", "eval_tri", "eval_xl"):
+    for name in ("eval_f32", "eval_bf16", "eval_tf", "eval_big", "eval_tri", "eval_xl", "eval_xxl"):
         d = os.path.join(R, name)
         if not os.path.exists(os.path.join(d, "results.json")):
             continue
