@@ -29,6 +29,10 @@ import time
 
 
 def main() -> None:
+    from midi_vae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from midi_vae_tpu.config import Config

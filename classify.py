@@ -29,7 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--workers", type=int, default=0, help="parallel import workers")
     p.add_argument("--lstm-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=512)
-    p.add_argument("--learning-rate", type=float, default=2e-5)
+    p.add_argument("--learning-rate", type=float, default=None,
+                   help="override the per-kind reference defaults "
+                        "(pitch/velocity 2e-5, instrument 1e-5)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -38,7 +40,9 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    _enable_compilation_cache()
+    from midi_vae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from midi_vae_tpu.config import Config
     from midi_vae_tpu.data.batching import flatten_dataset
@@ -60,13 +64,10 @@ def main(argv: list[str] | None = None) -> int:
 
     for kind in args.kinds.split(","):
         kind = kind.strip()
-        spec = ClassifierSpec.for_kind(
-            kind,
-            cfg,
-            lstm_size=args.lstm_size,
-            batch_size=args.batch_size,
-            learning_rate=args.learning_rate,
-        )
+        overrides = dict(lstm_size=args.lstm_size, batch_size=args.batch_size)
+        if args.learning_rate is not None:
+            overrides["learning_rate"] = args.learning_rate
+        spec = ClassifierSpec.for_kind(kind, cfg, **overrides)
         trainer = ClassifierTrainer(spec)
         state = trainer.init_state()
         tr_x, tr_c = classifier_arrays(train, kind)
@@ -86,20 +87,6 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
-
-def _enable_compilation_cache() -> None:
-    """Persistent jit cache: big-program compiles happen once per machine."""
-    import os
-
-    import jax
-
-    cache = os.environ.get(
-        "MIDI_VAE_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "midi_vae_tpu", "jax"),
-    )
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    _enable_compilation_cache()
+    from midi_vae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from midi_vae_tpu.data.dataset import import_midi_from_folder
     from midi_vae_tpu.evaluation import EvalSections, Evaluator
@@ -66,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"loaded {kind} classifier")
 
     wanted = {s.strip() for s in args.sections.split(",")}
+    known = {
+        "stats", "harmonicity", "medleys", "random_interpolations",
+        "latent_sweep", "chords", "sampling_regions", "pitches",
+        "random_songs", "long_songs", "autoencoding",
+    }
+    unknown = wanted - known
+    if unknown:
+        raise SystemExit(
+            f"unknown --sections {sorted(unknown)}; choose from {sorted(known)}"
+        )
     n = args.num_songs
     sections = EvalSections(
         harmonicity_evaluations="harmonicity" in wanted,
@@ -97,20 +109,6 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
-
-def _enable_compilation_cache() -> None:
-    """Persistent jit cache: big-program compiles happen once per machine."""
-    import os
-
-    import jax
-
-    cache = os.environ.get(
-        "MIDI_VAE_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "midi_vae_tpu", "jax"),
-    )
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 if __name__ == "__main__":

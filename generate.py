@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from midi_vae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import numpy as np
 
     from midi_vae_tpu.data.dataset import import_midi_from_folder
@@ -73,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     z_std = args.z_std
     all_z = None
     class_mean_z = None
-    if args.source and (z_std is None or args.mode == "long"):
+    # style mode needs the class-conditional latent means whenever a corpus
+    # is given, even when --z-std pins the sampling scale
+    if args.source and (z_std is None or args.mode in ("long", "style")):
         ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache)
         zs, labels = [], []
         for i in range(ds.train_set_size):
@@ -91,10 +97,18 @@ def main(argv: list[str] | None = None) -> int:
             # class-conditional latent means: an in-distribution style knob
             # (the reference's hard z[C]=+-1 knob assumes unit-scale latents,
             # vae_evaluation.py:1796-1798; with small z scales it lands far
-            # outside the decoder's training distribution)
-            class_mean_z = np.stack(
-                [all_z[labels == C].mean(axis=0) for C in range(cfg.num_classes)]
-            )
+            # outside the decoder's training distribution). Requires every
+            # class to have train samples -- an empty slice would mean() to
+            # NaN latents and silently degenerate MIDI.
+            if all(np.any(labels == C) for C in range(cfg.num_classes)):
+                class_mean_z = np.stack(
+                    [all_z[labels == C].mean(axis=0) for C in range(cfg.num_classes)]
+                )
+            else:
+                print(
+                    "warning: some classes have no train songs; style mode "
+                    "falls back to the hard composer knob"
+                )
     if z_std is None:
         z_std = 1.0
     if args.mode == "long" and (all_z is None or not len(all_z)):
@@ -119,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
                     z = rng.normal(0.0, z_std, (1, cfg.latent_dim)).astype(np.float32)
                     z[0, : cfg.num_classes] = class_mean_z[C, : cfg.num_classes]
                     Y, I, V, D, _ = ctx.decode_and_process(
-                        z, sample_method=cfg.sample_method, rng=rng
+                        z, additional=ctx.additional_for(C, None, 1),
+                        sample_method=cfg.sample_method, rng=rng,
                     )
                 else:
                     Y, I, V, D, _ = generation.generate_random_song(

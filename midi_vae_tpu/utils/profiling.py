@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -73,3 +74,21 @@ class StepTimer:
         if not s.get("steps"):
             return 0.0
         return items_per_step / s["mean_s"]
+
+
+def enable_compilation_cache() -> None:
+    """Persistent jit cache: big-program compiles happen once per machine.
+
+    Every CLI calls this before touching jax (the tunneled dev TPU takes
+    minutes to compile the wide programs; the second run of any CLI is
+    fast). Override the location with MIDI_VAE_TPU_JAX_CACHE.
+    """
+    import jax
+
+    cache = os.environ.get(
+        "MIDI_VAE_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "midi_vae_tpu", "jax"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -61,15 +61,26 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    _enable_compilation_cache()
+    from midi_vae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from midi_vae_tpu.config import Config
     from midi_vae_tpu.data.batching import flatten_dataset
     from midi_vae_tpu.data.dataset import import_midi_from_folder
     from midi_vae_tpu.training import VAETrainer
 
+    import os
+
+    run_config = os.path.join(args.output, "config.json")
     if args.config:
         cfg = Config.load(args.config)
+    elif args.resume and os.path.exists(run_config):
+        # resume under the run's SAVED hyperparameters (a fresh Config()
+        # would rebuild the trainer with wrong shapes or silently change
+        # the run); explicit --set/--classes/--epochs still override
+        cfg = Config.load(run_config)
+        print(f"resuming with {run_config}")
     else:
         cfg = Config()
     overrides = parse_overrides(args.set)
@@ -120,20 +131,6 @@ def main(argv: list[str] | None = None) -> int:
 
 
 
-
-def _enable_compilation_cache() -> None:
-    """Persistent jit cache: big-program compiles happen once per machine."""
-    import os
-
-    import jax
-
-    cache = os.environ.get(
-        "MIDI_VAE_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "midi_vae_tpu", "jax"),
-    )
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 if __name__ == "__main__":

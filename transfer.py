@@ -25,9 +25,11 @@ import sys
 
 
 def _class_index(cfg, value: str, flag: str) -> int:
-    """Accept a class name (exact), or an integer index."""
-    if value in cfg.classes:
-        return cfg.classes.index(value)
+    """Accept a class name (case-insensitive, like the dataset labeling
+    rule), or an integer index."""
+    lowered = [c.lower() for c in cfg.classes]
+    if value.lower() in lowered:
+        return lowered.index(value.lower())
     try:
         idx = int(value)
     except ValueError:
@@ -75,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from midi_vae_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import numpy as np
 
@@ -131,21 +137,48 @@ def main(argv: list[str] | None = None) -> int:
 
     C_switch = _class_index(cfg, args.to_class, "--to-class")
 
+    # signature-conditioned checkpoints: normalize the song's signature
+    # with the TRAIN-time stats train.py saved next to the checkpoints
+    sig_stats = None
+    if cfg.append_signature_vector_to_latent:
+        stats_path = os.path.join(args.model, "signature_stats.npz")
+        if os.path.exists(stats_path):
+            d = np.load(stats_path)
+            sig_stats = (d["mean"], d["std"])
+        else:
+            print(
+                "warning: signature-conditioned model but no "
+                "signature_stats.npz in the run dir; using zero signatures"
+            )
+
     for path in args.input:
         song = load_rolls_from_path(path, cfg)
         if song is None or song.X.shape[0] == 0:
             print(f"skip {path}: no usable windows")
             continue
+        S_song = None
+        if sig_stats is not None:
+            from midi_vae_tpu.data.batching import signature_vectors_for_songs
+
+            S_song = (
+                signature_vectors_for_songs([song.Y], cfg)[0] - sig_stats[0]
+            ) / sig_stats[1]
         if args.from_class is not None:
             C = _class_index(cfg, args.from_class, "--from-class")
         else:
-            # the dataset labeling rule (data/dataset.py): first class whose
-            # lowercased name appears in the file's DIRECTORY path
-            dirpath = (os.path.dirname(os.path.abspath(path)) + "/").lower()
-            C = next(
-                (i for i, c in enumerate(cfg.classes) if c.lower() in dirpath),
-                None,
-            )
+            # the dataset labeling rule matches class names against the
+            # CORPUS-RELATIVE directory path (data/dataset.py); for a lone
+            # file the corpus root is unknown, so match path components
+            # deepest-first -- the nearest directory wins over ancestors
+            C = None
+            parts = os.path.dirname(os.path.abspath(path)).split(os.sep)
+            for component in reversed(parts):
+                for i, c in enumerate(cfg.classes):
+                    if c.lower() in component.lower():
+                        C = i
+                        break
+                if C is not None:
+                    break
             if C is None:
                 C = 0
                 print(
@@ -158,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
             continue
 
         (Y_sw, I_sw, V_sw, D_sw, _N), _switched = ctx.style_transfer_song(
-            song.X, song.I, song.V, song.D, C=C, C_switch=C_switch
+            song.X, song.I, song.V, song.D, C=C, C_switch=C_switch, S=S_song
         )
         input_programs = instrument_matrix_to_programs(
             song.I, cfg.instrument_attach_method
@@ -195,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
             # (see evaluation/harness.py section_autoencoding)
             Y_r, I_r, V_r, D_r, _ = ctx.decode_and_process(
                 z, history=z,
-                additional=ctx.additional_for(C, None, len(z)),
+                additional=ctx.additional_for(C, S_song, len(z)),
                 sample_method="argmax",
             )
             rec = os.path.join(args.output, f"{stem}_reconstruction.mid")
