@@ -204,6 +204,12 @@ class Config:
             object.__setattr__(self, "classes", tuple(self.classes))
         if not self.classes:
             raise ValueError("classes must not be empty")
+        if not 0 <= self.low_crop < self.high_crop <= self.num_notes:
+            raise ValueError(
+                f"need 0 <= low_crop < high_crop <= num_notes, got "
+                f"low_crop={self.low_crop} high_crop={self.high_crop} "
+                f"num_notes={self.num_notes}"
+            )
         if self.instrument_attach_method not in _INSTRUMENT_DIMS:
             raise ValueError(
                 f"unknown instrument_attach_method {self.instrument_attach_method!r}"
@@ -343,11 +349,6 @@ class Config:
         return self.new_num_notes + self.silent_dim + self.attached_instrument_dim
 
     @property
-    def effective_max_voices(self) -> int:
-        # settings.py:141-144: song_completion forces max_voices = 1 on input
-        return 1 if self.song_completion else self.max_voices
-
-    @property
     def input_length(self) -> int:
         """Unrolled encoder sequence length (settings.py:140-144)."""
         if self.song_completion:
@@ -421,8 +422,15 @@ class Config:
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "Config":
         known = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(d) - known)
+        if unknown:
+            # a typo'd field would otherwise be silently dropped and the
+            # default used -- warn, but stay loadable across revisions
+            print(f"warning: unknown config fields ignored: {unknown}")
         kwargs = {k: v for k, v in d.items() if k in known}
-        if "classes" in kwargs:
+        if "classes" in kwargs and not isinstance(kwargs["classes"], str):
+            # leave strings for __post_init__'s comma-split normalization
+            # (tuple('a,b') would char-split into 3 one-letter classes)
             kwargs["classes"] = tuple(kwargs["classes"])
         return cls(**kwargs)
 

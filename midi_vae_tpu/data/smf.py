@@ -133,11 +133,15 @@ def _parse_track_events(data: bytes):
         elif status in (0xF0, 0xF7):  # sysex
             length, pos = _read_varlen(data, pos)
             pos += length
+            # yielded (payload dropped) so consumers' max_tick sees the
+            # delta, matching the native parser's hanging-note close tick
+            yield tick, status, b""
         elif status >= 0xF0:
             # system common (0xF1-0xF6) / realtime (0xF8-0xFE): skip their
             # fixed-size payloads -- misreading them as 2-byte channel
             # events desynchronizes every later delta-time in the track
             pos += {0xF1: 1, 0xF2: 2, 0xF3: 1}.get(status, 0)
+            yield tick, status, b""
         else:
             kind = status & 0xF0
             nbytes = 1 if kind in (0xC0, 0xD0) else 2
@@ -289,7 +293,11 @@ def parse_midi_bytes(data: bytes) -> MidiFile:
                 if uspq > 0:
                     tempo_changes.append((tick, uspq))
             elif status == 0xFF58 and len(payload) >= 2:
-                timesig_events.append((tick, payload[0], 1 << payload[1]))
+                # denominator power clamped to 62 (matches the native
+                # parser, where a >=63 shift would be UB; sane MIDI <= 7)
+                timesig_events.append(
+                    (tick, payload[0], 1 << min(payload[1], 62))
+                )
 
     tmap = _TempoMap(tempo_changes, resolution)
 

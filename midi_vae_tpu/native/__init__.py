@@ -35,16 +35,26 @@ class _SmfResult(ctypes.Structure):
 
 def _build() -> bool:
     try:
-        src_mtime = os.path.getmtime(_SRC_PATH)
-        if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= src_mtime:
+        have_so = os.path.exists(_SO_PATH)
+        if not os.path.exists(_SRC_PATH):
+            # shipped-.so deployment: load what's there
+            return have_so
+        if have_so and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH):
             return True
+        # compile to a unique temp file and rename into place: parallel
+        # import workers all race the first build, and a non-atomic g++
+        # write can be mmap'd half-written by a sibling's CDLL
+        tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
         result = subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO_PATH, _SRC_PATH],
+             "-o", tmp, _SRC_PATH],
             capture_output=True, timeout=120,
         )
         if result.returncode != 0:
-            return False
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            return have_so
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
         return False

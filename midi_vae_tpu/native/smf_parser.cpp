@@ -155,14 +155,22 @@ int smf_parse(const uint8_t* data, int64_t len, SmfResult* out) {
                 int meta_type = p.u8();
                 int64_t mlen = p.varlen();
                 int64_t mstart = p.pos;
-                if (meta_type == 0x51 && mlen >= 3) {
+                // the declared payload must actually fit in the chunk body:
+                // a truncated file would otherwise be read past the buffer
+                int64_t mend = mstart + mlen;
+                bool payload_ok = mlen >= 0 && mend <= body_end && mend <= len;
+                if (meta_type == 0x51 && mlen >= 3 && payload_ok) {
                     int64_t uspq = ((int64_t)data[mstart] << 16) |
                                    ((int64_t)data[mstart + 1] << 8) |
                                    (int64_t)data[mstart + 2];
                     if (uspq > 0) tempos.push_back({tick, uspq});
-                } else if (meta_type == 0x58 && mlen >= 2) {
+                } else if (meta_type == 0x58 && mlen >= 2 && payload_ok) {
+                    // shift clamped: den_pow >= 63 would be UB (and sane
+                    // MIDI uses <= 7); the Python parser clamps identically
+                    int den_pow = data[mstart + 1];
+                    if (den_pow > 62) den_pow = 62;
                     timesigs.push_back({tick, (int64_t)data[mstart],
-                                        (int64_t)1 << data[mstart + 1]});
+                                        (int64_t)1 << den_pow});
                 }
                 p.pos = mstart + mlen;
                 if (meta_type == 0x2F) break;  // end of track

@@ -722,3 +722,37 @@ class TestSystemCommonEvents:
         na = [(n.pitch, n.velocity, n.start, n.end) for n in a.instruments[0].notes]
         nb = [(n.pitch, n.velocity, n.start, n.end) for n in b.instruments[0].notes]
         assert na == nb and len(na) == 1
+
+    def test_truncated_meta_event(self, tmp_path):
+        """A tempo meta whose declared payload lies past the end of the file
+        must not crash or yield garbage tempo (the native parser previously
+        read past the buffer)."""
+        import struct
+
+        body = bytes([0x00, 0x90, 60, 90, 0x60, 0x80, 60, 0])
+        body += bytes([0x00, 0xFF, 0x51, 0x03])  # declares 3 bytes, has none
+        track = b"MTrk" + struct.pack(">I", len(body)) + body
+        header = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+        path = tmp_path / "trunc.mid"
+        path.write_bytes(header + track)
+        mid = smf.read_midi(str(path))
+        _, bpm = mid.get_tempo_changes()
+        assert abs(bpm[0] - 120.0) < 1e-6  # default, not garbage
+        assert len(mid.instruments) == 1
+
+
+class TestConfigFromDict:
+    def test_string_classes_normalized(self):
+        """from_dict must leave a string 'classes' for __post_init__'s
+        comma-split (tuple('a,b') would char-split into 3 classes)."""
+        cfg = Config.from_dict({"classes": "style1,style2"})
+        assert cfg.classes == ("style1", "style2")
+
+    def test_unknown_keys_warn_not_crash(self, capsys):
+        cfg = Config.from_dict({"classes": ["a", "b"], "fused_train_encodr": False})
+        assert cfg.num_classes == 2
+        assert "unknown config fields" in capsys.readouterr().out
+
+    def test_crop_bounds_validated(self):
+        with pytest.raises(ValueError, match="high_crop"):
+            Config(high_crop=24, low_crop=84)
