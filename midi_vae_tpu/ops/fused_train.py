@@ -65,10 +65,13 @@ def _outer_acc(a, b):  # (B, X)^T @ (B, Y) -> (X, Y)
 # emits the full h sequence (the training residual).
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xp_ref, h0_ref, u_ref, seq_ref, h_s, *, act):
+def _fwd_kernel(xp_ref, h0_ref, u_ref, seq_ref, h_s, *, act, taxis=0):
+    # taxis: which grid axis walks time. 0 for the untiled kernel; 1 for the
+    # wide-model batch-tiled variant (grid (nB, T): per batch tile, a full
+    # time sweep; the scratch carry re-initializes at each tile's step 0).
     import jax.experimental.pallas as pl
 
-    step = pl.program_id(0)
+    step = pl.program_id(taxis)
 
     @pl.when(step == 0)
     def _init():
@@ -234,21 +237,6 @@ def _train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
     )
 
 
-def _use_pallas(xp, h0, activation, interpret) -> bool:
-    # the backward kernels hardcode the tanh derivative: the activation
-    # check is SEMANTIC and must hold in interpret mode too (only the
-    # backend/VMEM checks are hardware-only)
-    if activation != "tanh":
-        return False
-    if interpret:
-        return True
-    return (
-        jax.default_backend() == "tpu"
-        and activation == "tanh"
-        and _train_vmem_ok(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)
-    )
-
-
 # ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
@@ -263,17 +251,28 @@ def gru_layer_train(
     xp: (T, B, 3H) precomputed x-projections (time-major); h0: (B, H);
     returns (T, B, H) if return_sequences else the final h (B, H). Use this
     on training paths; inference paths can use fused_encoder_scan (no
-    residual output)."""
+    residual output).
+
+    Three dispatch tiers (see the wide-model section below): 'inplace'
+    (weight grads resident in the bwd kernel), 'wide' (two-pass: batch-tiled
+    da_cat kernel + XLA weight-grad matmuls, for H where dU residency no
+    longer fits VMEM), 'scan' (jnp fallback)."""
     act = _activation(activation)
-    if not _use_pallas(xp, h0, activation, interpret):
+    mode = _gru_mode(xp, h0, activation, interpret)
+    if mode == "scan":
         return _encoder_scan_reference(xp, h0, u, act, return_sequences)
-    seq = _fwd_pallas(xp, h0, u, activation, interpret)
+    if mode == "wide":
+        bt = _gru_wide_btiles(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)[0]
+        seq = _fwd_wide_pallas(xp, h0, u, activation, interpret, bt or xp.shape[1])
+    else:
+        seq = _fwd_pallas(xp, h0, u, activation, interpret)
     return seq if return_sequences else seq[-1]
 
 
 def _glt_fwd(xp, h0, u, activation, return_sequences, interpret):
     act = _activation(activation)
-    if not _use_pallas(xp, h0, activation, interpret):
+    mode = _gru_mode(xp, h0, activation, interpret)
+    if mode == "scan":
         out, vjp = jax.vjp(
             lambda a, b, c: _encoder_scan_reference(
                 a, b, c, act, return_sequences
@@ -281,7 +280,11 @@ def _glt_fwd(xp, h0, u, activation, return_sequences, interpret):
             xp, h0, u,
         )
         return out, (vjp,)
-    seq = _fwd_pallas(xp, h0, u, activation, interpret)
+    if mode == "wide":
+        bt = _gru_wide_btiles(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)[0]
+        seq = _fwd_wide_pallas(xp, h0, u, activation, interpret, bt or xp.shape[1])
+    else:
+        seq = _fwd_pallas(xp, h0, u, activation, interpret)
     out = seq if return_sequences else seq[-1]
     return out, (xp, h0, u, seq)
 
@@ -297,6 +300,14 @@ def _glt_bwd(activation, return_sequences, interpret, residuals, g):
     else:
         d_seq = jnp.zeros_like(seq[:1])  # dummy block, never read
         d_final = g
+    if _gru_mode(xp, h0, activation, interpret) == "wide":
+        bt = _gru_wide_btiles(xp.shape[1], u.shape[0], xp.dtype.itemsize)[1]
+        dacat, dh0 = _bwd_wide_pallas(
+            xp, seq, h0, d_seq, d_final, u, return_sequences, interpret,
+            bt or xp.shape[1],
+        )
+        du = _gru_wide_weight_grads(xp, seq, h0, u, dacat)
+        return dacat, dh0, du.astype(u.dtype)
     dxp, dh0, du = _bwd_pallas(
         xp, seq, h0, d_seq, d_final, u, return_sequences, interpret
     )
@@ -322,10 +333,12 @@ gru_layer_train.defvjp(_glt_fwd, _glt_bwd)
 from .fused_decoder import _decode_scan_reference, _out_act_fn  # noqa: E402
 
 
-def _gru_cell_bwd(x, hp, w, u, b, dh):
+def _gru_cell_bwd_core(x, hp, w, u, b, dh):
     """Backward through one GRU step given (x, h_prev) and the output grad.
 
-    Returns (dx, dh_prev, dW, dU, db) -- all f32."""
+    Returns (dx, dh_prev, da_cat, rh) -- all f32; da_cat is the
+    pre-activation gate grad [da_z, da_r, da] the weight grads reduce
+    over, rh = r*h_prev (the candidate-gate dU operand)."""
     H = hp.shape[-1]
     x = x.astype(jnp.float32)
     hp = hp.astype(jnp.float32)
@@ -347,8 +360,21 @@ def _gru_cell_bwd(x, hp, w, u, b, dh):
 
     dx = _dot_t(da_cat, w)
     dhp = dh * z + drh * r + _dot_t(da_zr, u[:, : 2 * H])
-    dW = _outer_acc(x, da_cat)
-    dU = jnp.concatenate([_outer_acc(hp, da_zr), _outer_acc(rh, da)], axis=-1)
+    return dx, dhp, da_cat, rh
+
+
+def _gru_cell_bwd(x, hp, w, u, b, dh):
+    """As _gru_cell_bwd_core but also reducing the in-step weight grads.
+
+    Returns (dx, dh_prev, dW, dU, db) -- all f32."""
+    H = hp.shape[-1]
+    dx, dhp, da_cat, rh = _gru_cell_bwd_core(x, hp, w, u, b, dh)
+    da_zr, da = da_cat[:, : 2 * H], da_cat[:, 2 * H :]
+    dW = _outer_acc(x.astype(jnp.float32), da_cat)
+    dU = jnp.concatenate(
+        [_outer_acc(hp.astype(jnp.float32), da_zr), _outer_acc(rh, da)],
+        axis=-1,
+    )
     db = jnp.sum(da_cat, axis=0, keepdims=True)
     return dx, dhp, dW, dU, db
 
@@ -901,12 +927,13 @@ from .fused_lstm import (  # noqa: E402
 
 
 def _lstm_fwd_kernel(xp_ref, h0_ref, c0_ref, u_ref, hseq_ref, cseq_ref,
-                     h_s, c_s, *, act):
+                     h_s, c_s, *, act, taxis=0):
+    # taxis: grid axis that walks time (see _fwd_kernel)
     import jax.experimental.pallas as pl
 
     from .fused_lstm import _lstm_gates
 
-    step = pl.program_id(0)
+    step = pl.program_id(taxis)
 
     @pl.when(step == 0)
     def _init():
@@ -1073,18 +1100,6 @@ def _lstm_train_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
     return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
-def _lstm_use_pallas(xp, h0, activation, interpret) -> bool:
-    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
-        return False
-    if interpret:
-        return True
-    return (
-        jax.default_backend() == "tpu"
-        and activation == "tanh"
-        and _lstm_train_vmem_ok(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)
-    )
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def lstm_layer_train(
     xp, h0, c0, u, activation: str = "tanh", return_sequences: bool = False,
@@ -1093,17 +1108,27 @@ def lstm_layer_train(
     """LSTM layer over a full sequence: fused fwd AND fused bwd.
 
     xp: (T, B, 4H) precomputed x-projections; h0/c0: (B, H); returns
-    (T, B, H) if return_sequences else the final h (B, H)."""
+    (T, B, H) if return_sequences else the final h (B, H).
+
+    Dispatch tiers as gru_layer_train: 'inplace' | 'wide' | 'scan'."""
     act = _activation(activation)
-    if not _lstm_use_pallas(xp, h0, activation, interpret):
+    mode = _lstm_mode(xp, h0, activation, interpret)
+    if mode == "scan":
         return _lstm_scan_reference(xp, h0, c0, u, act, return_sequences)
-    h_seq, _ = _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret)
+    if mode == "wide":
+        bt = _lstm_wide_btiles(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)[0]
+        h_seq, _ = _lstm_fwd_wide_pallas(
+            xp, h0, c0, u, activation, interpret, bt or xp.shape[1]
+        )
+    else:
+        h_seq, _ = _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret)
     return h_seq if return_sequences else h_seq[-1]
 
 
 def _llt_fwd(xp, h0, c0, u, activation, return_sequences, interpret):
     act = _activation(activation)
-    if not _lstm_use_pallas(xp, h0, activation, interpret):
+    mode = _lstm_mode(xp, h0, activation, interpret)
+    if mode == "scan":
         out, vjp = jax.vjp(
             lambda a, b, c, d: _lstm_scan_reference(
                 a, b, c, d, act, return_sequences
@@ -1111,7 +1136,13 @@ def _llt_fwd(xp, h0, c0, u, activation, return_sequences, interpret):
             xp, h0, c0, u,
         )
         return out, (vjp,)
-    h_seq, c_seq = _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret)
+    if mode == "wide":
+        bt = _lstm_wide_btiles(xp.shape[1], h0.shape[-1], xp.dtype.itemsize)[0]
+        h_seq, c_seq = _lstm_fwd_wide_pallas(
+            xp, h0, c0, u, activation, interpret, bt or xp.shape[1]
+        )
+    else:
+        h_seq, c_seq = _lstm_fwd_pallas(xp, h0, c0, u, activation, interpret)
     out = h_seq if return_sequences else h_seq[-1]
     return out, (xp, h0, c0, u, h_seq, c_seq)
 
@@ -1127,6 +1158,14 @@ def _llt_bwd(activation, return_sequences, interpret, residuals, g):
     else:
         d_seq = jnp.zeros_like(h_seq[:1])  # dummy block, never read
         d_final = g
+    if _lstm_mode(xp, h0, activation, interpret) == "wide":
+        bt = _lstm_wide_btiles(xp.shape[1], u.shape[0], xp.dtype.itemsize)[1]
+        dacat, dh0, dc0 = _lstm_bwd_wide_pallas(
+            xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
+            return_sequences, interpret, bt or xp.shape[1],
+        )
+        du = _lstm_wide_weight_grads(h_seq, h0, dacat)
+        return dacat, dh0, dc0, du.astype(u.dtype)
     dxp, dh0, dc0, du = _lstm_bwd_pallas(
         xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
         return_sequences, interpret,
@@ -1135,6 +1174,461 @@ def _llt_bwd(activation, return_sequences, interpret, residuals, g):
 
 
 lstm_layer_train.defvjp(_llt_fwd, _llt_bwd)
+
+
+# ===========================================================================
+# WIDE-MODEL two-pass training backward.
+#
+# The in-place backward kernels above keep the weight gradient dU -- an
+# (H, 3H/4H) f32 accumulator -- resident in VMEM next to U itself, which
+# stops fitting the 16 MB core as H grows (f32 H=512 hits a 17.6 MB
+# scoped-vmem allocation under the AOT compiler; H=1024 cannot fit U + dU at
+# all: 2 x 12.6 MB f32). The wide variant splits the backward into
+#
+#   pass 1 (Pallas, the only SERIAL part): the same reverse-time scan
+#     transpose, but emitting ONLY the per-step pre-activation gate grads
+#     da_cat (T, B, 3H/4H) == dxp and the carry grads dh0 (+dc0) -- no
+#     weight-grad residency at all -- with the batch tiled over an outer
+#     grid axis (grid (nB, T): U stays VMEM-resident once across all tiles,
+#     every per-step block shrinks by nB);
+#
+#   pass 2 (XLA, embarrassingly parallel): the weight grads as flat
+#     (T*B, .) matmuls on the MXU --
+#       GRU:  dU_zr = h_prev^T . da_zr,  dU_h = (r*h_prev)^T . da
+#             (r recomputed from xp_r + h_prev.U_r; one extra (T*B,H)x(H,H))
+#       LSTM: dU = h_prev^T . da_cat    (nothing to recompute)
+#     plus dxp = da_cat verbatim.
+#
+# This trades one extra HBM round trip of da_cat for ~(H*G*H + temps) bytes
+# of VMEM, admitting fused training at widths the in-place kernels reject.
+# Dispatch order: in-place if it fits (fewer HBM streams), else wide, else
+# the XLA scan.
+# ===========================================================================
+
+_WIDE_BUDGET_BYTES = 15_500_000  # of the 16 MB v5e core; see anchors below
+_FORCE_TRAIN_MODE: str | None = None  # test hook: None|"inplace"|"wide"|"scan"
+
+# Mosaic's temporary VMEM per bt*H unit, CALIBRATED against compile probes
+# on the v5e AOT compiler (the stricter context) at (T=64, B=256):
+#   GRU bwd f32 H=1024: bt=16 compiles, bt=32 OOMs  -> 26 < Kb_f32 <= 131
+#   GRU bwd bf16 H=1024: bt=32 compiles, bt=64 OOMs -> 105 < Kb_bf16 <= 260
+#   GRU fwd f32 H=1024: bt=64 compiles, bt=128 OOMs (by operands alone)
+# bf16 temps are ~3x f32's: every streamed block is cast to an f32 copy for
+# the gate math, which f32 reuses in place. The chosen values respect every
+# anchor (conservatively where ranges allow).
+_TEMPS_FWD = {4: 12, 2: 24}   # bytes per bt*H, keyed by operand itemsize
+_TEMPS_BWD = {4: 34, 2: 109}
+
+
+def _btile(B: int, fits) -> int:
+    """Largest power-of-two-descending divisor tile of B accepted by
+    ``fits``; 0 if none (>= 8 rows keeps the sublane dimension aligned)."""
+    bt = B
+    while bt >= 8:
+        if B % bt == 0 and fits(bt):
+            return bt
+        bt //= 2
+    return 0
+
+
+def _gru_fwd_wide_bytes(bt: int, H: int, s: int) -> int:
+    # exact operands: u resident + double-buffered xp-in/seq-out streams +
+    # h0 block + carry scratch; calibrated temps
+    return (
+        H * 3 * H * s
+        + (2 * bt * 3 * H + 2 * bt * H) * s
+        + 2 * bt * H * s
+        + _TEMPS_FWD[min(s, 4)] * bt * H
+    )
+
+
+def _gru_bwd_wide_bytes(bt: int, H: int, s: int) -> int:
+    # exact operands: u resident + double-buffered xp/dacat/hseq/dseq streams
+    # + pinned h0/dfinal/dh0 + f32 dh carry; calibrated temps
+    return (
+        H * 3 * H * s
+        + (4 * bt * 3 * H + 4 * bt * H) * s
+        + 3 * bt * H * s
+        + 4 * bt * H
+        + _TEMPS_BWD[min(s, 4)] * bt * H
+    )
+
+
+def _gru_wide_btiles(B: int, H: int, s: int) -> tuple[int, int]:
+    """(fwd_btile, bwd_btile), or (0, 0) when either pass cannot fit."""
+    fwd = _btile(B, lambda bt: _gru_fwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES)
+    bwd = _btile(B, lambda bt: _gru_bwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES)
+    return (fwd, bwd) if fwd and bwd else (0, 0)
+
+
+def _gru_mode(xp, h0, activation, interpret) -> str:
+    """'inplace' | 'wide' | 'scan' for gru_layer_train's three paths."""
+    if activation != "tanh":  # bwd kernels hardcode the tanh derivative
+        return "scan"
+    if _FORCE_TRAIN_MODE is not None:
+        return _FORCE_TRAIN_MODE
+    if interpret:
+        return "inplace"
+    if jax.default_backend() != "tpu":
+        return "scan"
+    B, H, s = xp.shape[1], h0.shape[-1], xp.dtype.itemsize
+    if _train_vmem_ok(B, H, s):
+        return "inplace"
+    if _gru_wide_btiles(B, H, s)[0]:
+        return "wide"
+    return "scan"
+
+
+def _hprev_spec_tiled(T, bt, H):
+    """Batch-tiled twin of _hprev_spec for the (nB, T) reverse grid."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(
+        (1, bt, H),
+        lambda b, s: (jnp.maximum(T - 2 - s, 0), b, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _fwd_wide_pallas(xp, h0, u, activation, interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, _ = xp.shape
+    H = h0.shape[-1]
+    seq3 = lambda b, s: (s, b, 0)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, act=act, taxis=1),
+        grid=(B // bt, T),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), xp.dtype),
+        in_specs=[
+            pl.BlockSpec((1, bt, 3 * H), seq3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, H), seq3, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bt, H), xp.dtype)],
+        interpret=interpret,
+    )(xp, h0, u)
+
+
+def _bwd_wide_kernel(
+    xp_ref, hseq_ref, h0_ref, dseq_ref, dfinal_ref, u_ref,
+    dacat_ref, dh0_ref,
+    dh_s,
+    *, return_sequences,
+):
+    """_bwd_kernel minus the dU residency: same reverse-time gate math,
+    emitting the pre-activation gate grads (== dxp) for pass 2."""
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(1)           # 0 .. T-1, walking t = T-1 .. 0
+    H = dh_s.shape[-1]
+    last = pl.num_programs(1) - 1
+
+    @pl.when(step == 0)
+    def _init():
+        if return_sequences:
+            dh_s[:] = jnp.zeros_like(dh_s)
+        else:
+            dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
+
+    xp = xp_ref[0]
+    h = jnp.where(step == last, h0_ref[:], hseq_ref[0])
+    u = u_ref[:]
+
+    hu_zr = _dot(h, u[:, : 2 * H])
+    z = jax.nn.sigmoid(xp[:, :H].astype(jnp.float32) + hu_zr[:, :H])
+    r = jax.nn.sigmoid(xp[:, H : 2 * H].astype(jnp.float32) + hu_zr[:, H:])
+    rh = r * h.astype(jnp.float32)
+    hh = jnp.tanh(xp[:, 2 * H :].astype(jnp.float32) + _dot(rh, u[:, 2 * H :]))
+
+    dh = dh_s[:].astype(jnp.float32)
+    if return_sequences:
+        dh = dh + dseq_ref[0].astype(jnp.float32)
+
+    dz = dh * (h.astype(jnp.float32) - hh)
+    da = dh * (1.0 - z) * (1.0 - hh * hh)
+    drh = _dot_t(da, u[:, 2 * H :])
+    dr = drh * h.astype(jnp.float32)
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    da_zr = jnp.concatenate([da_z, da_r], axis=-1)
+
+    dacat_ref[0] = jnp.concatenate([da_zr, da], axis=-1).astype(dacat_ref.dtype)
+    new_dh = dh * z + drh * r + _dot_t(da_zr, u[:, : 2 * H])
+    dh_s[:] = new_dh.astype(dh_s.dtype)
+
+    @pl.when(step == last)
+    def _final():
+        dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
+
+
+def _bwd_wide_pallas(xp, seq, h0, d_seq, d_final, u, return_sequences,
+                     interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, _ = xp.shape
+    H = u.shape[0]
+    rev3 = lambda b, s: (T - 1 - s, b, 0)  # noqa: E731
+    brow = lambda b, s: (b, 0)  # noqa: E731
+
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, 3 * H), xp.dtype),   # da_cat == dxp
+        jax.ShapeDtypeStruct((B, H), xp.dtype),          # dh0
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_wide_kernel, return_sequences=return_sequences),
+        grid=(B // bt, T),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, bt, 3 * H), rev3, memory_space=pltpu.VMEM),
+            _hprev_spec_tiled(T, bt, H),                               # h seq
+            pl.BlockSpec((bt, H), brow, memory_space=pltpu.VMEM),      # h0
+            pl.BlockSpec(
+                (1, bt, H),
+                rev3 if return_sequences else (lambda b, s: (0, b, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((bt, H), brow, memory_space=pltpu.VMEM),      # dfinal
+            pl.BlockSpec(memory_space=pltpu.VMEM),                     # u
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bt, 3 * H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), brow, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, H), jnp.float32),       # dh carry
+        ],
+        interpret=interpret,
+    )(xp, seq, h0, d_seq, d_final, u)
+
+
+def _gru_wide_weight_grads(xp, seq, h0, u, dacat):
+    """Pass 2: dU from the pass-1 gate grads as flat MXU matmuls (f32)."""
+    T, B, _ = xp.shape
+    H = u.shape[0]
+    f32 = jnp.float32
+    hp = jnp.concatenate([h0[None], seq[:-1]], axis=0).reshape(T * B, H)
+    da2 = dacat.reshape(T * B, 3 * H).astype(f32)
+    # the candidate-gate weight grad needs r*h_prev; recompute r exactly as
+    # the kernels do (f32 math)
+    r = jax.nn.sigmoid(
+        xp[..., H : 2 * H].reshape(T * B, H).astype(f32)
+        + _dot(hp, u[:, H : 2 * H])
+    )
+    du_zr = _outer_acc(hp.astype(f32), da2[:, : 2 * H])
+    du_h = _outer_acc(r * hp.astype(f32), da2[:, 2 * H :])
+    return jnp.concatenate([du_zr, du_h], axis=-1)
+
+
+# ---- LSTM wide twins ----
+
+def _lstm_fwd_wide_bytes(bt: int, H: int, s: int) -> int:
+    # exact operands: u + xp-in/hseq-out/cseq-out streams + h0/c0 +
+    # 2 carry scratches; temps scaled 4/3 from the GRU calibration
+    return (
+        H * 4 * H * s
+        + (2 * bt * 4 * H + 4 * bt * H) * s
+        + 4 * bt * H * s
+        + _TEMPS_FWD[min(s, 4)] * bt * H * 4 // 3
+    )
+
+
+def _lstm_bwd_wide_bytes(bt: int, H: int, s: int) -> int:
+    # exact operands: u + xp/dacat streams + hprev/cprev/ct/dseq blocks +
+    # pinned h0/c0/dfinal/dh0/dc0 + f32 dh/dc carries; temps scaled 4/3
+    return (
+        H * 4 * H * s
+        + (4 * bt * 4 * H + 8 * bt * H) * s
+        + 5 * bt * H * s
+        + 8 * bt * H
+        + _TEMPS_BWD[min(s, 4)] * bt * H * 4 // 3
+    )
+
+
+def _lstm_wide_btiles(B: int, H: int, s: int) -> tuple[int, int]:
+    fwd = _btile(
+        B, lambda bt: _lstm_fwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES
+    )
+    bwd = _btile(
+        B, lambda bt: _lstm_bwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES
+    )
+    return (fwd, bwd) if fwd and bwd else (0, 0)
+
+
+def _lstm_mode(xp, h0, activation, interpret) -> str:
+    if activation != "tanh":
+        return "scan"
+    if _FORCE_TRAIN_MODE is not None:
+        return _FORCE_TRAIN_MODE
+    if interpret:
+        return "inplace"
+    if jax.default_backend() != "tpu":
+        return "scan"
+    B, H, s = xp.shape[1], h0.shape[-1], xp.dtype.itemsize
+    if _lstm_train_vmem_ok(B, H, s):
+        return "inplace"
+    if _lstm_wide_btiles(B, H, s)[0]:
+        return "wide"
+    return "scan"
+
+
+def _lstm_fwd_wide_pallas(xp, h0, c0, u, activation, interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, _ = xp.shape
+    H = h0.shape[-1]
+    seq = lambda d: pl.BlockSpec((1, bt, d), lambda b, s: (s, b, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    brow = pl.BlockSpec((bt, H), lambda b, s: (b, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lstm_fwd_kernel, act=act, taxis=1),
+        grid=(B // bt, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), xp.dtype),
+            jax.ShapeDtypeStruct((T, B, H), xp.dtype),
+        ),
+        in_specs=[
+            seq(4 * H),
+            brow,
+            brow,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(seq(H), seq(H)),
+        scratch_shapes=[
+            pltpu.VMEM((bt, H), xp.dtype),
+            pltpu.VMEM((bt, H), xp.dtype),
+        ],
+        interpret=interpret,
+    )(xp, h0, c0, u)
+
+
+def _lstm_bwd_wide_kernel(
+    xp_ref, hseq_ref, cseq_prev_ref, cseq_ref, dseq_ref, dfinal_ref,
+    h0_ref, c0_ref, u_ref,
+    dacat_ref, dh0_ref, dc0_ref,
+    dh_s, dc_s,
+    *, return_sequences,
+):
+    """_lstm_bwd_kernel minus the dU residency (see _bwd_wide_kernel)."""
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(1)
+    H = dh_s.shape[-1]
+    last = pl.num_programs(1) - 1
+
+    @pl.when(step == 0)
+    def _init():
+        dc_s[:] = jnp.zeros_like(dc_s)
+        if return_sequences:
+            dh_s[:] = jnp.zeros_like(dh_s)
+        else:
+            dh_s[:] = dfinal_ref[:].astype(dh_s.dtype)
+
+    xp = xp_ref[0].astype(jnp.float32)
+    is_first_t = step == last
+    hp = jnp.where(is_first_t, h0_ref[:], hseq_ref[0]).astype(jnp.float32)
+    cp = jnp.where(is_first_t, c0_ref[:], cseq_prev_ref[0]).astype(jnp.float32)
+    ct = cseq_ref[0].astype(jnp.float32)
+    u = u_ref[:]
+
+    gates = xp + _dot(hp, u)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    tc = jnp.tanh(ct)
+
+    dh = dh_s[:].astype(jnp.float32)
+    if return_sequences:
+        dh = dh + dseq_ref[0].astype(jnp.float32)
+    dc = dc_s[:].astype(jnp.float32) + dh * o * (1.0 - tc * tc)
+
+    da = jnp.concatenate(
+        [
+            dc * g * i * (1.0 - i),
+            dc * cp * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            dh * tc * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    dacat_ref[0] = da.astype(dacat_ref.dtype)
+    new_dh = _dot_t(da, u)
+    new_dc = dc * f
+    dh_s[:] = new_dh
+    dc_s[:] = new_dc
+
+    @pl.when(step == last)
+    def _final():
+        dh0_ref[:] = new_dh.astype(dh0_ref.dtype)
+        dc0_ref[:] = new_dc.astype(dc0_ref.dtype)
+
+
+def _lstm_bwd_wide_pallas(xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
+                          return_sequences, interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B, _ = xp.shape
+    H = u.shape[0]
+    rev = lambda b, s: (T - 1 - s, b, 0)  # noqa: E731
+    brow = pl.BlockSpec((bt, H), lambda b, s: (b, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            _lstm_bwd_wide_kernel, return_sequences=return_sequences
+        ),
+        grid=(B // bt, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 4 * H), xp.dtype),   # da_cat == dxp
+            jax.ShapeDtypeStruct((B, H), xp.dtype),          # dh0
+            jax.ShapeDtypeStruct((B, H), xp.dtype),          # dc0
+        ),
+        in_specs=[
+            pl.BlockSpec((1, bt, 4 * H), rev, memory_space=pltpu.VMEM),
+            _hprev_spec_tiled(T, bt, H),                     # h seq (t-1)
+            _hprev_spec_tiled(T, bt, H),                     # c seq (t-1)
+            pl.BlockSpec((1, bt, H), rev, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec(
+                (1, bt, H),
+                rev if return_sequences else (lambda b, s: (0, b, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            brow,                                            # dfinal
+            brow,                                            # h0
+            brow,                                            # c0
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # u
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bt, 4 * H), rev, memory_space=pltpu.VMEM),
+            brow,
+            brow,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, H), jnp.float32),
+            pltpu.VMEM((bt, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, h_seq, c_seq, c_seq, d_seq, d_final, h0, c0, u)
+
+
+def _lstm_wide_weight_grads(h_seq, h0, dacat):
+    """Pass 2: dU = h_prev^T . da_cat as one flat MXU matmul (f32)."""
+    T, B, _ = dacat.shape
+    H = h0.shape[-1]
+    f32 = jnp.float32
+    hp = jnp.concatenate([h0[None], h_seq[:-1]], axis=0).reshape(T * B, H)
+    return _outer_acc(
+        hp.astype(f32), dacat.reshape(T * B, 4 * H).astype(f32)
+    )
 
 
 # ===========================================================================

@@ -785,3 +785,135 @@ class TestDtypeAwareVmemBudgets:
         assert ft._x_train_vmem_ok(self.B, 256, 256, 2)
         assert not ft._x_train_vmem_ok(self.B, 512, 512, 2)
         assert not ft._x_train_vmem_ok(self.B, 61, 512, 2)
+
+
+class TestWideTwoPassTrain:
+    """Wide-model two-pass training backward (fused_train 'wide' mode):
+    a batch-tiled Pallas kernel emits only the per-step gate grads da_cat
+    (+ carry grads); the weight grads become flat XLA matmuls outside.
+    This is the path H=512 f32 / H=1024 take, where the in-place kernels'
+    dU residency no longer fits VMEM. Exercised here in interpret mode with
+    the mode forced and the budget shrunk so the batch tiling (nB > 1 grid)
+    is real."""
+
+    def _gru_data(self, T=7, B=16, H=24, dtype=np.float32):
+        rng = np.random.RandomState(3)
+        xp = jnp.asarray(rng.randn(T, B, 3 * H).astype(dtype)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(dtype)) * 0.1
+        u = jnp.asarray(rng.randn(H, 3 * H).astype(dtype)) * 0.1
+        return xp, h0, u
+
+    @pytest.mark.parametrize("return_sequences", [True, False])
+    def test_gru_wide_gradient_parity(self, return_sequences, monkeypatch):
+        xp, h0, u = self._gru_data()
+        # force real tiling: bwd tile < B
+        monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 40_000)
+        fwd_bt, bwd_bt = ft._gru_wide_btiles(16, 24, 4)
+        assert bwd_bt and bwd_bt < 16
+
+        def via_wide(xp, h0, u):
+            monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", "wide")
+            try:
+                out = ft.gru_layer_train(
+                    xp, h0, u, "tanh", return_sequences, True
+                )
+            finally:
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(xp, h0, u):
+            out = _encoder_scan_reference(xp, h0, u, jnp.tanh, return_sequences)
+            return jnp.sum(jnp.sin(out))
+
+        np.testing.assert_allclose(
+            float(via_wide(xp, h0, u)), float(via_ref(xp, h0, u)), rtol=1e-5
+        )
+        g1 = jax.grad(via_wide, argnums=(0, 1, 2))(xp, h0, u)
+        g2 = jax.grad(via_ref, argnums=(0, 1, 2))(xp, h0, u)
+        for name, a, b in zip("xp h0 u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                err_msg=f"d{name}",
+            )
+
+    @pytest.mark.parametrize("return_sequences", [True, False])
+    def test_lstm_wide_gradient_parity(self, return_sequences, monkeypatch):
+        from midi_vae_tpu.ops.fused_lstm import (
+            _encoder_scan_reference as lstm_ref,
+        )
+
+        rng = np.random.RandomState(4)
+        T, B, H = 6, 16, 16
+        xp = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        c0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        u = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32)) * 0.1
+
+        monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 27_000)
+        fwd_bt, bwd_bt = ft._lstm_wide_btiles(B, H, 4)
+        assert bwd_bt and bwd_bt < B
+
+        def via_wide(xp, h0, c0, u):
+            monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", "wide")
+            try:
+                out = ft.lstm_layer_train(
+                    xp, h0, c0, u, "tanh", return_sequences, True
+                )
+            finally:
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(xp, h0, c0, u):
+            out = lstm_ref(xp, h0, c0, u, jnp.tanh, return_sequences)
+            return jnp.sum(jnp.sin(out))
+
+        np.testing.assert_allclose(
+            float(via_wide(xp, h0, c0, u)),
+            float(via_ref(xp, h0, c0, u)),
+            rtol=1e-5,
+        )
+        g1 = jax.grad(via_wide, argnums=(0, 1, 2, 3))(xp, h0, c0, u)
+        g2 = jax.grad(via_ref, argnums=(0, 1, 2, 3))(xp, h0, c0, u)
+        for name, a, b in zip("xp h0 c0 u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                err_msg=f"d{name}",
+            )
+
+    def test_wide_admission_regimes(self):
+        """The regimes measured on the v5e AOT compiler: every (H, dtype)
+        the in-place kernels reject must be caught by the wide tiles the
+        probes verified to compile (or fall through to the scan)."""
+        B = 256
+        # reference scale: in-place stays the dispatch
+        assert ft._train_vmem_ok(B, 256)
+        # H=512 f32: in-place rejected (AOT), wide admitted -- fwd untiled,
+        # bwd tiled at 128 (both compile-verified on chip)
+        assert not ft._train_vmem_ok(B, 512)
+        assert ft._gru_wide_btiles(B, 512, 4) == (256, 128)
+        # H=1024 f32: wide admitted at (32, 16) -- the bt=32 bwd OOMed on
+        # the AOT compiler, bt=16 compiled
+        assert ft._gru_wide_btiles(B, 1024, 4) == (32, 16)
+        # H=1024 bf16: bwd bt=64 OOMed (the f32 casts of the streamed
+        # blocks triple bf16's temp footprint), bt=32 compiled
+        fwd_bt, bwd_bt = ft._gru_wide_btiles(B, 1024, 2)
+        assert bwd_bt == 32 and fwd_bt >= 64
+        # far past VMEM (U alone > 16 MB): no tile fits, scan it is
+        assert ft._gru_wide_btiles(B, 4096, 4) == (0, 0)
+        # LSTM: H=512 f32 wide admitted
+        assert ft._lstm_wide_btiles(B, 512, 4)[1] >= 64
+        assert ft._lstm_wide_btiles(B, 4096, 4) == (0, 0)
+
+    def test_mode_is_scan_off_tpu(self):
+        """On CPU (no interpret, no force) the wide path must never
+        dispatch a real Pallas kernel."""
+        xp, h0, u = self._gru_data(H=512 // 8)
+        assert ft._gru_mode(xp, h0, "tanh", False) == "scan"
+        assert ft._gru_mode(xp, h0, "relu", True) == "scan"  # non-tanh
+
+    def test_btile_picker(self):
+        assert ft._btile(256, lambda bt: bt <= 64) == 64
+        assert ft._btile(256, lambda bt: True) == 256
+        assert ft._btile(256, lambda bt: False) == 0
+        assert ft._btile(4, lambda bt: True) == 0     # < 8 rows never tiles
+        assert ft._btile(96, lambda bt: bt <= 30) == 24  # non-power-of-two B
