@@ -395,13 +395,13 @@ def _dec_fwd2_kernel(
     w1_ref, u1_ref, b1_ref, w2_ref, u2_ref, b2_ref, wo_ref, bo_ref,
     probs_ref, logits_ref, h1seq_ref, h2seq_ref,
     h1_s, h2_s, x_s,
-    *, act, out_act_name,
+    *, act, out_act_name, taxis=0,
 ):
     import jax.experimental.pallas as pl
 
     from .fused_decoder import _gru_gates
 
-    step = pl.program_id(0)
+    step = pl.program_id(taxis)
 
     @pl.when(step == 0)
     def _init():
@@ -433,13 +433,13 @@ def _dec_fwd1_kernel(
     w1_ref, u1_ref, b1_ref, wo_ref, bo_ref,
     probs_ref, logits_ref, h1seq_ref,
     h1_s, x_s,
-    *, act, out_act_name,
+    *, act, out_act_name, taxis=0,
 ):
     import jax.experimental.pallas as pl
 
     from .fused_decoder import _gru_gates
 
-    step = pl.program_id(0)
+    step = pl.program_id(taxis)
 
     @pl.when(step == 0)
     def _init():
@@ -801,15 +801,26 @@ def _gru_decode_train_vjp(
 ):
     act = _activation(activation)
     out_act_fn = _out_act_fn(out_activation)
-    if not _dec_use_pallas(cell_params, start, init_states, activation,
-                           out_activation, interpret):
+    mode = _dec_mode(cell_params, start, init_states, activation,
+                     out_activation, interpret)
+    if mode == "scan":
         return _decode_scan_reference(
             cell_params, out_dense, init_states, start, T, act, out_act_fn
         )
-    out = _dec_fwd_pallas(
-        cell_params, out_dense, init_states, start, T, activation,
-        out_activation, interpret,
-    )
+    if mode == "wide":
+        bt = _dec_wide_btiles(
+            start.shape[0], start.shape[1], init_states[0].shape[-1],
+            len(cell_params), start.dtype.itemsize,
+        )[0]
+        out = _dec_fwd_wide_pallas(
+            cell_params, out_dense, init_states, start, T, activation,
+            out_activation, interpret, bt or start.shape[0],
+        )
+    else:
+        out = _dec_fwd_pallas(
+            cell_params, out_dense, init_states, start, T, activation,
+            out_activation, interpret,
+        )
     return out[0], out[1]
 
 
@@ -850,8 +861,9 @@ def _gdt_fwd(cell_params, out_dense, init_states, start, T, activation,
              out_activation, interpret):
     act = _activation(activation)
     out_act_fn = _out_act_fn(out_activation)
-    if not _dec_use_pallas(cell_params, start, init_states, activation,
-                           out_activation, interpret):
+    mode = _dec_mode(cell_params, start, init_states, activation,
+                     out_activation, interpret)
+    if mode == "scan":
         out, vjp = jax.vjp(
             lambda cp, od, si, st: _decode_scan_reference(
                 cp, od, si, st, T, act, out_act_fn
@@ -859,10 +871,20 @@ def _gdt_fwd(cell_params, out_dense, init_states, start, T, activation,
             cell_params, out_dense, init_states, start,
         )
         return out, (vjp,)
-    res = _dec_fwd_pallas(
-        cell_params, out_dense, init_states, start, T, activation,
-        out_activation, interpret,
-    )
+    if mode == "wide":
+        bt = _dec_wide_btiles(
+            start.shape[0], start.shape[1], init_states[0].shape[-1],
+            len(cell_params), start.dtype.itemsize,
+        )[0]
+        res = _dec_fwd_wide_pallas(
+            cell_params, out_dense, init_states, start, T, activation,
+            out_activation, interpret, bt or start.shape[0],
+        )
+    else:
+        res = _dec_fwd_pallas(
+            cell_params, out_dense, init_states, start, T, activation,
+            out_activation, interpret,
+        )
     probs, logits = res[0], res[1]
     h_seqs = list(res[2:])
     return (probs, logits), (cell_params, out_dense, init_states, start,
@@ -875,6 +897,42 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
         return vjp(g)
     cell_params, out_dense, init_states, start, probs, h_seqs = residuals
     g_probs, g_logits = g
+    if _dec_mode(cell_params, start, init_states, activation,
+                 out_activation, interpret) == "wide":
+        bt = _dec_wide_btiles(
+            start.shape[0], start.shape[1], init_states[0].shape[-1],
+            len(cell_params), start.dtype.itemsize,
+        )[1]
+        outs = _dec_bwd_wide_pallas(
+            cell_params, out_dense, init_states, start, probs,
+            h_seqs, g_probs, g_logits, out_activation, interpret,
+            bt or start.shape[0],
+        )
+        if len(cell_params) == 2:
+            dlog, dacat1, dacat2, di1, di2, dstart = outs
+            dacats = [dacat1, dacat2]
+            d_init = [di1, di2]
+        else:
+            dlog, dacat1, di1, dstart = outs
+            dacats = [dacat1]
+            d_init = [di1]
+        d_cells, d_out = _dec_wide_weight_grads(
+            cell_params, out_dense, init_states, start, probs, h_seqs,
+            dlog, dacats,
+        )
+        d_cells = [
+            {"w": c["w"], "u": c["u"], "b": c["b"][0]} for c in d_cells
+        ]
+        d_out = {"w": d_out["w"], "b": d_out["b"][0]}
+        d_cells = type(cell_params)(
+            jax.tree_util.tree_map(
+                lambda gr, p: gr.astype(p.dtype), d_cells, list(cell_params)
+            )
+        )
+        d_out = jax.tree_util.tree_map(
+            lambda gr, p: gr.astype(p.dtype), d_out, out_dense
+        )
+        return d_cells, d_out, type(init_states)(d_init), dstart
     outs = _dec_bwd_pallas(
         cell_params, out_dense, init_states, start, probs,
         h_seqs, g_probs, g_logits, out_activation, interpret,
@@ -906,6 +964,371 @@ def _gdt_bwd(T, activation, out_activation, interpret, residuals, g):
 
 
 _gru_decode_train_vjp.defvjp(_gdt_fwd, _gdt_bwd)
+
+
+# ===========================================================================
+# WIDE-MODEL two-pass decode-head backward (mirror of the wide layer
+# kernels below): pass 1 is the reverse-time decode transpose emitting only
+# the per-step dlogits and per-layer pre-activation gate grads (batch-tiled
+# grid, weights resident once, no weight-grad residency); pass 2 reduces
+# the weight grads as flat XLA matmuls. This admits the fused decode heads
+# at H where _dec_train_vmem_ok rejects the in-place kernels (H >= 512).
+# ===========================================================================
+
+def _dpad(D: int) -> int:
+    """Lane-padded width of a D-column block (Mosaic pads to 128 lanes)."""
+    return ((D + 127) // 128) * 128
+
+
+def _dec_wide_btiles(B: int, D: int, H: int, n: int, s: int) -> tuple[int, int]:
+    """(fwd_btile, bwd_btile) for the wide decode kernels, or (0, 0)."""
+    Dp = _dpad(D)
+    weights = (D * 3 * H + (2 * n - 1) * H * 3 * H + H * Dp
+               + n * 3 * H + Dp) * s
+
+    def fwd_bytes(bt):
+        streams = 2 * bt * (2 * Dp + n * H) * s
+        scratch = (n * bt * H + bt * Dp) * s
+        return (weights + streams + scratch
+                + _TEMPS_FWD[min(s, 4)] * bt * (n * H + Dp))
+
+    def bwd_bytes(bt):
+        streams = 2 * bt * (5 * Dp + 5 * n * H) * s   # in + out, dbl-buffered
+        pinned = (2 * Dp + 2 * n * H) * bt * s
+        carries = (n * H + Dp) * bt * 4
+        return (weights + streams + pinned + carries
+                + _TEMPS_BWD[min(s, 4)] * bt * (n * H + Dp))
+
+    fwd = _btile(B, lambda bt: fwd_bytes(bt) < _WIDE_BUDGET_BYTES)
+    bwd = _btile(B, lambda bt: bwd_bytes(bt) < _WIDE_BUDGET_BYTES)
+    return (fwd, bwd) if fwd and bwd else (0, 0)
+
+
+def _dec_mode(cell_params, start, init_states, activation, out_activation,
+              interpret) -> str:
+    """'inplace' | 'wide' | 'scan' for the decode-head training paths."""
+    if len(cell_params) not in (1, 2):
+        return "scan"
+    if activation != "tanh" or out_activation not in (
+        "softmax", "sigmoid", "linear"
+    ):
+        return "scan"
+    if _FORCE_TRAIN_MODE is not None:
+        return _FORCE_TRAIN_MODE
+    if interpret:
+        return "inplace"
+    B, D = start.shape
+    if D < 8 and start.dtype != jnp.float32:
+        return "scan"  # bf16 narrow heads: see _dec_use_pallas
+    if jax.default_backend() != "tpu":
+        return "scan"
+    H = init_states[0].shape[-1]
+    if _dec_train_vmem_ok(B, D, H, len(cell_params)):
+        return "inplace"
+    if _dec_wide_btiles(B, D, H, len(cell_params), start.dtype.itemsize)[0]:
+        return "wide"
+    return "scan"
+
+
+def _dec_fwd_wide_pallas(cell_params, out_dense, init_states, start, T,
+                         activation, out_activation, interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    n_layers = len(cell_params)
+    B, D = start.shape
+    H = init_states[0].shape[-1]
+    seq = lambda d: pl.BlockSpec((1, bt, d), lambda b, s: (s, b, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    brow = lambda d: pl.BlockSpec((bt, d), lambda b, s: (b, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if n_layers == 2:
+        kernel = functools.partial(
+            _dec_fwd2_kernel, act=act, out_act_name=out_activation, taxis=1
+        )
+        inputs = (
+            start, init_states[0], init_states[1],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            cell_params[1]["w"], cell_params[1]["u"], cell_params[1]["b"],
+            out_dense["w"], out_dense["b"],
+        )
+        in_specs = [brow(D), brow(H), brow(H)] + [vm] * 8
+        out_shape = (
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, H), start.dtype),
+            jax.ShapeDtypeStruct((T, B, H), start.dtype),
+        )
+        out_specs = (seq(D), seq(D), seq(H), seq(H))
+        scratch = [
+            pltpu.VMEM((bt, H), start.dtype),
+            pltpu.VMEM((bt, H), start.dtype),
+            pltpu.VMEM((bt, D), start.dtype),
+        ]
+    else:
+        kernel = functools.partial(
+            _dec_fwd1_kernel, act=act, out_act_name=out_activation, taxis=1
+        )
+        inputs = (
+            start, init_states[0],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            out_dense["w"], out_dense["b"],
+        )
+        in_specs = [brow(D), brow(H)] + [vm] * 5
+        out_shape = (
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),
+            jax.ShapeDtypeStruct((T, B, H), start.dtype),
+        )
+        out_specs = (seq(D), seq(D), seq(H))
+        scratch = [
+            pltpu.VMEM((bt, H), start.dtype),
+            pltpu.VMEM((bt, D), start.dtype),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt, T),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def _dec_bwd2_wide_kernel(
+    xprev_ref, h1_ref, h1p_ref, h2_ref, h2p_ref, probs_ref, gp_ref, gl_ref,
+    start_ref, i1_ref, i2_ref,
+    w1_ref, u1_ref, b1_ref, w2_ref, u2_ref, b2_ref, wo_ref,
+    dlog_ref, dacat1_ref, dacat2_ref, di1_ref, di2_ref, dstart_ref,
+    dh1_s, dh2_s, dx_s,
+    *, out_act_name,
+):
+    """_dec_bwd2_kernel minus the weight-grad residency: emits dlogits and
+    the per-layer gate grads for pass 2 (grid (nB, T), time on axis 1)."""
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(step == 0)
+    def _init():
+        dh1_s[:] = jnp.zeros_like(dh1_s)
+        dh2_s[:] = jnp.zeros_like(dh2_s)
+        dx_s[:] = jnp.zeros_like(dx_s)
+
+    probs = probs_ref[0].astype(jnp.float32)
+    gp_total = gp_ref[0].astype(jnp.float32) + dx_s[:]
+    dlog = _dlogits_from(probs, gp_total, gl_ref[0].astype(jnp.float32),
+                         out_act_name)
+    dlog_ref[0] = dlog.astype(dlog_ref.dtype)
+    dh2 = _dot_t(dlog, wo_ref[:]) + dh2_s[:]
+
+    is_first_t = step == last
+    h1 = h1_ref[0]
+    h2p = jnp.where(is_first_t, i2_ref[:], h2p_ref[0])
+    dx2, dh2p, dacat2, _ = _gru_cell_bwd_core(
+        h1, h2p, w2_ref[:], u2_ref[:], b2_ref[:], dh2
+    )
+    dacat2_ref[0] = dacat2.astype(dacat2_ref.dtype)
+
+    dh1 = dx2 + dh1_s[:]
+    x = jnp.where(is_first_t, start_ref[:], xprev_ref[0])
+    h1p = jnp.where(is_first_t, i1_ref[:], h1p_ref[0])
+    dx1, dh1p, dacat1, _ = _gru_cell_bwd_core(
+        x, h1p, w1_ref[:], u1_ref[:], b1_ref[:], dh1
+    )
+    dacat1_ref[0] = dacat1.astype(dacat1_ref.dtype)
+
+    dh1_s[:] = dh1p
+    dh2_s[:] = dh2p
+    dx_s[:] = dx1
+
+    @pl.when(step == last)
+    def _final():
+        di1_ref[:] = dh1p.astype(di1_ref.dtype)
+        di2_ref[:] = dh2p.astype(di2_ref.dtype)
+        dstart_ref[:] = dx1.astype(dstart_ref.dtype)
+
+
+def _dec_bwd1_wide_kernel(
+    xprev_ref, h1_ref, h1p_ref, probs_ref, gp_ref, gl_ref,
+    start_ref, i1_ref,
+    w1_ref, u1_ref, b1_ref, wo_ref,
+    dlog_ref, dacat1_ref, di1_ref, dstart_ref,
+    dh1_s, dx_s,
+    *, out_act_name,
+):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    @pl.when(step == 0)
+    def _init():
+        dh1_s[:] = jnp.zeros_like(dh1_s)
+        dx_s[:] = jnp.zeros_like(dx_s)
+
+    probs = probs_ref[0].astype(jnp.float32)
+    gp_total = gp_ref[0].astype(jnp.float32) + dx_s[:]
+    dlog = _dlogits_from(probs, gp_total, gl_ref[0].astype(jnp.float32),
+                         out_act_name)
+    dlog_ref[0] = dlog.astype(dlog_ref.dtype)
+    dh1 = _dot_t(dlog, wo_ref[:]) + dh1_s[:]
+
+    is_first_t = step == last
+    x = jnp.where(is_first_t, start_ref[:], xprev_ref[0])
+    h1p = jnp.where(is_first_t, i1_ref[:], h1p_ref[0])
+    dx1, dh1p, dacat1, _ = _gru_cell_bwd_core(
+        x, h1p, w1_ref[:], u1_ref[:], b1_ref[:], dh1
+    )
+    dacat1_ref[0] = dacat1.astype(dacat1_ref.dtype)
+    dh1_s[:] = dh1p
+    dx_s[:] = dx1
+
+    @pl.when(step == last)
+    def _final():
+        di1_ref[:] = dh1p.astype(di1_ref.dtype)
+        dstart_ref[:] = dx1.astype(dstart_ref.dtype)
+
+
+def _dec_bwd_wide_pallas(cell_params, out_dense, init_states, start,
+                         probs, h_seqs, g_probs, g_logits,
+                         out_activation, interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers = len(cell_params)
+    T, B, D = probs.shape
+    H = init_states[0].shape[-1]
+    f32 = jnp.float32
+    seq = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, bt, d), lambda b, s: (T - 1 - s, b, 0), memory_space=pltpu.VMEM
+    )
+    prev = lambda d: pl.BlockSpec(  # noqa: E731  -- t-1 via shifted map
+        (1, bt, d), lambda b, s: (jnp.maximum(T - 2 - s, 0), b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    brow = lambda d: pl.BlockSpec(  # noqa: E731
+        (bt, d), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if n_layers == 2:
+        kernel = functools.partial(
+            _dec_bwd2_wide_kernel, out_act_name=out_activation
+        )
+        inputs = (
+            probs, h_seqs[0], h_seqs[0], h_seqs[1], h_seqs[1],
+            probs, g_probs, g_logits,
+            start, init_states[0], init_states[1],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            cell_params[1]["w"], cell_params[1]["u"], cell_params[1]["b"],
+            out_dense["w"],
+        )
+        in_specs = [prev(D), seq(H), prev(H), seq(H), prev(H),
+                    seq(D), seq(D), seq(D),
+                    brow(D), brow(H), brow(H)] + [vm] * 7
+        out_shape = (
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),        # dlog
+            jax.ShapeDtypeStruct((T, B, 3 * H), start.dtype),    # dacat1
+            jax.ShapeDtypeStruct((T, B, 3 * H), start.dtype),    # dacat2
+            jax.ShapeDtypeStruct((B, H), start.dtype),           # di1
+            jax.ShapeDtypeStruct((B, H), start.dtype),           # di2
+            jax.ShapeDtypeStruct((B, D), start.dtype),           # dstart
+        )
+        out_specs = (
+            seq(D), seq(3 * H), seq(3 * H), brow(H), brow(H), brow(D)
+        )
+        scratch = [
+            pltpu.VMEM((bt, H), f32), pltpu.VMEM((bt, H), f32),
+            pltpu.VMEM((bt, D), f32),
+        ]
+    else:
+        kernel = functools.partial(
+            _dec_bwd1_wide_kernel, out_act_name=out_activation
+        )
+        inputs = (
+            probs, h_seqs[0], h_seqs[0], probs, g_probs, g_logits,
+            start, init_states[0],
+            cell_params[0]["w"], cell_params[0]["u"], cell_params[0]["b"],
+            out_dense["w"],
+        )
+        in_specs = [prev(D), seq(H), prev(H), seq(D), seq(D), seq(D),
+                    brow(D), brow(H)] + [vm] * 4
+        out_shape = (
+            jax.ShapeDtypeStruct((T, B, D), start.dtype),        # dlog
+            jax.ShapeDtypeStruct((T, B, 3 * H), start.dtype),    # dacat1
+            jax.ShapeDtypeStruct((B, H), start.dtype),           # di1
+            jax.ShapeDtypeStruct((B, D), start.dtype),           # dstart
+        )
+        out_specs = (seq(D), seq(3 * H), brow(H), brow(D))
+        scratch = [
+            pltpu.VMEM((bt, H), f32), pltpu.VMEM((bt, D), f32),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt, T),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+
+def _dec_wide_weight_grads(cell_params, out_dense, init_states, start,
+                           probs, h_seqs, dlog, dacats):
+    """Pass 2: the decode head's weight grads as flat (T*B, .) MXU matmuls
+    (f32), from the pass-1 dlogits / gate-grad streams."""
+    T, B, D = probs.shape
+    H = init_states[0].shape[-1]
+    f32 = jnp.float32
+    n = len(cell_params)
+    flat = lambda a: a.reshape(T * B, a.shape[-1]).astype(f32)  # noqa: E731
+
+    dlog2 = flat(dlog)
+    dwo = _outer_acc(flat(h_seqs[-1]), dlog2)
+    dbo = jnp.sum(dlog2, axis=0, keepdims=True)
+
+    # layer l's input sequence: fed-back probs for layer 0 (start at t=0),
+    # layer 0's aligned output sequence for layer 1
+    xs = [jnp.concatenate([start[None], probs[:-1]], axis=0)]
+    if n == 2:
+        xs.append(h_seqs[0])
+    d_cells = []
+    for layer in range(n):
+        w = cell_params[layer]["w"].astype(f32)
+        u = cell_params[layer]["u"].astype(f32)
+        b = cell_params[layer]["b"].astype(f32)
+        x2 = flat(xs[layer])
+        hp2 = flat(
+            jnp.concatenate(
+                [init_states[layer][None], h_seqs[layer][:-1]], axis=0
+            )
+        )
+        da2 = flat(dacats[layer])
+        # recompute r exactly as the kernels do (f32 math)
+        r = jax.nn.sigmoid(
+            _dot(x2, w[:, H : 2 * H]) + b[H : 2 * H]
+            + _dot(hp2, u[:, H : 2 * H])
+        )
+        du = jnp.concatenate(
+            [_outer_acc(hp2, da2[:, : 2 * H]),
+             _outer_acc(r * hp2, da2[:, 2 * H :])],
+            axis=-1,
+        )
+        d_cells.append({
+            "w": _outer_acc(x2, da2),
+            "u": du,
+            "b": jnp.sum(da2, axis=0, keepdims=True),
+        })
+    return d_cells, {"w": dwo, "b": dbo}
 
 
 # ===========================================================================

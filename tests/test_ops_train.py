@@ -917,3 +917,78 @@ class TestWideTwoPassTrain:
         assert ft._btile(256, lambda bt: False) == 0
         assert ft._btile(4, lambda bt: True) == 0     # < 8 rows never tiles
         assert ft._btile(96, lambda bt: bt <= 30) == 24  # non-power-of-two B
+
+
+class TestWideDecodeTrain:
+    """Wide two-pass decode-head backward: pass-1 kernel emits dlogits +
+    per-layer gate grads on a batch-tiled grid; weight grads reduce as flat
+    XLA matmuls. The path every decode head takes at H=512 (all dtypes --
+    the in-place _dec_train_vmem_ok model is dtype-blind and rejects 512)."""
+
+    def _head(self, D, n, B=16, H=16, seed=5):
+        rng = np.random.RandomState(seed)
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.2
+        cells = [
+            {"w": mk(D if layer == 0 else H, 3 * H), "u": mk(H, 3 * H),
+             "b": mk(3 * H)}
+            for layer in range(n)
+        ]
+        out = {"w": mk(H, D), "b": mk(D)}
+        states = [mk(B, H) for _ in range(n)]
+        start = mk(B, D)
+        return cells, out, states, start
+
+    @pytest.mark.parametrize(
+        "D,n,out_act",
+        [(12, 2, "softmax"), (12, 1, "softmax"), (1, 1, "sigmoid"),
+         (12, 2, "linear")],
+    )
+    def test_wide_decode_gradient_parity(self, D, n, out_act, monkeypatch):
+        T, B, H = 6, 16, 16
+        cells, out, states, start = self._head(D, n, B, H)
+        # budget at which the bwd tiles (asserted) for both layer counts
+        monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 200_000)
+        bts = ft._dec_wide_btiles(B, D, H, n, 4)
+        assert bts[1] and bts[1] < B
+
+        def via_wide(args):
+            cells, out, states, start = args
+            monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", "wide")
+            try:
+                probs, logits = ft.gru_decode_train(
+                    cells, out, states, start, T, "tanh", out_act, True
+                )
+            finally:
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+            return jnp.sum(jnp.sin(probs)) + 0.3 * jnp.sum(jnp.cos(logits))
+
+        def via_ref(args):
+            cells, out, states, start = args
+            probs, logits = _decode_scan_reference(
+                cells, out, states, start, T, jnp.tanh, _out_act_fn(out_act)
+            )
+            return jnp.sum(jnp.sin(probs)) + 0.3 * jnp.sum(jnp.cos(logits))
+
+        args = (cells, out, states, start)
+        v0, g0 = jax.value_and_grad(via_ref)(args)
+        v1, g1 = jax.value_and_grad(via_wide)(args)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+        flat0, _ = jax.tree_util.tree_flatten(g0)
+        flat1, _ = jax.tree_util.tree_flatten(g1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-6
+            )
+
+    def test_wide_decode_admission_regimes(self):
+        """Pins from the on-chip compile probes (v5e, AOT): every decode
+        head geometry at H=512 f32 is wide-admitted at a verified tile;
+        H=1024 falls through to the scan (2 U's + W2 alone exceed VMEM)."""
+        B = 256
+        assert not ft._dec_train_vmem_ok(B, 61, 512, 2)
+        assert ft._dec_wide_btiles(B, 61, 512, 2, 4) == (128, 32)
+        assert ft._dec_wide_btiles(B, 1, 512, 1, 4) == (256, 128)
+        assert ft._dec_wide_btiles(B, 2, 512, 1, 4) == (256, 128)
+        assert ft._dec_wide_btiles(B, 61, 1024, 2, 4) == (0, 0)
+        # reference scale keeps the in-place kernels
+        assert ft._dec_train_vmem_ok(B, 61, 256, 2)
