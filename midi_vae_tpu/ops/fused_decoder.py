@@ -285,10 +285,13 @@ fused_decode_scan.defvjp(_fds_fwd, _fds_bwd)
 # streamed block-per-step by the grid; U stays in VMEM; h carries in scratch.
 # ---------------------------------------------------------------------------
 
-def _encoder_kernel(xp_ref, h0_ref, u_ref, out_ref, h_s, *, act, return_sequences):
+def _encoder_kernel(xp_ref, h0_ref, u_ref, out_ref, h_s, *, act,
+                    return_sequences, taxis=0):
+    # taxis: grid axis that walks time -- 0 untiled, 1 for the wide
+    # batch-tiled variant (grid (nB, T); the carry re-inits per tile)
     import jax.experimental.pallas as pl
 
-    step = pl.program_id(0)
+    step = pl.program_id(taxis)
 
     @pl.when(step == 0)
     def _init():
@@ -309,7 +312,7 @@ def _encoder_kernel(xp_ref, h0_ref, u_ref, out_ref, h_s, *, act, return_sequence
     if return_sequences:
         out_ref[0] = new_h.astype(out_ref.dtype)
     else:
-        @pl.when(step == pl.num_programs(0) - 1)
+        @pl.when(step == pl.num_programs(taxis) - 1)
         def _final():
             out_ref[:] = new_h.astype(out_ref.dtype)
 
@@ -376,6 +379,62 @@ def _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret):
     )(xp, h0, u)
 
 
+def _encoder_wide_btile(B: int, H: int, s: int) -> int:
+    """Batch tile for the wide (batch-tiled grid) encoder kernel at H where
+    the untiled kernel's VMEM no longer fits; 0 when even the smallest tile
+    cannot (U alone too big). Shares fused_train's wide-forward calibration
+    (same kernel shape); lazy import avoids the module cycle."""
+    from .fused_train import _WIDE_BUDGET_BYTES, _btile, _gru_fwd_wide_bytes
+
+    # require a REAL tile (bt < B): an untiled dispatch here would
+    # contradict the _encoder_vmem_ok rejection that routed us here
+    return _btile(
+        B,
+        lambda bt: bt < B
+        and _gru_fwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES,
+    )
+
+
+def _encoder_scan_wide_pallas(xp, h0, u, activation, return_sequences,
+                              interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, _ = xp.shape
+    H = h0.shape[-1]
+    kernel = functools.partial(
+        _encoder_kernel, act=act, return_sequences=return_sequences, taxis=1
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, H), xp.dtype)
+        if return_sequences
+        else jax.ShapeDtypeStruct((B, H), xp.dtype)
+    )
+    out_spec = (
+        pl.BlockSpec((1, bt, H), lambda b, s: (s, b, 0),
+                     memory_space=pltpu.VMEM)
+        if return_sequences
+        else pl.BlockSpec((bt, H), lambda b, s: (b, 0),
+                          memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt, T),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, bt, 3 * H), lambda b, s: (s, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, H), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((bt, H), xp.dtype)],
+        interpret=interpret,
+    )(xp, h0, u)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_encoder_scan(
     xp, h0, u, activation: str = "tanh", return_sequences: bool = False,
@@ -384,15 +443,22 @@ def fused_encoder_scan(
     """GRU layer over a full sequence in one kernel.
 
     xp: (T, B, 3H) precomputed x-projections (time-major); h0: (B, H);
-    returns (T, B, H) if return_sequences else (B, H)."""
+    returns (T, B, H) if return_sequences else (B, H). Widths past the
+    untiled VMEM fit take a batch-tiled grid (U resident once across
+    tiles); only when even that cannot fit does the jnp scan run."""
     act = _activation(activation)
     B = xp.shape[1]
     H = h0.shape[-1]
-    if not interpret and (
-        jax.default_backend() != "tpu"
-        or not _encoder_vmem_ok(B, H, xp.dtype.itemsize)
-    ):
-        return _encoder_scan_reference(xp, h0, u, act, return_sequences)
+    if not interpret:
+        if jax.default_backend() != "tpu":
+            return _encoder_scan_reference(xp, h0, u, act, return_sequences)
+        if not _encoder_vmem_ok(B, H, xp.dtype.itemsize):
+            bt = _encoder_wide_btile(B, H, xp.dtype.itemsize)
+            if bt:
+                return _encoder_scan_wide_pallas(
+                    xp, h0, u, activation, return_sequences, interpret, bt
+                )
+            return _encoder_scan_reference(xp, h0, u, act, return_sequences)
     return _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret)
 
 

@@ -225,10 +225,12 @@ def make_fused_decoder_step(activation: str = "tanh"):
 # ---------------------------------------------------------------------------
 
 def _encoder_kernel(xp_ref, h0_ref, c0_ref, u_ref, out_ref, h_s, c_s,
-                    *, act, return_sequences):
+                    *, act, return_sequences, taxis=0):
+    # taxis: grid axis that walks time -- 0 untiled, 1 for the wide
+    # batch-tiled variant (grid (nB, T); carries re-init per tile)
     import jax.experimental.pallas as pl
 
-    step = pl.program_id(0)
+    step = pl.program_id(taxis)
 
     @pl.when(step == 0)
     def _init():
@@ -241,7 +243,7 @@ def _encoder_kernel(xp_ref, h0_ref, c0_ref, u_ref, out_ref, h_s, c_s,
     if return_sequences:
         out_ref[0] = new_h.astype(out_ref.dtype)
     else:
-        @pl.when(step == pl.num_programs(0) - 1)
+        @pl.when(step == pl.num_programs(taxis) - 1)
         def _final():
             out_ref[:] = new_h.astype(out_ref.dtype)
 
@@ -250,6 +252,18 @@ def _encoder_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
     operand = H * 4 * H + 4 * B * H + B * 4 * H
     f32 = 4 * B * 4 * H  # gate temporaries
     return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
+
+
+def _encoder_wide_btile(B: int, H: int, s: int) -> int:
+    """Batch tile for the wide LSTM encoder kernel (see the GRU twin in
+    fused_decoder._encoder_wide_btile); 0 when no real tile fits."""
+    from .fused_train import _WIDE_BUDGET_BYTES, _btile, _lstm_fwd_wide_bytes
+
+    return _btile(
+        B,
+        lambda bt: bt < B
+        and _lstm_fwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES,
+    )
 
 
 def _encoder_scan_reference(xp, h0, c0, u, act, return_sequences):
@@ -305,6 +319,49 @@ def _encoder_scan_pallas(xp, h0, c0, u, activation, return_sequences,
     )(xp, h0, c0, u)
 
 
+def _encoder_scan_wide_pallas(xp, h0, c0, u, activation, return_sequences,
+                              interpret, bt):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = _activation(activation)
+    T, B, _ = xp.shape
+    H = h0.shape[-1]
+    kernel = functools.partial(
+        _encoder_kernel, act=act, return_sequences=return_sequences, taxis=1
+    )
+    brow = pl.BlockSpec((bt, H), lambda b, s: (b, 0), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, H), xp.dtype)
+        if return_sequences
+        else jax.ShapeDtypeStruct((B, H), xp.dtype)
+    )
+    out_spec = (
+        pl.BlockSpec((1, bt, H), lambda b, s: (s, b, 0),
+                     memory_space=pltpu.VMEM)
+        if return_sequences
+        else brow
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt, T),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, bt, 4 * H), lambda b, s: (s, b, 0),
+                         memory_space=pltpu.VMEM),
+            brow,
+            brow,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((bt, H), xp.dtype),
+            pltpu.VMEM((bt, H), xp.dtype),
+        ],
+        interpret=interpret,
+    )(xp, h0, c0, u)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_lstm_encoder_scan(
     xp, h0, c0, u, activation: str = "tanh", return_sequences: bool = False,
@@ -313,15 +370,26 @@ def fused_lstm_encoder_scan(
     """LSTM layer over a full sequence in one kernel.
 
     xp: (T, B, 4H) precomputed x-projections (time-major); h0/c0: (B, H);
-    returns (T, B, H) if return_sequences else the final h (B, H)."""
+    returns (T, B, H) if return_sequences else the final h (B, H). Widths
+    past the untiled VMEM fit take a batch-tiled grid (U resident once
+    across tiles); only when even that cannot fit does the jnp scan run."""
     act = _activation(activation)
     B = xp.shape[1]
     H = h0.shape[-1]
-    if not interpret and (
-        jax.default_backend() != "tpu"
-        or not _encoder_vmem_ok(B, H, xp.dtype.itemsize)
-    ):
-        return _encoder_scan_reference(xp, h0, c0, u, act, return_sequences)
+    if not interpret:
+        if jax.default_backend() != "tpu":
+            return _encoder_scan_reference(
+                xp, h0, c0, u, act, return_sequences
+            )
+        if not _encoder_vmem_ok(B, H, xp.dtype.itemsize):
+            bt = _encoder_wide_btile(B, H, xp.dtype.itemsize)
+            if bt:
+                return _encoder_scan_wide_pallas(
+                    xp, h0, c0, u, activation, return_sequences, interpret, bt
+                )
+            return _encoder_scan_reference(
+                xp, h0, c0, u, act, return_sequences
+            )
     return _encoder_scan_pallas(
         xp, h0, c0, u, activation, return_sequences, interpret
     )

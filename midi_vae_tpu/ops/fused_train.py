@@ -762,37 +762,6 @@ def _dec_train_vmem_ok(B: int, D: int, H: int, n_layers: int) -> bool:
     return total < 15_500_000
 
 
-def _dec_use_pallas(cell_params, start, init_states, activation,
-                    out_activation, interpret) -> bool:
-    # SEMANTIC constraints (hold in interpret mode too): the kernels
-    # implement 1/2-layer heads, tanh cells, and these output activations
-    if len(cell_params) not in (1, 2):
-        return False
-    if activation != "tanh" or out_activation not in ("softmax", "sigmoid", "linear"):
-        return False
-    if interpret:
-        return True
-    B, D = start.shape
-    H = init_states[0].shape[-1]
-    # narrow heads (velocity D=1, held D=2) take this kernel too: earlier
-    # per-call timing suggested the lane-padded streams lose, but that
-    # measurement was dominated by the dev tunnel's per-dispatch floor --
-    # device-side tracing shows the whole-head kernel replaces a ~0.5 ms
-    # 64-iteration device loop with a ~0.3 ms kernel pair
-    if D < 8 and start.dtype != jnp.float32:
-        # the forward's degenerate-K feedback projection (probs (B,1) @ W
-        # (1,3H)) lowers to a broadcast-multiply, and Mosaic cannot
-        # broadcast a bf16 operand into the f32 result ('vector.broadcast'
-        # verification error) -- bf16 narrow heads take the XLA scan
-        return False
-    return (
-        jax.default_backend() == "tpu"
-        and activation == "tanh"
-        and out_activation in ("softmax", "sigmoid", "linear")
-        and _dec_train_vmem_ok(B, D, H, len(cell_params))
-    )
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _gru_decode_train_vjp(
     cell_params, out_dense, init_states, start,
@@ -1019,7 +988,15 @@ def _dec_mode(cell_params, start, init_states, activation, out_activation,
         return "inplace"
     B, D = start.shape
     if D < 8 and start.dtype != jnp.float32:
-        return "scan"  # bf16 narrow heads: see _dec_use_pallas
+        # narrow heads (velocity D=1, held D=2) ride the kernels in f32
+        # (device tracing: the whole-head pair replaces a ~0.5 ms
+        # 64-iteration device loop with ~0.3 ms), but their degenerate-K
+        # feedback projection (probs (B,1) @ W (1,3H)) lowers to a
+        # broadcast-multiply Mosaic cannot express in bf16
+        # ('vector.broadcast' verification error) -- gru_decode_train
+        # promotes them to f32 before reaching here; a direct bf16 call
+        # takes the scan
+        return "scan"
     if jax.default_backend() != "tpu":
         return "scan"
     H = init_states[0].shape[-1]

@@ -104,3 +104,66 @@ class TestFusedDecoderScan:
                 np.asarray(out_inf[name][0]), np.asarray(out_train[name][0]),
                 rtol=2e-5, atol=2e-6, err_msg=name,
             )
+
+
+class TestWideInferenceEncoders:
+    """Batch-tiled wide inference encoder scans (fused_decoder/fused_lstm):
+    the path serving takes at H where the untiled kernel's VMEM no longer
+    fits. Tiled and untiled kernels are bit-identical on chip (row-wise
+    independent math); here the tiled grid runs in interpret mode against
+    the jnp scan."""
+
+    def test_gru_wide_encoder_matches_scan(self):
+        import numpy as np
+
+        from midi_vae_tpu.ops import fused_decoder as fd
+
+        rng = np.random.RandomState(0)
+        T, B, H = 7, 16, 24
+        xp = jnp.asarray(rng.randn(T, B, 3 * H).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        u = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32)) * 0.1
+        for rs in (True, False):
+            got = fd._encoder_scan_wide_pallas(
+                xp, h0, u, "tanh", rs, True, 8
+            )
+            want = fd._encoder_scan_reference(xp, h0, u, jnp.tanh, rs)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6
+            )
+
+    def test_lstm_wide_encoder_matches_scan(self):
+        import numpy as np
+
+        from midi_vae_tpu.ops import fused_lstm as fl
+
+        rng = np.random.RandomState(1)
+        T, B, H = 6, 16, 16
+        xp = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        c0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        u = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32)) * 0.1
+        for rs in (True, False):
+            got = fl._encoder_scan_wide_pallas(
+                xp, h0, c0, u, "tanh", rs, True, 8
+            )
+            want = fl._encoder_scan_reference(
+                xp, h0, c0, u, jnp.tanh, rs
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6
+            )
+
+    def test_wide_btile_gates(self):
+        """Pins from on-chip probes: H=1024 inference encoders tile (GRU
+        f32 bt=32, bf16 128; LSTM f32 H=512 bt=128), far-past-VMEM widths
+        fall to the scan, and a real tile (bt < B) is required."""
+        from midi_vae_tpu.ops import fused_decoder as fd
+        from midi_vae_tpu.ops import fused_lstm as fl
+
+        assert fd._encoder_wide_btile(256, 1024, 4) == 32
+        assert fd._encoder_wide_btile(256, 1024, 2) == 128
+        assert fd._encoder_wide_btile(256, 4096, 4) == 0
+        assert fl._encoder_wide_btile(256, 512, 4) == 128
+        assert fl._encoder_wide_btile(256, 1024, 2) == 64
+        assert fl._encoder_wide_btile(256, 4096, 4) == 0

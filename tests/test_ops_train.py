@@ -667,11 +667,11 @@ class TestBf16NarrowHeadGates:
     def test_narrow_decode_head_rejects_bf16(self, monkeypatch):
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         cells, start, states = self._decode_specs(jnp.bfloat16)
-        assert not ft._dec_use_pallas(cells, start, states, "tanh", "sigmoid",
-                                      False)
+        assert ft._dec_mode(cells, start, states, "tanh", "sigmoid",
+                            False) == "scan"
         cells, start, states = self._decode_specs(jnp.float32)
-        assert ft._dec_use_pallas(cells, start, states, "tanh", "sigmoid",
-                                  False)
+        assert ft._dec_mode(cells, start, states, "tanh", "sigmoid",
+                            False) == "inplace"
 
     def test_multihead_and_multibranch_reject_bf16(self, monkeypatch):
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")

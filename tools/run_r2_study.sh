@@ -28,6 +28,9 @@ log "B big corpus 2000 epochs"
 log "C 3-class 1500 epochs"
 [ -f $R/vae_tri/history.json ] || python train.py --source $R/tri --output $R/vae_tri --cache $R/cache_tri --classes style1,style2,style3 --epochs 1500 $CAD
 
+log "W wide model (lstm_size=512, wide two-pass kernels) 1500 epochs"
+[ -f $R/vae_wide/history.json ] || python train.py --source $R/poly --output $R/vae_wide --cache $R/cache_poly --epochs 1500 --set lstm_size=512 $CAD
+
 log "XL 500-song corpus 2500 epochs"
 [ -d $R/xl ] || python tools/make_demo_corpus.py $R/xl --songs-per-style 250 --chords --seed 3
 [ -f $R/vae_xl/history.json ] || python train.py --source $R/xl --output $R/vae_xl --cache $R/cache_xl --epochs 2500 --set test_step=250 --set save_step=1250
@@ -47,6 +50,7 @@ log "evaluations"
 python evaluate.py --source $R/poly --model $R/vae_f32 --classifiers $R/clf_poly --output $R/eval_f32 --cache $R/cache_poly --sections autoencoding
 python evaluate.py --source $R/poly --model $R/vae_bf16 --classifiers $R/clf_poly --output $R/eval_bf16 --cache $R/cache_poly --sections autoencoding
 python evaluate.py --source $R/poly --model $R/vae_tf --classifiers $R/clf_poly --output $R/eval_tf --cache $R/cache_poly --sections autoencoding
+python evaluate.py --source $R/poly --model $R/vae_wide --classifiers $R/clf_poly --output $R/eval_wide --cache $R/cache_poly --sections autoencoding
 python evaluate.py --source $R/big --model $R/vae_big --classifiers $R/clf_big --output $R/eval_big --cache $R/cache_big --sections autoencoding
 python evaluate.py --source $R/tri --model $R/vae_tri --classifiers $R/clf_tri --output $R/eval_tri --cache $R/cache_tri --sections autoencoding
 python evaluate.py --source $R/xl --model $R/vae_xl --classifiers $R/clf_xl --output $R/eval_xl --cache $R/cache_xl --sections autoencoding
