@@ -379,19 +379,37 @@ def _encoder_scan_pallas(xp, h0, u, activation, return_sequences, interpret):
     )(xp, h0, u)
 
 
-def _encoder_wide_btile(B: int, H: int, s: int) -> int:
+def _encoder_wide_bytes(bt: int, H: int, s: int,
+                        return_sequences: bool) -> int:
+    """Exact-operand VMEM model for the wide inference encoder kernel: with
+    return_sequences the kernel shape equals fused_train's wide forward
+    (same calibration applies); without, the output is a single pinned
+    (bt, H) block rather than a double-buffered stream (one bt*H*s less)."""
+    from .fused_train import _TEMPS_FWD
+
+    out = 2 * bt * H if return_sequences else bt * H
+    return (
+        H * 3 * H * s                       # U resident across tiles
+        + (2 * bt * 3 * H + out) * s        # xp-in stream + output
+        + 2 * bt * H * s                    # h0 block + carry scratch
+        + _TEMPS_FWD[min(s, 4)] * bt * H
+    )
+
+
+def _encoder_wide_btile(B: int, H: int, s: int,
+                        return_sequences: bool = True) -> int:
     """Batch tile for the wide (batch-tiled grid) encoder kernel at H where
     the untiled kernel's VMEM no longer fits; 0 when even the smallest tile
-    cannot (U alone too big). Shares fused_train's wide-forward calibration
-    (same kernel shape); lazy import avoids the module cycle."""
-    from .fused_train import _WIDE_BUDGET_BYTES, _btile, _gru_fwd_wide_bytes
+    cannot (U alone too big). Lazy import avoids the module cycle."""
+    from .fused_train import _WIDE_BUDGET_BYTES, _btile
 
     # require a REAL tile (bt < B): an untiled dispatch here would
     # contradict the _encoder_vmem_ok rejection that routed us here
     return _btile(
         B,
         lambda bt: bt < B
-        and _gru_fwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES,
+        and _encoder_wide_bytes(bt, H, s, return_sequences)
+        < _WIDE_BUDGET_BYTES,
     )
 
 
@@ -453,7 +471,9 @@ def fused_encoder_scan(
         if jax.default_backend() != "tpu":
             return _encoder_scan_reference(xp, h0, u, act, return_sequences)
         if not _encoder_vmem_ok(B, H, xp.dtype.itemsize):
-            bt = _encoder_wide_btile(B, H, xp.dtype.itemsize)
+            bt = _encoder_wide_btile(
+                B, H, xp.dtype.itemsize, return_sequences
+            )
             if bt:
                 return _encoder_scan_wide_pallas(
                     xp, h0, u, activation, return_sequences, interpret, bt

@@ -254,15 +254,35 @@ def _encoder_vmem_ok(B: int, H: int, itemsize: int = 4) -> bool:
     return operand * itemsize + f32 * 4 < _VMEM_LIMIT_BYTES
 
 
-def _encoder_wide_btile(B: int, H: int, s: int) -> int:
+def _encoder_wide_bytes(bt: int, H: int, s: int,
+                        return_sequences: bool) -> int:
+    """Exact-operand VMEM model for the wide inference LSTM encoder.
+    Unlike fused_train's wide forward (which also streams cseq residuals
+    for the backward), this kernel emits only h — a double-buffered
+    (1, bt, H) stream with return_sequences, else one pinned (bt, H)
+    block. Temps scaled 4/3 from the GRU calibration as in fused_train."""
+    from .fused_train import _TEMPS_FWD
+
+    out = 2 * bt * H if return_sequences else bt * H
+    return (
+        H * 4 * H * s                       # U resident across tiles
+        + (2 * bt * 4 * H + out) * s        # xp-in stream + h output
+        + 4 * bt * H * s                    # h0/c0 blocks + h/c carries
+        + _TEMPS_FWD[min(s, 4)] * bt * H * 4 // 3
+    )
+
+
+def _encoder_wide_btile(B: int, H: int, s: int,
+                        return_sequences: bool = True) -> int:
     """Batch tile for the wide LSTM encoder kernel (see the GRU twin in
     fused_decoder._encoder_wide_btile); 0 when no real tile fits."""
-    from .fused_train import _WIDE_BUDGET_BYTES, _btile, _lstm_fwd_wide_bytes
+    from .fused_train import _WIDE_BUDGET_BYTES, _btile
 
     return _btile(
         B,
         lambda bt: bt < B
-        and _lstm_fwd_wide_bytes(bt, H, s) < _WIDE_BUDGET_BYTES,
+        and _encoder_wide_bytes(bt, H, s, return_sequences)
+        < _WIDE_BUDGET_BYTES,
     )
 
 
@@ -382,7 +402,9 @@ def fused_lstm_encoder_scan(
                 xp, h0, c0, u, act, return_sequences
             )
         if not _encoder_vmem_ok(B, H, xp.dtype.itemsize):
-            bt = _encoder_wide_btile(B, H, xp.dtype.itemsize)
+            bt = _encoder_wide_btile(
+                B, H, xp.dtype.itemsize, return_sequences
+            )
             if bt:
                 return _encoder_scan_wide_pallas(
                     xp, h0, c0, u, activation, return_sequences, interpret, bt

@@ -1262,7 +1262,9 @@ def _dec_bwd_wide_pallas(cell_params, out_dense, init_states, start,
 def _dec_wide_weight_grads(cell_params, out_dense, init_states, start,
                            probs, h_seqs, dlog, dacats):
     """Pass 2: the decode head's weight grads as flat (T*B, .) MXU matmuls
-    (f32), from the pass-1 dlogits / gate-grad streams."""
+    (f32), from the pass-1 dlogits / gate-grad streams. bf16 precision
+    semantics as in _gru_wide_weight_grads: streams are stored rounded to
+    the compute dtype, accumulation stays f32."""
     T, B, D = probs.shape
     H = init_states[0].shape[-1]
     f32 = jnp.float32
@@ -1809,7 +1811,14 @@ def _bwd_wide_pallas(xp, seq, h0, d_seq, d_final, u, return_sequences,
 
 
 def _gru_wide_weight_grads(xp, seq, h0, u, dacat):
-    """Pass 2: dU from the pass-1 gate grads as flat MXU matmuls (f32)."""
+    """Pass 2: dU from the pass-1 gate grads as flat MXU matmuls (f32).
+
+    Precision: the pass-1 ``dacat`` stream is stored in the compute dtype,
+    so under bf16 the weight grads are standard mixed precision (bf16
+    operands, f32 MXU accumulation) — unlike the in-place kernels, which
+    accumulate dU from unrounded f32 ``da``. Both paths cast the result to
+    u.dtype; the wide-vs-inplace difference is below that final-cast
+    rounding (locked by TestWideTwoPassTrain bf16 parity tests)."""
     T, B, _ = xp.shape
     H = u.shape[0]
     f32 = jnp.float32
@@ -2021,7 +2030,10 @@ def _lstm_bwd_wide_pallas(xp, h_seq, c_seq, h0, c0, d_seq, d_final, u,
 
 
 def _lstm_wide_weight_grads(h_seq, h0, dacat):
-    """Pass 2: dU = h_prev^T . da_cat as one flat MXU matmul (f32)."""
+    """Pass 2: dU = h_prev^T . da_cat as one flat MXU matmul (f32).
+
+    bf16 precision semantics as in _gru_wide_weight_grads: the stream is
+    stored rounded to the compute dtype, accumulation stays f32."""
     T, B, _ = dacat.shape
     H = h0.shape[-1]
     f32 = jnp.float32

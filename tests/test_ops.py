@@ -167,3 +167,9 @@ class TestWideInferenceEncoders:
         assert fl._encoder_wide_btile(256, 512, 4) == 128
         assert fl._encoder_wide_btile(256, 1024, 2) == 64
         assert fl._encoder_wide_btile(256, 4096, 4) == 0
+        # return_sequences=False charges one pinned output block instead of
+        # a double-buffered stream (and LSTM never streams cseq at
+        # inference), admitting larger tiles at edge widths; both pins
+        # below compile-verified on chip (bit-exact vs the jnp scan)
+        assert fd._encoder_wide_btile(256, 896, 4, False) == 128
+        assert fl._encoder_wide_btile(256, 1280, 2, False) == 32

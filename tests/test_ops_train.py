@@ -904,6 +904,58 @@ class TestWideTwoPassTrain:
         assert ft._lstm_wide_btiles(B, 512, 4)[1] >= 64
         assert ft._lstm_wide_btiles(B, 4096, 4) == (0, 0)
 
+    def test_gru_bf16_wide_matches_inplace(self, monkeypatch):
+        """bf16 wide weight grads come from bf16-rounded pass-1 streams
+        (standard mixed precision) where the in-place kernels accumulate
+        from unrounded f32 da; after the final cast to u.dtype the two
+        must agree to a couple of bf16 ulps."""
+        xp, h0, u = self._gru_data(T=12, B=16, H=24)
+        xp, h0, u = (a.astype(jnp.bfloat16) for a in (xp, h0, u))
+        monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 40_000)
+        assert ft._gru_wide_btiles(16, 24, 2)[1] < 16  # real tiling
+
+        def grads(mode):
+            def f(u):
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", mode)
+                try:
+                    out = ft.gru_layer_train(xp, h0, u, "tanh", True, True)
+                finally:
+                    monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+                return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+            return np.asarray(jax.grad(f)(u), dtype=np.float32)
+
+        gw, gi = grads("wide"), grads("inplace")
+        np.testing.assert_allclose(gw, gi, rtol=0.016, atol=1e-6)
+
+    def test_lstm_bf16_wide_matches_inplace(self, monkeypatch):
+        from midi_vae_tpu.ops.fused_lstm import _lstm_gates  # noqa: F401
+
+        rng = np.random.RandomState(7)
+        T, B, H = 10, 16, 16
+        bf = jnp.bfloat16
+        xp = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32) * 0.3, bf)
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1, bf)
+        c0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.1, bf)
+        u = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.1, bf)
+        monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 27_000)
+        assert ft._lstm_wide_btiles(B, H, 2)[1] < B
+
+        def grads(mode):
+            def f(u):
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", mode)
+                try:
+                    out = ft.lstm_layer_train(
+                        xp, h0, c0, u, "tanh", True, True
+                    )
+                finally:
+                    monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+                return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+            return np.asarray(jax.grad(f)(u), dtype=np.float32)
+
+        np.testing.assert_allclose(
+            grads("wide"), grads("inplace"), rtol=0.016, atol=1e-6
+        )
+
     def test_mode_is_scan_off_tpu(self):
         """On CPU (no interpret, no force) the wide path must never
         dispatch a real Pallas kernel."""
@@ -979,6 +1031,39 @@ class TestWideDecodeTrain:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-6
             )
+
+    def test_wide_decode_bf16_matches_inplace(self, monkeypatch):
+        """Decode-head twin of test_gru_bf16_wide_matches_inplace: bf16
+        pass-1 dlogits/gate-grad streams vs the in-place f32 accumulation
+        must agree to bf16 rounding after the final cast."""
+        T, B, H, D, n = 6, 16, 16, 12, 2
+        cells, out, states, start = self._head(D, n, B, H)
+        bf = jnp.bfloat16
+        cast = lambda t: jax.tree_util.tree_map(lambda a: a.astype(bf), t)
+        cells, out, states, start = (
+            cast(cells), cast(out), cast(states), cast(start)
+        )
+        monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 200_000)
+        assert ft._dec_wide_btiles(B, D, H, n, 2)[1] < B
+
+        def grads(mode):
+            def f(args):
+                cells, out = args
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", mode)
+                try:
+                    probs, logits = ft.gru_decode_train(
+                        cells, out, states, start, T, "tanh", "softmax",
+                        True,
+                    )
+                finally:
+                    monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+                return jnp.sum(jnp.sin(probs.astype(jnp.float32)))
+            g = jax.grad(f)((cells, out))
+            return [np.asarray(a, dtype=np.float32)
+                    for a in jax.tree_util.tree_leaves(g)]
+
+        for a, b in zip(grads("wide"), grads("inplace")):
+            np.testing.assert_allclose(a, b, rtol=0.016, atol=1e-5)
 
     def test_wide_decode_admission_regimes(self):
         """Pins from the on-chip compile probes (v5e, AOT): every decode
