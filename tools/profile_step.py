@@ -69,6 +69,32 @@ def capture(steps: int, overrides: dict) -> str:
     return out_dir
 
 
+def capture_epoch(epochs: int, overrides: dict) -> tuple[str, int]:
+    """Trace the PRODUCTION epoch program (run_epochs_device) on the
+    bench.py workload: 4096 windows = 16 optimizer steps/epoch. Returns
+    (trace_dir, total optimizer steps) so the report is per-step."""
+    import jax
+
+    from midi_vae_tpu.config import Config
+    from midi_vae_tpu.parallel import make_mesh
+    from midi_vae_tpu.training import VAETrainer
+    from midi_vae_tpu.utils.synthetic import synthetic_flat
+
+    cfg = Config(**overrides)
+    mesh = make_mesh()
+    tr = VAETrainer(cfg, mesh=mesh)
+    st = tr.init_state(seed=0)
+    n_windows = 16 * cfg.batch_size
+    flat = synthetic_flat(cfg, n_songs=64, windows_per_song=n_windows // 64)
+    data = tr.prepare_device_data(flat)
+
+    tr.run_epochs_device(st, data, flat.num_windows, epochs, shuffle=True)
+    out_dir = tempfile.mkdtemp(prefix="midi_vae_prof_")
+    with jax.profiler.trace(out_dir):
+        tr.run_epochs_device(st, data, flat.num_windows, epochs, shuffle=True)
+    return out_dir, epochs * 16
+
+
 def report(trace_dir: str, steps: int, top: int = 25) -> None:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
@@ -93,7 +119,15 @@ def report(trace_dir: str, steps: int, top: int = 25) -> None:
                 tot[nm] += ev.duration_ps / 1e9
                 cnt[nm] += 1
             non_while = sum(t for n, t in tot.items() if not n.startswith("%while"))
+            begin = min(ev.offset_ps for ev in line.events)
+            end = max(ev.offset_ps + ev.duration_ps for ev in line.events)
+            span = (end - begin) / 1e9
             print(f"device-side non-while sum: {non_while / steps:.3f} ms/step")
+            print(
+                f"device-side trace span:    {span / steps:.3f} ms/step "
+                f"(includes other tenants' slices + tracer overhead on the "
+                f"shared dev chip -- only meaningful on a quiet chip)"
+            )
             for nm, t in tot.most_common(top):
                 if nm.startswith("%while"):
                     continue  # outer loop bodies double-count their children
@@ -104,6 +138,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument(
+        "--epoch", action="store_true",
+        help="profile the production epoch program (run_epochs_device on "
+        "the bench.py workload) instead of the bare train step; --steps "
+        "is then the number of epochs traced (16 optimizer steps each)",
+    )
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = ap.parse_args()
     overrides = {}
@@ -115,9 +155,12 @@ def main() -> None:
             overrides[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
             overrides[k] = v
-    trace_dir = capture(args.steps, overrides)
+    if args.epoch:
+        trace_dir, steps = capture_epoch(args.steps, overrides)
+    else:
+        trace_dir, steps = capture(args.steps, overrides), args.steps
     try:
-        report(trace_dir, args.steps, args.top)
+        report(trace_dir, steps, args.top)
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
 
