@@ -254,7 +254,11 @@ def load_rolls(
     permutation = np.argsort(counts)[::-1]
     instruments = [mid.instruments[i] for i in permutation]
 
-    quarter = 60.0 / tempo
+    # BIT-FOR-BIT the reference's float expression (import_midi.py:81-86):
+    # 1./(tempo/60.) differs from 60./tempo by 1 ulp for some tempi, and
+    # that ulp flips round-half-even at exact half-tick note boundaries
+    # (found by tools/ref_parity_check.py --fuzz)
+    quarter = 1.0 / (tempo / 60.0)
     fs = 1.0 / (quarter * 4.0 / cfg.smallest_note)
     total_ticks = int(math.ceil(song_end * fs))
     if total_ticks <= 0:

@@ -44,6 +44,18 @@ def test_adversarial_battery_matches_reference():
     assert summary["known_flood"] >= 1
 
 
+def test_fuzz_corpus_matches_reference():
+    """Randomized tensorizer fuzzing vs the executing reference: random
+    tempo maps, grids, chords, sub-quantum notes, long ties, drums, and
+    out-of-crop pitches, bit-compared file by file. A fixed seed here keeps
+    the suite deterministic; tools/ref_parity_check.py --fuzz N --seed S
+    runs bigger sweeps."""
+    summary = _run("--fuzz", "12", "--seed", "1234")
+    assert summary["ok"], summary
+    assert summary["n_files"] == 12
+    assert summary["MISMATCH"] == 0
+
+
 def test_music_analysis_matches_reference():
     """L2 differential parity: the EXECUTING data_class.py vs utils.music on
     random inputs. Divergent signature cases must be exactly predicted by the

@@ -434,6 +434,80 @@ def write_adversarial_corpus(folder: str) -> None:
     song("crop_outside.mid", outside)
 
 
+def write_fuzz_corpus(folder: str, n_files: int, seed: int) -> None:
+    """Randomized tensorizer fuzz battery: each file draws its structure
+    (tempo map, instrument count, programs/drums, grid alignment, pitch
+    range incl. out-of-crop, durations from sub-quantum to long ties,
+    chords, overlapping re-articulations, velocities) at random, covering
+    interactions the hand-built adversarial battery enumerates one at a
+    time. Every file is tensorized by the EXECUTING reference and by
+    midi_vae_tpu and must match bit-exactly (modulo the documented
+    silent-flood difference)."""
+    from midi_vae_tpu.data import smf
+
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    for i in range(n_files):
+        bpm = float(rng.choice([40, 60, 90, 120, 120, 150, 187.5, 240]))
+        mid = smf.MidiFile(initial_tempo=bpm)
+        if rng.random() < 0.3:  # multi-tempo: steady-span selection
+            n_seg = int(rng.integers(2, 4))
+            times = np.sort(rng.uniform(0.5, 8.0, n_seg - 1))
+            bpms = rng.choice([60, 90, 120, 150, 180], n_seg, replace=True)
+            mid.set_tempo_changes(
+                np.concatenate([[0.0], times]).tolist(),
+                [float(b) for b in bpms],
+            )
+        beat = 60.0 / bpm
+        q = beat / 4  # sixteenth at the initial tempo
+
+        for _ in range(int(rng.integers(1, 5))):
+            is_drum = bool(rng.random() < 0.15)
+            ins = smf.Instrument(
+                program=int(rng.integers(0, 128)), is_drum=is_drum
+            )
+            n_notes = int(rng.integers(3, 80))
+            t = float(rng.uniform(0.0, 2.0))
+            for _ in range(n_notes):
+                # mixture of on-grid and continuous starts
+                if rng.random() < 0.7:
+                    start = round(t / q) * q
+                else:
+                    start = t
+                dur_kind = rng.random()
+                if dur_kind < 0.2:
+                    dur = float(rng.uniform(0.01, q * 0.9))  # sub-quantum
+                elif dur_kind < 0.8:
+                    dur = q * int(rng.integers(1, 5))        # 1-4 sixteenths
+                else:
+                    dur = q * int(rng.integers(4, 33))       # long ties
+                n_chord = 1 if rng.random() < 0.7 else int(rng.integers(2, 6))
+                base_pitch = int(rng.integers(0, 116))
+                for c in range(n_chord):
+                    pitch = min(127, base_pitch + int(rng.integers(0, 13)))
+                    vel = int(rng.integers(1, 128))
+                    ins.notes.append(
+                        smf.Note(pitch, vel, start, start + dur)
+                    )
+                # occasional overlapping re-articulation of the same pitch
+                if rng.random() < 0.1:
+                    ins.notes.append(
+                        smf.Note(
+                            base_pitch, int(rng.integers(1, 128)),
+                            start + dur * 0.5, start + dur * 1.5,
+                        )
+                    )
+                t += float(rng.choice([q, q, 2 * q, 0.0, rng.uniform(0, 1)]))
+            if ins.notes:
+                mid.instruments.append(ins)
+        if not mid.instruments:
+            ins = smf.Instrument(program=0)
+            ins.notes.append(smf.Note(60, 80, 0.0, 0.5))
+            mid.instruments.append(ins)
+        smf.write_midi(mid, os.path.join(folder, f"fuzz_{seed}_{i:04d}.mid"))
+
+
 def _nan_equal(a, b) -> bool:
     """Bitwise equality with nan==nan (the analysis surfaces emit nans for
     silent bars by design, data_class.py:35-47)."""
@@ -2616,6 +2690,10 @@ def main() -> int:
         help="generate + check the edge-case battery instead of a folder",
     )
     ap.add_argument(
+        "--fuzz", type=int, default=0, metavar="N",
+        help="generate + check N randomized fuzz songs (vary with --seed)",
+    )
+    ap.add_argument(
         "--folder-level", action="store_true",
         help="also compare import_midi_from_folder: stratified split + "
              "equal_mini_songs rebalance + every per-song tensor",
@@ -2701,6 +2779,10 @@ def main() -> int:
         with tempfile.TemporaryDirectory() as adv:
             write_adversarial_corpus(adv)
             result = compare_corpus(adv, cfg, max_files=args.max_files)
+    elif args.fuzz:
+        with tempfile.TemporaryDirectory() as fz:
+            write_fuzz_corpus(fz, args.fuzz, args.seed)
+            result = compare_corpus(fz, cfg, max_files=args.max_files)
     elif args.folder:
         result = compare_corpus(args.folder, cfg, max_files=args.max_files)
         if args.folder_level and result["ok"]:
