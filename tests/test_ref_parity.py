@@ -56,6 +56,15 @@ def test_fuzz_corpus_matches_reference():
     assert summary["MISMATCH"] == 0
 
 
+def test_fuzz_config_matrix_matches_reference():
+    """The fuzz corpus through every tensorizer config variant (voices,
+    quantization grid, crops, silent note, velocity threshold, instrument
+    encodings, window length), reference re-pointed at the same knobs."""
+    summary = _run("--fuzz-configs", "4", "--seed", "77", timeout=1200)
+    assert summary["ok"], summary
+    assert summary["n_variants"] == 15
+
+
 def test_music_analysis_matches_reference():
     """L2 differential parity: the EXECUTING data_class.py vs utils.music on
     random inputs. Divergent signature cases must be exactly predicted by the

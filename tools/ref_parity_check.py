@@ -508,6 +508,58 @@ def write_fuzz_corpus(folder: str, n_files: int, seed: int) -> None:
         smf.write_midi(mid, os.path.join(folder, f"fuzz_{seed}_{i:04d}.mid"))
 
 
+#: Config variants for --fuzz-configs: every tensorizer-relevant knob off
+#: its default (include_only_monophonic_instruments excluded: the reference
+#: branch is broken as shipped, import_midi.py:201 calls append() with no
+#: argument -- documented in SURVEY.md §2.4).
+FUZZ_CONFIG_VARIANTS: list[dict] = [
+    {"max_voices": 2},
+    {"max_voices": 1},
+    {"max_voices": 6},
+    {"max_voices_per_track": 2},
+    {"max_voices_per_track": 4},
+    {"smallest_note": 8},
+    {"smallest_note": 4},
+    {"low_crop": 36, "high_crop": 72},
+    {"low_crop": 0, "high_crop": 128},
+    {"include_silent_note": False},
+    {"velocity_threshold": 0.2},
+    {"instrument_attach_method": "1hot-instrument"},
+    {"instrument_attach_method": "khot-category"},
+    {"instrument_attach_method": "khot-instrument"},
+    {"bars_input_length": 8},
+]
+
+
+def check_fuzz_configs(n_files: int, seed: int) -> dict:
+    """Run the randomized fuzz corpus through every config variant in
+    FUZZ_CONFIG_VARIANTS (fresh corpus per variant, seeds derived from
+    ``seed``), comparing against the executing reference re-pointed at the
+    same knobs."""
+    from midi_vae_tpu.config import Config
+
+    per_variant = []
+    ok = True
+    for k, overrides in enumerate(FUZZ_CONFIG_VARIANTS):
+        cfg = Config(**overrides)
+        with tempfile.TemporaryDirectory() as fz:
+            write_fuzz_corpus(fz, n_files, seed * 1000 + k)
+            r = compare_corpus(fz, cfg)
+        per_variant.append({"overrides": overrides, **{
+            key: r[key] for key in
+            ("n_files", "exact", "known_flood", "skip", "MISMATCH")
+        }, "mismatches": r["mismatches"]})
+        ok = ok and r["ok"]
+        print(f"variant {overrides}: "
+              f"{'ok' if r['ok'] else 'MISMATCH ' + str(r['mismatches'])}")
+    return {
+        "surface": "fuzz-configs",
+        "n_variants": len(per_variant),
+        "variants": per_variant,
+        "ok": ok,
+    }
+
+
 def _nan_equal(a, b) -> bool:
     """Bitwise equality with nan==nan (the analysis surfaces emit nans for
     silent bars by design, data_class.py:35-47)."""
@@ -2694,6 +2746,10 @@ def main() -> int:
         help="generate + check N randomized fuzz songs (vary with --seed)",
     )
     ap.add_argument(
+        "--fuzz-configs", type=int, default=0, metavar="N",
+        help="run N fuzz songs through every tensorizer config variant",
+    )
+    ap.add_argument(
         "--folder-level", action="store_true",
         help="also compare import_midi_from_folder: stratified split + "
              "equal_mini_songs rebalance + every per-song tensor",
@@ -2783,6 +2839,8 @@ def main() -> int:
         with tempfile.TemporaryDirectory() as fz:
             write_fuzz_corpus(fz, args.fuzz, args.seed)
             result = compare_corpus(fz, cfg, max_files=args.max_files)
+    elif args.fuzz_configs:
+        result = check_fuzz_configs(args.fuzz_configs, args.seed)
     elif args.folder:
         result = compare_corpus(args.folder, cfg, max_files=args.max_files)
         if args.folder_level and result["ok"]:
