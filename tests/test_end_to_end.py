@@ -51,6 +51,43 @@ def workdir3(tmp_path_factory):
     return d
 
 
+def test_train_on_pathological_corpus(tmp_path):
+    """Robustness soak: the full CLI pipeline on a randomized fuzz corpus
+    (multi-tempo files, off-grid starts, dense chords, sub-quantum notes,
+    drums, out-of-crop pitches) must import cleanly, train with finite
+    losses, and evaluate without crashing."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from ref_parity_check import write_fuzz_corpus
+    finally:
+        sys.path.pop(0)
+    corpus = tmp_path / "corpus"
+    write_fuzz_corpus(str(corpus / "style1"), 6, 31)
+    write_fuzz_corpus(str(corpus / "style2"), 6, 32)
+
+    out = run(
+        [os.path.join(REPO, "train.py"), "--source", str(corpus),
+         "--output", str(tmp_path / "vae"), "--cache", str(tmp_path / "cache"),
+         "--classes", "style1,style2", "--epochs", "3", "--cpu", *SMALL,
+         "--set", "test_step=1"],
+        cwd=str(tmp_path),
+    )
+    assert "epoch 1:" in out
+    hist = json.load(open(tmp_path / "vae" / "history.json"))
+    losses = [m["loss"] for m in hist["train"]]
+    import math
+    assert losses and all(math.isfinite(v) for v in losses), losses
+
+    run(
+        [os.path.join(REPO, "evaluate.py"), "--source", str(corpus),
+         "--model", str(tmp_path / "vae"), "--output", str(tmp_path / "eval"),
+         "--cache", str(tmp_path / "cache"), "--cpu",
+         "--sections", "autoencoding", "--num-songs", "1"],
+        cwd=str(tmp_path),
+    )
+    assert os.path.exists(tmp_path / "eval" / "evaluation_metrics.csv")
+
+
 def test_three_class_switch_matrix(workdir3):
     """>= 3 classes: per-(C -> C_switch) columns must all survive -- the
     reference overwrites its switched_* CSV columns per C_switch
