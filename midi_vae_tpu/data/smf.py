@@ -109,6 +109,10 @@ def _parse_track_events(data: bytes):
         delta, pos = _read_varlen(data, pos)
         tick += delta
         if pos >= len(data):
+            # truncated mid-event: surface the trailing delta as a no-op so
+            # consumers' max_tick (hanging-note close) matches the native
+            # parser, which counts the delta before noticing truncation
+            yield tick, 0xF8, b""
             break
         status = data[pos]
         if status & 0x80:
@@ -229,12 +233,18 @@ def _parse_midi_bytes_native(data: bytes) -> MidiFile | None:
 
     map_ticks = _np.asarray(tmap.ticks, dtype=_np.int64)
     map_secs = _np.asarray(tmap.seconds)
-    map_rate = _np.asarray(tmap.uspq) / (1e6 * tmap.resolution)
+    map_uspq = _np.asarray(tmap.uspq, dtype=_np.float64)
 
     def ticks_to_seconds(ticks: "_np.ndarray") -> "_np.ndarray":
         idx = _np.searchsorted(map_ticks, ticks, side="right") - 1
         idx = _np.clip(idx, 0, len(map_ticks) - 1)
-        return map_secs[idx] + (ticks - map_ticks[idx]) * map_rate[idx]
+        # BIT-FOR-BIT _TempoMap.to_seconds: multiply THEN divide --
+        # pre-dividing uspq into a rate differs by 1 ulp for some tempi,
+        # which can flip the tensorizer's round-half-even at half-tick
+        # note boundaries depending on which parser is available
+        return map_secs[idx] + (ticks - map_ticks[idx]) * map_uspq[idx] / (
+            1e6 * tmap.resolution
+        )
 
     instruments: dict[tuple[int, int, int], Instrument] = {}
     if len(notes):

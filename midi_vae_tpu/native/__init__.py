@@ -104,7 +104,11 @@ def parse_smf_native(data: bytes):
     rc = lib.smf_parse(buf, len(data), ctypes.byref(result))
     try:
         if rc != 0:
-            raise ValueError(result.error.decode() or "SMF parse error")
+            from ..data.smf import MidiParseError
+
+            raise MidiParseError(
+                result.error.decode() or "SMF parse error"
+            )
         notes = np.ctypeslib.as_array(
             result.note_data, shape=(result.n_notes, 7)
         ).copy() if result.n_notes else np.zeros((0, 7), np.int64)

@@ -31,13 +31,15 @@ struct Note {
 struct Parser {
     const uint8_t* data;
     int64_t len;
+    int64_t limit;  // current read bound: chunk body end inside a track
     int64_t pos = 0;
     bool ok = true;
     std::string error;
 
-    explicit Parser(const uint8_t* d, int64_t n) : data(d), len(n) {}
+    explicit Parser(const uint8_t* d, int64_t n)
+        : data(d), len(n), limit(n) {}
 
-    bool avail(int64_t n) const { return pos + n <= len; }
+    bool avail(int64_t n) const { return pos + n <= limit; }
 
     uint8_t u8() {
         if (!avail(1)) { fail("truncated"); return 0; }
@@ -139,6 +141,10 @@ int smf_parse(const uint8_t* data, int64_t len, SmfResult* out) {
         std::map<std::pair<int, int>, std::vector<std::array<int64_t, 3>>> open;
 
         p.pos = body_start;
+        // bound all byte/varlen reads to the chunk body: a varlen or meta
+        // field crossing body_end must fail exactly like the Python
+        // parser, whose per-track slice cannot see past the chunk
+        p.limit = body_end;
         while (p.pos < body_end && p.ok) {
             tick += p.varlen();
             if (tick > max_tick) max_tick = tick;
@@ -226,6 +232,7 @@ int smf_parse(const uint8_t* data, int64_t len, SmfResult* out) {
             }
         }
         p.pos = body_end;
+        p.limit = p.len;
         if (!p.ok) { set_error(out, p.error); return 1; }
     }
 

@@ -63,6 +63,50 @@ class TestNativeParser:
         with pytest.raises(ValueError):
             parse_smf_native(b"definitely not midi data")
 
+    def test_corruption_differential(self, tmp_path):
+        """Byte-level corruption (truncation, random flips, garbage
+        headers) must produce IDENTICAL outcomes from the native and
+        Python parsers -- same notes/tempi bit-exactly, or the same
+        exception class -- so tensorization never depends on which parser
+        is available. Exercises: trailing-delta hanging-note close,
+        chunk-bounded varlen reads, MidiParseError from the native
+        wrapper, ulp-identical tick->seconds conversion."""
+        rng = np.random.RandomState(5)
+        path = tmp_path / "song3.mid"
+        make_song(path, seed=5)
+        clean = bytearray(open(path, "rb").read())
+        outcomes = {"ok": 0, "err": 0}
+        for k in range(90):
+            data = bytearray(clean)
+            mode = k % 3
+            if mode == 0:
+                data = data[: rng.randint(1, len(data))]
+            elif mode == 1:
+                for _ in range(rng.randint(1, 8)):
+                    data[rng.randint(0, len(data))] = rng.randint(0, 256)
+            else:
+                data[:4] = bytes(rng.randint(0, 256, 4).tolist())
+            p = tmp_path / "corrupt.mid"
+            open(p, "wb").write(bytes(data))
+
+            def attempt(native):
+                try:
+                    m = smf.read_midi(str(p), native=native)
+                    return ("ok", tuple(
+                        (i.program, i.is_drum, tuple(
+                            (n.pitch, n.start, n.end, n.velocity)
+                            for n in i.notes))
+                        for i in m.instruments
+                    ), tuple(map(tuple, zip(*m.get_tempo_changes()))))
+                except Exception as e:  # noqa: BLE001 -- class compared
+                    return ("err", type(e).__name__)
+
+            a, b = attempt(True), attempt(False)
+            assert a == b, f"case {k}: native {a[:2]} vs python {b[:2]}"
+            outcomes[a[0]] += 1
+        # the battery must actually exercise both outcomes
+        assert outcomes["ok"] and outcomes["err"], outcomes
+
     def test_native_faster(self, tmp_path):
         import time
 
