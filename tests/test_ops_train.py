@@ -1077,3 +1077,120 @@ class TestWideDecodeTrain:
         assert ft._dec_wide_btiles(B, 61, 1024, 2, 4) == (0, 0)
         # reference scale keeps the in-place kernels
         assert ft._dec_train_vmem_ok(B, 61, 256, 2)
+
+
+class TestKernelShapeFuzz:
+    """Randomized shapes through the fused training kernels (interpret
+    mode, both dispatch tiers), values + gradients vs the jnp scan
+    references. Fixed-shape tests above pin the production geometries;
+    this battery sweeps odd T/B/H (non-power-of-two batches, H below a
+    lane, single-step sequences) that tile pickers and index maps must
+    also survive."""
+
+    @pytest.mark.parametrize("case", range(10))
+    def test_layer_kernels(self, case, monkeypatch):
+        rng = np.random.RandomState(100 + case)
+        T = int(rng.choice([1, 2, 5, 9, 13]))
+        B = int(rng.choice([8, 12, 16, 24, 40]))
+        H = int(rng.choice([8, 16, 24, 48]))
+        cell = rng.choice(["gru", "lstm"])
+        rs = bool(rng.randint(2))
+        mode = rng.choice(["inplace", "wide"])
+        if mode == "wide":
+            monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 40_000)
+        g = 4 if cell == "lstm" else 3
+        xp = jnp.asarray(rng.randn(T, B, g * H).astype(np.float32)) * 0.3
+        h0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        c0 = jnp.asarray(rng.randn(B, H).astype(np.float32)) * 0.1
+        u = jnp.asarray(rng.randn(H, g * H).astype(np.float32)) * 0.1
+
+        def via_kernel(xp, h0, c0, u):
+            monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", mode)
+            try:
+                if cell == "gru":
+                    out = ft.gru_layer_train(xp, h0, u, "tanh", rs, True)
+                else:
+                    out = ft.lstm_layer_train(xp, h0, c0, u, "tanh", rs, True)
+            finally:
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+            return jnp.sum(jnp.sin(out))
+
+        def via_ref(xp, h0, c0, u):
+            if cell == "gru":
+                out = _encoder_scan_reference(xp, h0, u, jnp.tanh, rs)
+            else:
+                from midi_vae_tpu.ops.fused_lstm import (
+                    _encoder_scan_reference as lstm_ref,
+                )
+                out = lstm_ref(xp, h0, c0, u, jnp.tanh, rs)
+            return jnp.sum(jnp.sin(out))
+
+        label = f"{cell} T={T} B={B} H={H} rs={rs} mode={mode}"
+        v1, g1 = jax.value_and_grad(via_kernel, argnums=(0, 1, 2, 3))(
+            xp, h0, c0, u
+        )
+        v2, g2 = jax.value_and_grad(via_ref, argnums=(0, 1, 2, 3))(
+            xp, h0, c0, u
+        )
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5,
+                                   err_msg=label)
+        for name, a, b in zip("xp h0 c0 u".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-6,
+                err_msg=f"{label} d{name}",
+            )
+
+    @pytest.mark.parametrize("case", range(6))
+    def test_decode_kernels(self, case, monkeypatch):
+        rng = np.random.RandomState(200 + case)
+        T = int(rng.choice([1, 3, 6, 10]))
+        B = int(rng.choice([8, 12, 16, 24]))
+        H = int(rng.choice([8, 16, 32]))
+        n = int(rng.choice([1, 2]))
+        D = int(rng.choice([1, 2, 5, 12, 61]))
+        out_act = "sigmoid" if D == 1 and rng.randint(2) else \
+            rng.choice(["softmax", "linear"])
+        mode = rng.choice(["inplace", "wide"])
+        if mode == "wide":
+            monkeypatch.setattr(ft, "_WIDE_BUDGET_BYTES", 200_000)
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32)) * 0.2
+        cells = [
+            {"w": mk(D if layer == 0 else H, 3 * H), "u": mk(H, 3 * H),
+             "b": mk(3 * H)}
+            for layer in range(n)
+        ]
+        out = {"w": mk(H, D), "b": mk(D)}
+        states = [mk(B, H) for _ in range(n)]
+        start = mk(B, D)
+
+        def via_kernel(args):
+            cells, out, states, start = args
+            monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", mode)
+            try:
+                probs, logits = ft.gru_decode_train(
+                    cells, out, states, start, T, "tanh", out_act, True
+                )
+            finally:
+                monkeypatch.setattr(ft, "_FORCE_TRAIN_MODE", None)
+            return jnp.sum(jnp.sin(probs)) + 0.3 * jnp.sum(jnp.cos(logits))
+
+        def via_ref(args):
+            cells, out, states, start = args
+            probs, logits = _decode_scan_reference(
+                cells, out, states, start, T, jnp.tanh, _out_act_fn(out_act)
+            )
+            return jnp.sum(jnp.sin(probs)) + 0.3 * jnp.sum(jnp.cos(logits))
+
+        label = f"T={T} B={B} H={H} n={n} D={D} {out_act} mode={mode}"
+        args = (cells, out, states, start)
+        v0, g0 = jax.value_and_grad(via_ref)(args)
+        v1, g1 = jax.value_and_grad(via_kernel)(args)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5,
+                                   err_msg=label)
+        flat0 = jax.tree_util.tree_leaves(g0)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-6,
+                err_msg=label,
+            )
