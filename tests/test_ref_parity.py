@@ -176,6 +176,29 @@ def test_evalmetrics_match_reference():
     assert summary["known_deviation"] >= 1
 
 
+def test_fuzz_folder_import_matches_reference(tmp_path):
+    """Folder-level differential over a RANDOMIZED fuzz corpus: stratified
+    seed-42 split membership/order, equal_mini_songs rebalance, and every
+    per-song tensor must match the executing reference on pathological
+    inputs, not just the well-formed demo corpus."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from ref_parity_check import write_fuzz_corpus
+    finally:
+        sys.path.pop(0)
+    corpus = tmp_path / "corpus"
+    write_fuzz_corpus(str(corpus / "style1"), 8, 301)
+    write_fuzz_corpus(str(corpus / "style2"), 8, 302)
+    summary = _run(
+        str(corpus), "--folder-level", "--classes", "style1,style2",
+        timeout=900,
+    )
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    for fl in summary["folder_level"]:
+        assert fl["ok"], fl
+
+
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(
