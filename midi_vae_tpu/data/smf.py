@@ -129,7 +129,12 @@ def _parse_track_events(data: bytes):
             meta_type = data[pos]
             pos += 1
             length, pos = _read_varlen(data, pos)
-            payload = data[pos : pos + length]
+            # a declared payload that over-runs the chunk is yielded EMPTY
+            # (not truncated): the native parser's payload_ok guard skips
+            # such tempo/time-signature metas entirely, and the two parsers
+            # must agree bit-for-bit on malformed files
+            payload = data[pos : pos + length] if pos + length <= len(data) \
+                else b""
             pos += length
             yield tick, 0xFF00 | meta_type, payload
             if meta_type == 0x2F:  # end of track

@@ -27,3 +27,17 @@ jax.config.update("jax_platforms", "cpu")
 # persistent jit-compilation cache: repeat test runs skip recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/midi_vae_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def tools_module(name: str):
+    """Import a module from the repo-root tools/ directory (not a package)."""
+    import importlib
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools_dir)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(tools_dir)

@@ -56,11 +56,9 @@ def test_train_on_pathological_corpus(tmp_path):
     (multi-tempo files, off-grid starts, dense chords, sub-quantum notes,
     drums, out-of-crop pitches) must import cleanly, train with finite
     losses, and evaluate without crashing."""
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    try:
-        from ref_parity_check import write_fuzz_corpus
-    finally:
-        sys.path.pop(0)
+    from conftest import tools_module
+
+    write_fuzz_corpus = tools_module("ref_parity_check").write_fuzz_corpus
     corpus = tmp_path / "corpus"
     write_fuzz_corpus(str(corpus / "style1"), 6, 31)
     write_fuzz_corpus(str(corpus / "style2"), 6, 32)

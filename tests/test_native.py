@@ -63,6 +63,25 @@ class TestNativeParser:
         with pytest.raises(ValueError):
             parse_smf_native(b"definitely not midi data")
 
+    def test_meta_overrun_skipped_identically(self, tmp_path):
+        """A tempo meta whose declared length over-runs the chunk must be
+        skipped by BOTH parsers (native payload_ok semantics), not read
+        truncated by one and skipped by the other."""
+        import struct
+
+        body = bytes([0x00, 0xFF, 0x51, 0x05, 0x0A, 0x12, 0x0B])
+        data = (
+            b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(body)) + body
+        )
+        p = tmp_path / "overrun.mid"
+        p.write_bytes(data)
+        nat = smf.read_midi(str(p), native=True)
+        py = smf.read_midi(str(p), native=False)
+        assert nat.get_tempo_changes() == py.get_tempo_changes()
+        # both must fall back to the 120 BPM default, not read 3 of 5 bytes
+        assert py.get_tempo_changes()[1][0] == pytest.approx(120.0)
+
     def test_corruption_differential(self, tmp_path):
         """Byte-level corruption (truncation, random flips, garbage
         headers) must produce IDENTICAL outcomes from the native and

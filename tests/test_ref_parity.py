@@ -181,11 +181,9 @@ def test_fuzz_folder_import_matches_reference(tmp_path):
     seed-42 split membership/order, equal_mini_songs rebalance, and every
     per-song tensor must match the executing reference on pathological
     inputs, not just the well-formed demo corpus."""
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    try:
-        from ref_parity_check import write_fuzz_corpus
-    finally:
-        sys.path.pop(0)
+    from conftest import tools_module
+
+    write_fuzz_corpus = tools_module("ref_parity_check").write_fuzz_corpus
     corpus = tmp_path / "corpus"
     write_fuzz_corpus(str(corpus / "style1"), 8, 301)
     write_fuzz_corpus(str(corpus / "style2"), 8, 302)

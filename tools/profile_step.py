@@ -92,7 +92,8 @@ def capture_epoch(epochs: int, overrides: dict) -> tuple[str, int]:
     out_dir = tempfile.mkdtemp(prefix="midi_vae_prof_")
     with jax.profiler.trace(out_dir):
         tr.run_epochs_device(st, data, flat.num_windows, epochs, shuffle=True)
-    return out_dir, epochs * 16
+    steps_per_epoch = -(-flat.num_windows // cfg.batch_size)
+    return out_dir, epochs * steps_per_epoch
 
 
 def report(trace_dir: str, steps: int, top: int = 25) -> None:
