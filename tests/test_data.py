@@ -691,6 +691,24 @@ class TestReleasedRunConfigs:
         assert cfg.optimizer == params["optimizer"].lower()
         assert cfg.num_classes == 2
 
+    @pytest.mark.parametrize("name", ["jvp", "cvj", "cvp", "bvm"])
+    def test_released_run_configs_are_reference_strict(self, name):
+        """The reproduction configs must carry reference semantics, not the
+        framework's convergence-equivalent optimizations: the reference
+        re-encodes every train song per epoch for the decoder history
+        (/root/reference/vae_training.py:787-798), so history_from_train_z
+        (our per-window z-cache, default True) must be pinned False."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import json
+
+        raw = json.load(open(os.path.join(repo, "configs", f"{name}.json")))
+        assert raw.get("history_from_train_z") is False, (
+            f"configs/{name}.json must pin history_from_train_z=false "
+            "(reference-strict history semantics)"
+        )
+        cfg = Config.load(os.path.join(repo, "configs", f"{name}.json"))
+        assert cfg.history_from_train_z is False
+
 
 class TestSystemCommonEvents:
     def test_song_select_does_not_desync_parser(self, tmp_path):
