@@ -253,13 +253,24 @@ class GenerationContext:
         additional: np.ndarray | None = None,
         sample_method: str = "argmax",
         rng=None,
+        independent_windows: bool = False,
     ):
+        """``independent_windows``: post-process each window separately --
+        set when the batched device call replaces reference code that ran
+        ``decoder.predict`` per window (the velocity-override chain of
+        vae_definition.py:1160-1190 then resets per window, matching the
+        reference's per-call batch layout)."""
         if sample_method == "argmax":
             # argmax on device: fetch indices, not probability tensors
             idx = self._decode_padded(self._decode_argmax, z, history, additional)
-            return sampling.process_argmax_outputs(idx, self.cfg)
+            return sampling.process_argmax_outputs(
+                idx, self.cfg, independent_windows=independent_windows
+            )
         outs = self.decode_batch(z, history, additional)
-        return sampling.process_decoder_outputs(outs, sample_method, self.cfg, rng)
+        return sampling.process_decoder_outputs(
+            outs, sample_method, self.cfg, rng,
+            independent_windows=independent_windows,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -406,8 +417,11 @@ def generate_interpolation_song(
     )
     history = np.zeros_like(zs)
     history[1:] = zs[:-1]
+    # the reference decodes one window per predict call -> window-
+    # independent post-processing
     Y, I, V, D, _ = ctx.decode_and_process(
-        zs, history=history, sample_method=sample_method, rng=rng
+        zs, history=history, sample_method=sample_method, rng=rng,
+        independent_windows=True,
     )
     del cfg
     return Y, I, V, D
@@ -455,6 +469,13 @@ def generate_medley(
                 I_out.extend(Ip)
                 V_out.append(Vp)
                 D_out.append(Dp)
+                # the reference records the DECODED bridge instruments per
+                # interpolation step (vae_evaluation.py:810)
+                info[f"programs_{idx}_interpolation_{i}"] = (
+                    instrument_matrix_to_programs(
+                        Ip[0], ctx.cfg.instrument_attach_method
+                    )
+                )
                 previous_rep = z
         for i in range(R.shape[0]):
             z = R[i][None]
@@ -486,17 +507,27 @@ def generate_long_song(
     sample_method: str = "choice",
 ):
     """Decode -> re-encode -> blend with nearest cached train z, chained
-    (vae_evaluation.py:1821-1896)."""
+    (vae_evaluation.py:1821-1896).
+
+    Nearest-z selection replicates the reference scan exactly
+    (vae_evaluation.py:1847-1856): the running minimum starts at index 0's
+    distance whether or not 0 was already picked, so when no unpicked z
+    beats dist(all_z[0], R) the walk re-picks index 0 -- reference
+    behavior, kept for parity."""
     cfg = ctx.cfg
-    R = rng.normal(0.0, z_std, size=(1, cfg.latent_dim)).astype(np.float32)
+    R = rng.normal(0.0, z_std, size=(1, cfg.latent_dim))
     previous_rep = np.zeros((1, cfg.latent_dim), np.float32)
     picked: set[int] = set()
     Y_out, I_out, V_out, D_out = [], [], [], []
 
     for _ in range(length):
         dists = np.linalg.norm(all_z - R, axis=1)
-        order = np.argsort(dists)
-        best = next((int(i) for i in order if int(i) not in picked), int(order[0]))
+        lowest = dists[0]
+        best = 0
+        for i in range(len(all_z)):
+            if dists[i] < lowest and i not in picked:
+                lowest = dists[i]
+                best = i
         picked.add(best)
         e = z_std
         R = (R + all_z[best] * e) / (1 + e)

@@ -189,6 +189,7 @@ def process_decoder_outputs(
     sample_method: str,
     cfg: Config,
     rng=None,
+    independent_windows: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Head probabilities -> (Y, I, V, D, N) arrays
     (vae_definition.py:1131-1225).
@@ -198,7 +199,26 @@ def process_decoder_outputs(
       velocity (B, T, 1); held (B, T, 2); next (B, T, out_dim).
     Returns: Y (B*T, new_num_notes) one-hot w/ silent rows zero;
       I (B, mv, inst_dim) one-hot; V (B*T,), D (B*T,), N like Y.
+
+    ``independent_windows``: process each batch row separately, matching
+    callers of the reference that run ``decoder.predict`` once per window
+    (e.g. the latent sweep, vae_evaluation.py:1136-1146): the
+    velocity-override previous-pitch chain (vae_definition.py:1160-1190)
+    then resets at every window boundary instead of running across the
+    whole batch.
     """
+    if independent_windows and np.asarray(outputs["notes"]).shape[0] > 1:
+        parts = [
+            process_decoder_outputs(
+                {k: np.asarray(v)[b : b + 1] for k, v in outputs.items()},
+                sample_method, cfg, rng,
+            )
+            for b in range(np.asarray(outputs["notes"]).shape[0])
+        ]
+        return tuple(
+            np.concatenate([p[j] for p in parts], axis=0) for j in range(5)
+        )
+
     Y = I = V = D = N = None
 
     notes = np.asarray(outputs["notes"])
@@ -264,7 +284,7 @@ def add_silent_column(Y: np.ndarray, cfg: Config) -> np.ndarray:
 
 
 def process_argmax_outputs(
-    idx: dict[str, np.ndarray], cfg: Config
+    idx: dict[str, np.ndarray], cfg: Config, independent_windows: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Device-argmaxed head indices -> (Y, I, V, D, N).
 
@@ -275,9 +295,21 @@ def process_argmax_outputs(
 
     idx keys: notes_idx (B, T) int; optional inst_idx (B, mv), vel (B, T),
     held_idx (B, T), next_idx (B, T).
+
+    ``independent_windows``: see ``process_decoder_outputs``.
     """
     notes_idx = np.asarray(idx["notes_idx"])
     B, T = notes_idx.shape
+    if independent_windows and B > 1:
+        parts = [
+            process_argmax_outputs(
+                {k: np.asarray(v)[b : b + 1] for k, v in idx.items()}, cfg
+            )
+            for b in range(B)
+        ]
+        return tuple(
+            np.concatenate([p[j] for p in parts], axis=0) for j in range(5)
+        )
 
     def notes_onehot(ni):
         flat = ni.reshape(-1)

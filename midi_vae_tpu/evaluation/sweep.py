@@ -58,7 +58,13 @@ def get_strength_probability_direction(value_list) -> tuple[float, float, str]:
     else:
         direction = "ascending"
     diffs = np.asarray(value_list[1:]) - np.asarray(value_list[:-1])
-    strength = float(np.mean(diffs)) if len(diffs) else 0.0
+    # single-element lists: the reference takes np.mean of an empty diff
+    # array -> nan strength (vae_evaluation.py:930-931); replicated so
+    # influence/best-peak aggregation matches bit-for-bit
+    if len(diffs):
+        strength = float(np.mean(diffs))
+    else:
+        strength = float("nan")
     correct = int(np.sum(diffs >= 0))
     incorrect = len(diffs) - correct
     probability = correct / (correct + incorrect) if (correct + incorrect) else 0.0
@@ -208,7 +214,11 @@ def sweep_dimension(
     """
     zs = np.repeat(np.asarray(z, np.float32), len(values), axis=0)
     zs[:, dim] = np.asarray(values, np.float32)
-    return ctx.decode_and_process(zs, sample_method=sample_method)[:4]
+    # the reference decodes per value (B=1 predict calls) -> window-
+    # independent post-processing
+    return ctx.decode_and_process(
+        zs, sample_method=sample_method, independent_windows=True
+    )[:4]
 
 
 def sweep_dimensions_chunked(
@@ -229,7 +239,11 @@ def sweep_dimensions_chunked(
     zs = np.repeat(np.asarray(z, np.float32), len(dims) * nv, axis=0)
     for j, dim in enumerate(dims):
         zs[j * nv : (j + 1) * nv, dim] = np.asarray(values, np.float32)
-    Y, I, V, D, _ = ctx.decode_and_process(zs, sample_method=sample_method)
+    # the reference decodes per value (B=1 predict calls) -> window-
+    # independent post-processing
+    Y, I, V, D, _ = ctx.decode_and_process(
+        zs, sample_method=sample_method, independent_windows=True
+    )
     T = ctx.cfg.output_length
     for j, dim in enumerate(dims):
         yield (

@@ -176,6 +176,37 @@ def test_evalmetrics_match_reference():
     assert summary["known_deviation"] >= 1
 
 
+def test_sweepstats_match_reference():
+    """L5 differential parity: the latent-sweep machinery -- value grid,
+    strength/probability/direction (incl. the reference's single-element
+    nan-strength edge), statistic/count/change evaluators, per-modality
+    sweep evaluations with classifier oracles, and the full per-dimension
+    sweep end to end (influence accumulation, best-peak dict,
+    overall-best-dim selection) vs vae_evaluation.py:898-1271 executing
+    with the same decode oracle on both sides."""
+    summary = _run("--sweepstats")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_checks"] >= 300
+    assert summary["exact"] >= 300
+
+
+def test_generation_assembly_matches_reference():
+    """L5 differential parity: generation-section assembly -- chosen-song
+    interpolation medleys (selection draws mirrored, bridge interpolation,
+    history threading, info bookkeeping), random interpolation songs, and
+    long-song nearest-z chaining (incl. the reference's re-pick-index-0
+    fallback) vs vae_evaluation.py:713-887/:1823-1896 executing with shared
+    encode/decode oracles. The reference's missing per-sample voice offset
+    in restructure_song_to_fit_more_instruments must be exercised and
+    bit-predicted (known_restructure)."""
+    summary = _run("--generation")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_checks"] >= 60
+    assert summary["known_restructure"] >= 3
+
+
 def test_fuzz_folder_import_matches_reference(tmp_path):
     """Folder-level differential over a RANDOMIZED fuzz corpus: stratified
     seed-42 split membership/order, equal_mini_songs rebalance, and every

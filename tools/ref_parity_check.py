@@ -2730,6 +2730,807 @@ def check_evalmetrics(cfg, seed: int = 0) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# L5 sweep statistics + generation assembly: execute the reference's latent
+# sweep and song-generation blocks with oracle models on both sides
+# ---------------------------------------------------------------------------
+
+def _stable_seed(*arrays) -> int:
+    """Deterministic 64-bit seed from the float32 bytes of arrays. Both
+    sides hash the SAME f32 cast, so f32-vs-f64 carrier dtypes can't split
+    the oracle as long as the underlying values agree."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in arrays:
+        a = np.ascontiguousarray(np.asarray(a, np.float32))
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return int.from_bytes(h.digest()[:8], "little")
+
+
+class _DecodeOracle:
+    """Decoder stand-in: head probabilities are a pure function of the
+    (latent, history) pair. Replaces the trained decoder on BOTH sides so
+    the differential isolates the section logic (assembly, statistics,
+    aggregation) from model weights."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def heads_for_row(self, z_row, h_row) -> dict:
+        cfg = self.cfg
+        rng = np.random.default_rng(_stable_seed(z_row, h_row))
+        T = cfg.output_length
+        heads = {"notes": rng.uniform(0.01, 1.0, (T, cfg.output_dim))}
+        if cfg.meta_instrument:
+            heads["instrument"] = rng.uniform(
+                0.01, 1.0, (cfg.max_voices, cfg.meta_instrument_dim)
+            )
+        if cfg.meta_velocity:
+            heads["velocity"] = rng.uniform(0.0, 1.0, (T, 1))
+        if cfg.meta_held_notes:
+            heads["held"] = rng.uniform(0.01, 1.0, (T, 2))
+        if cfg.meta_next_notes:
+            heads["next"] = rng.uniform(0.01, 1.0, (T, cfg.output_dim))
+        return heads
+
+    def batch(self, Z, H) -> dict:
+        rows = [self.heads_for_row(Z[i], H[i]) for i in range(len(Z))]
+        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+
+class _EncodeOracle:
+    """Encoder stand-in: z is a pure function of the prepared encoder-input
+    elements of each window (hashed per row, so batch composition doesn't
+    matter)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def z_rows(self, element_rows) -> np.ndarray:
+        out = []
+        for row in element_rows:
+            rng = np.random.default_rng(_stable_seed(*row))
+            out.append(rng.standard_normal(self.cfg.latent_dim))
+        return np.asarray(out)
+
+
+class _RefOracleDecoder:
+    """Keras-decoder stub for the exec'd reference blocks: recovers (z, H)
+    from the prepare_decoder_input list layout (vae_definition.py:816-865,
+    teacher_force off / decoder_additional_input off) and returns the
+    oracle heads in the reference's output-list order."""
+
+    def __init__(self, oracle, cfg):
+        self.oracle = oracle
+        self.cfg = cfg
+
+    def predict(self, input_list, batch_size=None, verbose=False):
+        cfg = self.cfg
+        z = np.asarray(input_list[1])
+        H = np.asarray(input_list[2]) if cfg.history else np.zeros_like(z)
+        outs = self.oracle.batch(z, H)
+        ordered = [outs["notes"]]
+        any_meta = (
+            cfg.meta_instrument or cfg.meta_velocity
+            or cfg.meta_held_notes or cfg.meta_next_notes
+        )
+        if any_meta:
+            ordered.append(outs["instrument"])
+        if cfg.meta_velocity:
+            ordered.append(outs["velocity"])
+        if cfg.meta_held_notes:
+            ordered.append(outs["held"])
+        if cfg.meta_next_notes:
+            ordered.append(outs["next"])
+        return ordered if len(ordered) > 1 else ordered[0]
+
+
+class _RefOracleEncoder:
+    def __init__(self, oracle):
+        self.oracle = oracle
+
+    def predict(self, input_list, batch_size=None, verbose=False):
+        if not isinstance(input_list, list):
+            input_list = [input_list]
+        n = np.asarray(input_list[0]).shape[0]
+        rows = [[np.asarray(el)[i] for el in input_list] for i in range(n)]
+        return self.oracle.z_rows(rows)
+
+
+class _ClassifierOracle:
+    """Style-classifier stub keyed per input row; serves as the reference's
+    ``*_classifier_model`` (``.predict``) and our ``*_predict`` callable."""
+
+    def __init__(self, num_classes: int, tag: str):
+        self.k = num_classes
+        self.tag = np.frombuffer(tag.encode(), dtype=np.uint8).astype(np.float32)
+
+    def predict(self, x, batch_size=None, verbose=False):
+        x = np.asarray(x)
+        out = []
+        for i in range(x.shape[0]):
+            rng = np.random.default_rng(_stable_seed(self.tag, x[i]))
+            p = rng.uniform(0.01, 1.0, self.k)
+            out.append(p / p.sum())
+        return np.asarray(out)
+
+    __call__ = predict
+
+
+class _OracleCtx:
+    """GenerationContext stand-in for our side: same public decode/encode
+    surface, oracle models underneath. decode_and_process mirrors the real
+    context's argmax path (device argmax indices -> process_argmax_outputs),
+    so the differential ALSO gates process_argmax_outputs against the
+    reference's process_decoder_outputs(argmax)."""
+
+    def __init__(self, cfg, dec_oracle, enc_oracle):
+        self.cfg = cfg
+        self._dec = dec_oracle
+        self._enc = enc_oracle
+
+    def decode_and_process(
+        self, z, history=None, additional=None, sample_method="argmax",
+        rng=None, independent_windows=False,
+    ):
+        from midi_vae_tpu.evaluation import sampling as our_sampling
+
+        cfg = self.cfg
+        assert sample_method == "argmax"
+        z = np.atleast_2d(np.asarray(z))
+        if history is None:
+            H = np.zeros((z.shape[0], cfg.latent_dim))
+        else:
+            H = np.atleast_2d(np.asarray(history))
+        outs = self._dec.batch(z, H)
+        idx = {"notes_idx": np.argmax(outs["notes"], axis=-1)}
+        if "instrument" in outs:
+            idx["inst_idx"] = np.argmax(outs["instrument"], axis=-1)
+        if "velocity" in outs:
+            idx["vel"] = outs["velocity"][..., 0]
+        if "held" in outs:
+            idx["held_idx"] = np.argmax(outs["held"], axis=-1)
+        if "next" in outs:
+            idx["next_idx"] = np.argmax(outs["next"], axis=-1)
+        return our_sampling.process_argmax_outputs(
+            idx, cfg, independent_windows=independent_windows
+        )
+
+    def encode_song(self, X, I, V, D) -> np.ndarray:
+        from midi_vae_tpu.data.batching import held_to_categorical, prepare_velocity
+
+        cfg = self.cfg
+        X = np.asarray(X)
+        n = X.shape[0]
+        D_cat = held_to_categorical(np.atleast_2d(np.asarray(D)))
+        V3 = prepare_velocity(np.atleast_2d(np.asarray(V)), D_cat, cfg)
+        I_t = np.tile(np.asarray(I)[None], (n, 1, 1))
+        elements = [X]
+        if cfg.meta_instrument:
+            elements.append(I_t)
+        if cfg.meta_velocity:
+            elements.append(V3)
+        if cfg.meta_held_notes:
+            elements.append(D_cat)
+        rows = [[el[i] for el in elements] for i in range(n)]
+        return self._enc.z_rows(rows)
+
+
+class _PltRecorder:
+    """matplotlib stand-in that records the sweep's per-key influence bars
+    and title strings (the reference computes overall_best_dim ONLY inside
+    its plotting loop, vae_evaluation.py:1211-1226 -- the recorder is how
+    the differential reads it back out)."""
+
+    def __init__(self):
+        self.titles: list[str] = []
+        self.bars: list[np.ndarray] = []
+
+    def figure(self, *a, **k):
+        pass
+
+    def title(self, s):
+        self.titles.append(str(s))
+
+    def bar(self, x, heights, **k):
+        self.bars.append(np.asarray(heights, dtype=np.float64).copy())
+
+    def __getattr__(self, name):
+        return lambda *a, **k: None
+
+
+def _sweepgen_cfg(cfg):
+    """Small geometry + the flag set the sweep/generation differentials run
+    under: all decoder heads on, rolled history, no teacher forcing, no
+    decoder additional input (the reference's medley/long-song calls pass
+    int C to prepare_decoder_input, which crashes its extend() when
+    decoder_additional_input is on -- the shipped configs run it off)."""
+    return cfg.replace(
+        latent_dim=8,
+        meta_instrument=True,
+        meta_velocity=True,
+        meta_held_notes=True,
+        meta_next_notes=True,
+        history=True,
+        teacher_force=False,
+        decoder_input_composer=False,
+        append_signature_vector_to_latent=False,
+        include_silent_note=True,
+        combine_velocity_and_held_notes=False,
+    )
+
+
+def _nan_tuple_equal(a, b) -> bool:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    return a.shape == b.shape and np.array_equal(a, b, equal_nan=True)
+
+
+def check_sweepstats(cfg, seed: int = 0) -> dict:
+    """L5 differential parity: the latent-sweep machinery.
+
+    Executes the reference's sweep blocks by line range on random inputs and
+    compares against evaluation.sweep:
+
+      :898-911   get_normal_distributed_values (+ the cdf range_end
+                 transformation at :1167)
+      :917-951   strength/probability/direction of a value list, incl. the
+                 single-element nan-strength edge
+      :953-1015  evaluate_{statistic,count,change}_of_values,
+                 run_all_statistics
+      :1018-1113 evaluate_{velocityroll,pitchroll,instrumentlist} with
+                 classifier-oracle stubs and the REFERENCE data_class module
+      :1123-1271 latent_sweep_over_all_dimensions end to end with a decode
+                 oracle on both sides: per-dim summaries, influence
+                 accumulation, best-peak dict, overall-best-dim selection
+                 (read back through a recording matplotlib stub)
+    """
+    from midi_vae_tpu.evaluation import sweep as ours
+
+    scfg = _sweepgen_cfg(cfg)
+    rng = np.random.default_rng(seed)
+    counts = {"exact": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["exact"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    import scipy.stats
+    from collections import defaultdict
+
+    with tempfile.TemporaryDirectory() as workdir:
+        dc = load_reference_module("data_class", workdir)
+    for key, value in {
+        "max_voices": scfg.max_voices,
+        "SMALLEST_NOTE": scfg.smallest_note,
+        "low_crop": scfg.low_crop,
+        "high_crop": scfg.high_crop,
+    }.items():
+        setattr(dc, key, value)
+
+    T = scfg.output_length
+    k = scfg.num_classes
+    p_stub = _ClassifierOracle(k, "pitch")
+    v_stub = _ClassifierOracle(k, "velocity")
+    i_stub = _ClassifierOracle(k, "instrument")
+
+    ns = {
+        "np": np,
+        "scipy": scipy,
+        "defaultdict": defaultdict,
+        "data_class": dc,
+        "output_length": T,
+        "max_voices": scfg.max_voices,
+        "include_silent_note": scfg.include_silent_note,
+        "instrument_attach_method": scfg.instrument_attach_method,
+        "velocity_threshold_such_that_it_is_a_played_note":
+            scfg.velocity_threshold,
+        "pitches_classifier_model": p_stub,
+        "velocity_classifier_model": v_stub,
+        "instrument_classifier_model": i_stub,
+        "signature_vector_length": scfg.signature_vector_length,
+    }
+    _exec_eval_lines(898, 1015, ns)   # value grid + stat machinery
+    _exec_eval_lines(1018, 1114, ns)  # per-modality sweep evaluations
+    _exec_eval_lines(598, 617, ns)    # vote_for_programs
+
+    # --- value grid (:898-911 + :1167) ------------------------------------
+    for case in range(8):
+        res = float(rng.uniform(0.5, 3.5))
+        sigma = float(rng.uniform(0.2, 2.0))
+        epd = int(rng.integers(2, 7))
+        posneg = bool(rng.integers(2))
+        range_end = scipy.stats.norm.cdf(res * sigma, loc=0.0, scale=sigma) - 0.5
+        ref_vals = ns["get_normal_distributed_values"](range_end, epd, sigma, posneg)
+        our_vals = ours.get_normal_distributed_values(range_end, epd, sigma, posneg)
+        record(_nan_tuple_equal(ref_vals, our_vals), f"values_grid[{case}]")
+
+    # --- strength/probability/direction (:917-951) -------------------------
+    lists = [
+        [],
+        [1.0],
+        [float(rng.normal())],
+        [2.0, 2.0, 2.0],
+        list(rng.normal(size=5)),
+        list(rng.integers(0, 4, size=8).astype(float)),
+        sorted(rng.normal(size=6)),
+        sorted(rng.normal(size=6), reverse=True),
+        [0.0, 1.0, 1.0, 0.0],
+    ]
+    for i, vl in enumerate(lists):
+        with np.errstate(invalid="ignore"):
+            ref_spd = ns["get_strength_probability_direction_for_value_list"](list(vl))
+            our_spd = ours.get_strength_probability_direction(list(vl))
+        record(
+            _nan_tuple_equal(ref_spd[:2], our_spd[:2]) and ref_spd[2] == our_spd[2],
+            f"strength_prob_dir[{i}] ref={ref_spd} ours={our_spd}",
+        )
+
+    def dicts_equal(rd: dict, od: dict) -> bool:
+        if set(rd.keys()) != set(od.keys()):
+            return False
+        return all(_nan_tuple_equal(rd[key], od[key]) for key in rd)
+
+    # --- evaluate_{statistic,count,change} + run_all_statistics ------------
+    for case in range(12):
+        n_lists = int(rng.integers(1, 6))
+        splitted = [
+            list(rng.integers(0, 5, size=int(rng.integers(0, 7))).astype(float))
+            for _ in range(n_lists)
+        ]
+        with np.errstate(invalid="ignore"):
+            for stat in ("mean", "median", "std", "max", "min", "range"):
+                r = ns["evaluate_statistic_value"](splitted, "x", stat)
+                o = ours.evaluate_statistic_value(splitted, "x", stat)
+                record(
+                    r[0] == o[0] and _nan_tuple_equal(r[1:], o[1:]),
+                    f"stat[{case}][{stat}] ref={r} ours={o}",
+                )
+            for specific in (None, 2.0):
+                r = ns["evaluate_count_of_values"](splitted, "x", specific)
+                o = ours.evaluate_count_of_values(splitted, "x", specific)
+                record(
+                    r[0] == o[0] and _nan_tuple_equal(r[1:], o[1:]),
+                    f"count[{case}][{specific}]",
+                )
+            r = ns["evaluate_change_of_values"](splitted, "x")
+            o = ours.evaluate_change_of_values(splitted, "x")
+            record(
+                r[0] == o[0] and _nan_tuple_equal(r[1:], o[1:]),
+                f"change[{case}]",
+            )
+            rd: dict = {}
+            od: dict = {}
+            ns["run_all_statistics"](splitted, "x", rd)
+            ours.run_all_statistics(splitted, "x", od)
+            record(dicts_equal(rd, od), f"run_all[{case}]")
+
+    # --- per-modality sweep evaluations (:1018-1113) ------------------------
+    mv = scfg.max_voices
+    notes = scfg.new_num_notes
+    for case in range(10):
+        m = int(rng.integers(2, 5))  # windows
+        V = rng.uniform(0.0, 1.0, size=(m * T,))
+        V[rng.random(m * T) < 0.3] = 0.0
+        if case == 0:
+            V[:] = 0.0  # empty-roll early return
+        with np.errstate(invalid="ignore"):
+            rd = ns["evaluate_velocityroll"](np.copy(V))
+            od = ours.evaluate_velocityroll(np.copy(V), scfg, v_stub)
+        record(dicts_equal(rd, od), f"velocityroll[{case}]")
+
+        Y = np.zeros((m * T, notes))
+        for row in range(m * T):
+            if rng.random() > 0.3:
+                Y[row, rng.integers(0, notes)] = 1.0
+        if case == 1:
+            Y[:] = 0.0  # zero-notes early return
+        with np.errstate(invalid="ignore"):
+            rd = ns["evaluate_pitchroll"](np.copy(Y))
+            od = ours.evaluate_pitchroll(np.copy(Y), scfg, p_stub)
+        record(dicts_equal(rd, od), f"pitchroll[{case}]")
+
+        I_list = np.zeros((m, mv, scfg.meta_instrument_dim))
+        for s in range(m):
+            for voice in range(mv):
+                I_list[s, voice, rng.integers(0, scfg.meta_instrument_dim)] = 1.0
+        with np.errstate(invalid="ignore"):
+            rd = ns["evaluate_instrumentlist"](np.copy(I_list))
+            od = ours.evaluate_instrumentlist(np.copy(I_list), scfg, i_stub)
+        record(dicts_equal(rd, od), f"instrumentlist[{case}]")
+
+    # --- the full sweep (:1123-1271) ----------------------------------------
+    vd = _load_vae_definition()
+    _bind(vd, scfg, {})
+    dec_oracle = _DecodeOracle(scfg)
+    plt_rec = _PltRecorder()
+    sweep_ns = dict(ns)
+    sweep_ns.update(
+        {
+            "vae_definition": vd,
+            "decoder": _RefOracleDecoder(dec_oracle, scfg),
+            "batch_size": scfg.batch_size,
+            "sample_method": "argmax",
+            "best_peak_evaluations_summary_dict": {},
+            "plt": plt_rec,
+            "tikz_save": lambda *a, **k: None,
+            "save_folder": "",
+            "save_anything": False,
+            "print": lambda *a, **k: None,
+        }
+    )
+    _exec_eval_lines(1123, 1275, sweep_ns)
+
+    n_sweep_samples = 2
+    start = rng.normal(0.0, 1.0, size=(n_sweep_samples, scfg.latent_dim))
+    sigma = 0.8
+    with np.errstate(invalid="ignore"):
+        sweep_ns["latent_sweep_over_all_dimensions"](
+            np.copy(start),
+            "Random",
+            range_end_in_stds=2.0,
+            sigma=sigma,
+            evaluations_per_dimension=3,
+            evaluate_postive_and_negative=True,
+        )
+        res = ours.latent_sweep_over_all_dimensions(
+            _OracleCtx(scfg, dec_oracle, _EncodeOracle(scfg)),
+            np.copy(start),
+            sigma=sigma,
+            range_end_in_stds=2.0,
+            evaluations_per_dimension=3,
+            evaluate_positive_and_negative=True,
+            pitch_predict=p_stub,
+            velocity_predict=v_stub,
+            instrument_predict=i_stub,
+            log_fn=lambda s: None,
+        )
+
+    ref_best = sweep_ns["best_peak_evaluations_summary_dict"]
+    record(
+        set(ref_best.keys()) == set(res["best_peaks"].keys()),
+        f"sweep best-peak key sets ref={len(ref_best)} ours={len(res['best_peaks'])}",
+    )
+    for key, rv in ref_best.items():
+        ov = res["best_peaks"].get(key, (None, None, None))
+        record(
+            _nan_tuple_equal(rv[:2], ov[:2]) and rv[2] == ov[2],
+            f"sweep best_peak[{key}] ref={rv} ours={ov}",
+        )
+    # influence bars + overall best dim, read back from the recorder in the
+    # reference's dict iteration order
+    record(
+        len(plt_rec.titles) == len(ref_best),
+        f"sweep plot count {len(plt_rec.titles)} vs {len(ref_best)}",
+    )
+    for title, heights, key in zip(plt_rec.titles, plt_rec.bars, ref_best.keys()):
+        assert title.startswith(key + ": Overall best dim: "), title
+        rest = title[len(key) + 2:]
+        ref_overall = int(rest.split("Overall best dim: ")[1].split(".")[0])
+        our_influence = np.asarray(
+            [res["influence"][d].get(key, 0.0) for d in range(scfg.latent_dim)]
+        )
+        record(
+            _nan_tuple_equal(heights, our_influence),
+            f"sweep influence[{key}]",
+        )
+        record(
+            ref_overall == res["best_dims"][key],
+            f"sweep overall_best_dim[{key}] ref={ref_overall} "
+            f"ours={res['best_dims'][key]}",
+        )
+
+    return {
+        "surface": "sweepstats",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
+def check_generation(cfg, seed: int = 0) -> dict:
+    """L5 differential parity: the generation-section assembly logic.
+
+    Executes the reference's generation blocks by line range with oracle
+    encoder/decoder models shared with our side:
+
+      :713-837   chosen-song interpolation medley: song/sample selection
+                 (np.random draws mirrored), encode, bridge interpolation,
+                 history threading, info bookkeeping
+      :847-887   random interpolation songs
+      :1823-1896 long songs: nearest-z scan (incl. the re-pick-index-0
+                 fallback), blend, decode -> re-encode chaining
+      :645-662   restructure_song_to_fit_more_instruments -- the reference
+                 omits the per-sample voice offset (every window writes to
+                 voice block 0 of the widened grid); ours implements the
+                 intended widening. Counted as ``known_restructure`` after
+                 bit-predicting the reference's tensor from ours.
+    """
+    from midi_vae_tpu.evaluation import generation as ours
+
+    scfg = _sweepgen_cfg(cfg)
+    rng = np.random.default_rng(seed)
+    counts = {"exact": 0, "known_restructure": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["exact"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def eq(r, o) -> bool:
+        r = np.asarray(r, dtype=np.float64)
+        o = np.asarray(o, dtype=np.float64)
+        return r.shape == o.shape and np.array_equal(r, o)
+
+    vd = _load_vae_definition()
+    _bind(vd, scfg, {})
+    with tempfile.TemporaryDirectory() as workdir:
+        dc = load_reference_module("data_class", workdir)
+    dc.max_voices = scfg.max_voices
+
+    dec_oracle = _DecodeOracle(scfg)
+    enc_oracle = _EncodeOracle(scfg)
+    ctx = _OracleCtx(scfg, dec_oracle, enc_oracle)
+
+    T = scfg.output_length
+    mv = scfg.max_voices
+
+    def random_corpus(n_songs: int, min_windows: int, max_windows: int):
+        X_list, I_list, V_list, D_list, C_list, paths = [], [], [], [], [], []
+        for s in range(n_songs):
+            n = int(rng.integers(min_windows, max_windows + 1))
+            X = np.zeros((n, T, scfg.input_dim), np.float32)
+            for w in range(n):
+                for t in range(T):
+                    if rng.random() < 0.2:
+                        X[w, t, scfg.input_dim - 1] = 1.0
+                    else:
+                        X[w, t, rng.integers(0, scfg.new_num_notes)] = 1.0
+            D = (rng.random((n, T)) < 0.3).astype(np.float32)
+            V = (rng.random((n, T)) * 0.5 + 0.5).astype(np.float32)
+            V[D == 1] = 0.0
+            I = np.zeros((mv, scfg.instrument_dim), np.float32)
+            for voice in range(mv):
+                I[voice, rng.integers(0, scfg.instrument_dim)] = 1.0
+            X_list.append(X)
+            I_list.append(I)
+            V_list.append(V)
+            D_list.append(D)
+            C_list.append(int(rng.integers(0, scfg.num_classes)))
+            paths.append(f"/corpus/song_{s}.mid.pickle")
+        return X_list, I_list, V_list, D_list, C_list, paths
+
+    base_ns = {
+        "np": np,
+        "data_class": dc,
+        "vae_definition": vd,
+        "decoder": _RefOracleDecoder(dec_oracle, scfg),
+        "encoder": _RefOracleEncoder(enc_oracle),
+        "latent_dim": scfg.latent_dim,
+        "signature_vector_length": scfg.signature_vector_length,
+        "batch_size": scfg.batch_size,
+        "output_length": T,
+        "max_voices": mv,
+        "instrument_attach_method": scfg.instrument_attach_method,
+        "include_silent_note": scfg.include_silent_note,
+        "save_anything": False,
+        "save_folder": "",
+        "print": lambda *a, **k: None,
+    }
+    _exec_eval_lines(583, 584, base_ns)  # linear_interpolation
+    _exec_eval_lines(598, 617, base_ns)  # vote_for_programs
+    _exec_eval_lines(645, 662, base_ns)  # restructure_song_to_fit_more_instruments
+
+    def check_restructure(tag, Y, I_list, V, D):
+        """Ref restructure vs ours: bit-predict the reference's missing
+        per-sample voice offset (vae_evaluation.py:659-661), then verify
+        programs + content equality modulo that offset."""
+        rY, r_prog, rV, rD = base_ns["restructure_song_to_fit_more_instruments"](
+            np.asarray(Y), list(I_list), np.asarray(V), np.asarray(D)
+        )
+        oY, o_prog, oV, oD = ours.restructure_song_to_fit_more_instruments(
+            np.asarray(Y), list(I_list), np.asarray(V), np.asarray(D), scfg
+        )
+        n = len(I_list)
+        ok = list(r_prog) == list(o_prog) and rY.shape == oY.shape
+        # predict ref's tensor from ours: ours wrote row
+        # s*T*n + step*n*mv + s*mv + v; ref wrote s*T*n + step*n*mv + v
+        pY, pV, pD = np.zeros_like(oY), np.zeros_like(oV), np.zeros_like(oD)
+        for s in range(n):
+            for step in range(T // mv):
+                for voice in range(mv):
+                    src = s * T * n + step * n * mv + s * mv + voice
+                    dst = s * T * n + step * n * mv + voice
+                    pY[dst] = oY[src]
+                    pV[dst] = oV[src]
+                    pD[dst] = oD[src]
+        ok = ok and eq(rY, pY) and eq(rV, pV) and eq(rD, pD)
+        if ok:
+            counts["known_restructure"] += 1
+        else:
+            record(False, f"{tag} restructure")
+
+    # --- chosen interpolation medley (:713-837) ------------------------------
+    for case in range(3):
+        n_songs = 4
+        k_between = int(rng.integers(2, 4))
+        interp_len = int(rng.integers(2, 4))
+        in_medley = int(rng.integers(2, 4))
+        X_tr, I_tr, V_tr, D_tr, C_tr, paths = random_corpus(
+            n_songs, k_between + 2, k_between + 5
+        )
+        block_seed = int(rng.integers(0, 2**31 - 1))
+
+        ns = dict(base_ns)
+        ns.update(
+            {
+                "test_train_set": True,
+                "train_set_size": n_songs,
+                "X_train": X_tr,
+                "I_train": I_tr,
+                "V_train": V_tr,
+                "D_train": D_tr,
+                "C_train": C_tr,
+                "train_paths": paths,
+                "max_new_chosen_interpolation_songs": 1,
+                "how_many_songs_in_one_medley": in_medley,
+                "noninterpolated_samples_between_interpolation": k_between,
+                "interpolation_length": interp_len,
+                "sample_method": "argmax",
+            }
+        )
+        np.random.seed(block_seed)
+        _exec_eval_lines(713, 837, ns)
+
+        # mirror the selection draws to build our picks
+        rs = np.random.RandomState(block_seed)
+        picks = []
+        pick_meta = []
+        for medley_song_num in range(in_medley):
+            song_num = int(rs.randint(n_songs))
+            while X_tr[song_num].shape[0] <= k_between:
+                song_num = int(rs.randint(n_songs))
+            n_w = X_tr[song_num].shape[0]
+            sample_num = int(rs.randint(n_w))
+            if sample_num < k_between and medley_song_num == 0:
+                sample_num = k_between
+            elif sample_num >= n_w - k_between:
+                sample_num = n_w - k_between - 1
+            if medley_song_num == 0:
+                sl = list(range(sample_num - k_between, sample_num))
+            else:
+                sl = list(range(sample_num, sample_num + k_between))
+            picks.append(
+                {
+                    "X": np.copy(X_tr[song_num][sl]),
+                    "I": I_tr[song_num],
+                    "V": np.copy(V_tr[song_num][sl]),
+                    "D": np.copy(D_tr[song_num][sl]),
+                }
+            )
+            pick_meta.append((song_num, sample_num))
+
+        oY, oI, oV, oD, o_info = ours.generate_medley(
+            ctx, picks, interp_len, k_between,
+            rng=np.random.RandomState(0),
+        )
+        tag = f"medley[{case}]"
+        record(eq(ns["Y_list"], oY), f"{tag} Y")
+        record(eq(np.asarray(ns["I_list"]), oI), f"{tag} I")
+        record(eq(ns["V_list"], oV), f"{tag} V")
+        record(eq(ns["D_list"], oD), f"{tag} D")
+        record(
+            list(ns["programs_for_whole_long_song"])
+            == list(ours.vote_for_programs(oI, scfg)),
+            f"{tag} programs vote",
+        )
+        ref_info = ns["info_dict"]
+        for idx in range(in_medley):
+            record(
+                list(ref_info[f"programs_{idx}"]) == list(o_info[f"programs_{idx}"]),
+                f"{tag} info programs_{idx}",
+            )
+            for j in range(interp_len):
+                rkey = f"programs_{idx}_interpolation_{j}"
+                if rkey in ref_info:
+                    record(
+                        rkey in o_info
+                        and list(ref_info[rkey]) == list(o_info[rkey]),
+                        f"{tag} info {rkey}",
+                    )
+        check_restructure(tag, oY, oI, oV, oD)
+
+    # --- random interpolation songs (:847-887) -------------------------------
+    for case in range(3):
+        steps = int(rng.integers(2, 5))
+        z_std_train = float(rng.uniform(0.3, 1.2))
+        block_seed = int(rng.integers(0, 2**31 - 1))
+        ns = dict(base_ns)
+        ns.update(
+            {
+                "max_new_sampled_interpolation_songs": 1,
+                "interpolation_song_length": steps,
+                "z_std_train": z_std_train,
+                "sample_method": "argmax",
+            }
+        )
+        np.random.seed(block_seed)
+        _exec_eval_lines(847, 887, ns)
+
+        rs = np.random.RandomState(block_seed)
+        z_a = rs.normal(0.0, z_std_train, size=(1, scfg.latent_dim))
+        z_b = rs.normal(0.0, z_std_train, size=(1, scfg.latent_dim))
+        oY, oI, oV, oD = ours.generate_interpolation_song(
+            ctx, z_a[0], z_b[0], steps
+        )
+        tag = f"rand_interp[{case}]"
+        record(eq(ns["Y_list"], oY), f"{tag} Y")
+        record(eq(np.asarray(ns["I_list"]), oI), f"{tag} I")
+        record(eq(ns["V_list"], oV), f"{tag} V")
+        record(eq(ns["D_list"], oD), f"{tag} D")
+        record(
+            list(ns["programs_for_whole_long_song"])
+            == list(ours.vote_for_programs(oI, scfg)),
+            f"{tag} programs vote",
+        )
+        check_restructure(tag, oY, oI, oV, oD)
+
+    # --- long songs (:1823-1896) ---------------------------------------------
+    for case in range(3):
+        n_z = int(rng.integers(4, 9))
+        length = int(rng.integers(3, 6))
+        z_std_train = float(rng.uniform(0.3, 1.2))
+        all_z = rng.normal(0.0, 1.0, size=(n_z, scfg.latent_dim))
+        block_seed = int(rng.integers(0, 2**31 - 1))
+        ns = dict(base_ns)
+        ns.update(
+            {
+                "max_new_sampled_long_songs": 1,
+                "long_song_length": length,
+                "include_composer_decoder": True,
+                "z_std_train": z_std_train,
+                "all_z": [np.copy(z) for z in all_z],
+                "sample_method": "argmax",
+                "temperature": 1.0,
+            }
+        )
+        np.random.seed(block_seed)
+        _exec_eval_lines(1823, 1896, ns)
+
+        oY, oI, oV, oD = ours.generate_long_song(
+            ctx, np.copy(all_z), z_std_train, length,
+            rng=np.random.RandomState(block_seed), sample_method="argmax",
+        )
+        tag = f"long_song[{case}]"
+        record(eq(ns["Y_list"], oY), f"{tag} Y")
+        record(eq(np.asarray(ns["I_list"]), oI), f"{tag} I")
+        record(eq(ns["V_list"], oV), f"{tag} V")
+        record(eq(ns["D_list"], oD), f"{tag} D")
+        record(
+            list(ns["programs_for_whole_long_song"])
+            == list(ours.vote_for_programs(oI, scfg)),
+            f"{tag} programs vote",
+        )
+
+    return {
+        "surface": "generation",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -2797,6 +3598,18 @@ def main() -> int:
              "vs evaluation.stats / data.batching",
     )
     ap.add_argument(
+        "--sweepstats", action="store_true",
+        help="differential check of the latent-sweep statistics machinery "
+             "and the full per-dimension sweep aggregation "
+             "(vae_evaluation.py:898-1271) with oracle models on both sides",
+    )
+    ap.add_argument(
+        "--generation", action="store_true",
+        help="differential check of the generation-section assembly: "
+             "interpolation medleys, random interpolations, long-song "
+             "nearest-z chaining (vae_evaluation.py:713-887, :1823-1896)",
+    )
+    ap.add_argument(
         "--classifier", action="store_true",
         help="differential check of the three style classifiers "
              "(pitch/velocity/instrument GRU-stack -> Dense softmax) "
@@ -2829,6 +3642,10 @@ def main() -> int:
         result = check_classifier(cfg, seed=args.seed)
     elif args.evalmetrics:
         result = check_evalmetrics(cfg, seed=args.seed)
+    elif args.sweepstats:
+        result = check_sweepstats(cfg, seed=args.seed)
+    elif args.generation:
+        result = check_generation(cfg, seed=args.seed)
     elif args.sampling:
         result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:
