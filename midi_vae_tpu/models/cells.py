@@ -26,23 +26,35 @@ Params = dict[str, Any]
 
 
 def _np_rng(key) -> np.random.Generator:
-    """Numpy generator seeded from a jax PRNG key.
+    """Numpy generator seeded from a jax PRNG key (or a raw uint32 pair).
 
-    Initialization runs as plain numpy: ~100 eager jax init ops would each
-    compile an XLA executable (measured minutes of wall clock on first use,
-    far worse over a tunneled TPU); numpy init is instant and deterministic
-    per key."""
-    try:
-        data = np.asarray(jax.random.key_data(key))
-    except (TypeError, AttributeError):
-        data = np.asarray(key)
+    Initialization runs as PLAIN NUMPY end to end: eager jax init ops each
+    compile a tiny XLA executable too fast to enter the persistent compile
+    cache, so every fresh process re-pays ~40s (minutes over a tunneled
+    TPU); numpy init is instant and deterministic per key. Callers place
+    the finished tree on devices (parallel.shard_params)."""
+    if isinstance(key, np.ndarray):
+        data = key  # already host-side: do NOT round-trip through a device
+    else:
+        try:
+            data = np.asarray(jax.random.key_data(key))
+        except (TypeError, AttributeError):
+            data = np.asarray(key)
     return np.random.default_rng(data.astype(np.uint32).tolist())
+
+
+def split_keys(key, n: int = 2) -> np.ndarray:
+    """Numpy-side key derivation for init: (n, 2) uint32 child keys.
+
+    Replaces eager ``jax.random.split`` + per-element jax-array indexing in
+    the init path (each index op compiled its own executable)."""
+    return _np_rng(key).integers(0, 2**32, size=(n, 2), dtype=np.uint32)
 
 
 def glorot_uniform(key, shape, dtype=jnp.float32):
     fan_in, fan_out = shape[0], shape[1]
     limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
-    return jnp.asarray(
+    return np.asarray(
         _np_rng(key).uniform(-limit, limit, size=shape), dtype
     )
 
@@ -56,13 +68,13 @@ def orthogonal(key, shape, dtype=jnp.float32):
     q = q * np.sign(np.diag(r))
     if rows < cols:
         q = q.T
-    return jnp.asarray(q[:rows, :cols], dtype)
+    return np.asarray(q[:rows, :cols], dtype)
 
 
 def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
     return {
         "w": glorot_uniform(key, (in_dim, out_dim), dtype),
-        "b": jnp.zeros((out_dim,), dtype),
+        "b": np.zeros((out_dim,), dtype),
     }
 
 
@@ -119,11 +131,11 @@ class GRUCell:
 
     @staticmethod
     def init(key, in_dim: int, hidden: int, dtype=jnp.float32) -> Params:
-        k1, k2 = jax.random.split(key)
+        k1, k2 = split_keys(key)
         return {
             "w": glorot_uniform(k1, (in_dim, 3 * hidden), dtype),
             "u": orthogonal(k2, (hidden, 3 * hidden), dtype),
-            "b": jnp.zeros((3 * hidden,), dtype),
+            "b": np.zeros((3 * hidden,), dtype),
         }
 
     @staticmethod
@@ -153,10 +165,10 @@ class LSTMCell:
 
     @staticmethod
     def init(key, in_dim: int, hidden: int, dtype=jnp.float32) -> Params:
-        k1, k2 = jax.random.split(key)
-        b = jnp.zeros((4 * hidden,), dtype)
+        k1, k2 = split_keys(key)
+        b = np.zeros((4 * hidden,), dtype)
         # Keras unit_forget_bias: forget gate bias = 1
-        b = b.at[hidden : 2 * hidden].set(1.0)
+        b[hidden : 2 * hidden] = 1.0
         return {
             "w": glorot_uniform(k1, (in_dim, 4 * hidden), dtype),
             "u": orthogonal(k2, (hidden, 4 * hidden), dtype),
@@ -189,11 +201,11 @@ class SimpleRNNCell:
 
     @staticmethod
     def init(key, in_dim: int, hidden: int, dtype=jnp.float32) -> Params:
-        k1, k2 = jax.random.split(key)
+        k1, k2 = split_keys(key)
         return {
             "w": glorot_uniform(k1, (in_dim, hidden), dtype),
             "u": orthogonal(k2, (hidden, hidden), dtype),
-            "b": jnp.zeros((hidden,), dtype),
+            "b": np.zeros((hidden,), dtype),
         }
 
     @staticmethod

@@ -111,13 +111,14 @@ class StyleClassifier:
         return jax.default_backend() == "tpu"
 
     def init_params(self, key: jax.Array) -> Params:
-        # host-CPU init; see MidiVAE.init_params for why
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            return self._init_params_impl(key)
+        # plain-numpy init; see MidiVAE.init_params
+        return self._init_params_impl(key)
 
     def _init_params_impl(self, key: jax.Array) -> Params:
         spec = self.spec
-        keys = jax.random.split(key, spec.num_layers + 1)
+        from .cells import split_keys
+
+        keys = split_keys(key, spec.num_layers + 1)
         layers = []
         d = spec.input_dim
         for i in range(spec.num_layers):

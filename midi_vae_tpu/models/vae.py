@@ -82,20 +82,18 @@ class MidiVAE:
     # Parameter initialization
     # ------------------------------------------------------------------
     def init_params(self, key: jax.Array) -> Params:
-        """Initialize the parameter pytree ON THE HOST CPU.
-
-        Initialization is ~100 tiny ops (key splits, QR for orthogonal
-        recurrent kernels); running them on an accelerator pays per-op
-        dispatch/compile latency -- 188s measured over a tunneled TPU vs
-        <2s on CPU. Callers place the tree on devices afterwards
+        """Initialize the parameter pytree as PLAIN NUMPY (instant, no
+        per-op XLA compiles or device dispatches -- see cells._np_rng).
+        Callers place the tree on devices afterwards
         (parallel.shard_params)."""
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            return self._init_params_impl(key)
+        return self._init_params_impl(key)
 
     def _init_params_impl(self, key: jax.Array) -> Params:
+        from .cells import split_keys
+
         cfg = self.cfg
         cell = self.cell
-        keys = iter(list(jax.random.split(key, 256)))
+        keys = iter(split_keys(key, 256))
 
         def rnn_stack(n_layers: int, in_dim: int, bidirectional: bool) -> list:
             layers = []

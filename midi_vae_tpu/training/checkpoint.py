@@ -23,12 +23,30 @@ def _ocp():
     return ocp
 
 
+_CHECKPOINTER = None
+
+
+def _checkpointer():
+    """One process-wide StandardCheckpointer: constructing one per save adds
+    seconds of setup to every save-cadence boundary."""
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        _CHECKPOINTER = _ocp().StandardCheckpointer()
+    return _CHECKPOINTER
+
+
 def save_checkpoint(
-    ckpt_dir: str, epoch: int, params, opt_state, rng, cfg: Config | None
+    ckpt_dir: str, epoch: int, params, opt_state, rng, cfg: Config | None,
+    wait: bool = True,
 ) -> str:
     """Write the full training state; cfg=None skips the config.json (the
-    classifier trainer writes its spec.json instead)."""
-    ocp = _ocp()
+    classifier trainer writes its spec.json instead).
+
+    ``wait=False`` returns once the arrays are staged (orbax's async commit
+    finishes the filesystem write in its own thread); callers must call
+    ``wait_pending()`` before relying on the checkpoint on disk. The
+    trainer's background writer uses this so the device fetch of save N+1
+    overlaps the disk write of save N."""
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
     os.makedirs(ckpt_dir, exist_ok=True)
     state = {
@@ -37,11 +55,19 @@ def save_checkpoint(
         "epoch": np.asarray(epoch),
         "rng": rng,
     }
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+    ckptr = _checkpointer()
+    ckptr.save(path, state, force=True)
+    if wait:
+        ckptr.wait_until_finished()
     if cfg is not None:
         cfg.save(os.path.join(ckpt_dir, "config.json"))
     return path
+
+
+def wait_pending() -> None:
+    """Block until every async checkpoint commit has finished."""
+    if _CHECKPOINTER is not None:
+        _CHECKPOINTER.wait_until_finished()
 
 
 def latest_epoch(ckpt_dir: str) -> int | None:
@@ -67,11 +93,11 @@ def restore_checkpoint(
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
-    with ocp.StandardCheckpointer() as ckptr:
-        if template is not None:
-            state = ckptr.restore(path, template)
-        else:
-            state = ckptr.restore(path)
+    ckptr = _checkpointer()
+    if template is not None:
+        state = ckptr.restore(path, template)
+    else:
+        state = ckptr.restore(path)
     state["epoch"] = int(np.asarray(state["epoch"]))
     return state
 

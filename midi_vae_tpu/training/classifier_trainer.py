@@ -86,9 +86,15 @@ class ClassifierTrainer:
         init_key, rng = jax.random.split(key)
         params = self.model.init_params(init_key)
         params = pmesh.shard_params(params, self.mesh)
-        return ClassifierState(
-            params=params, opt_state=self.optimizer.init(params), rng=rng
-        )
+        # one jitted program, not 2 eager dispatches per leaf (see
+        # VAETrainer.init_state)
+        opt_state = jax.jit(
+            self.optimizer.init,
+            out_shardings=pmesh.param_shardings(
+                jax.eval_shape(self.optimizer.init, params), self.mesh
+            ),
+        )(params)
+        return ClassifierState(params=params, opt_state=opt_state, rng=rng)
 
     # ------------------------------------------------------------------
     def _batches(self, n: int, shuffle: bool, rng_seed: int):

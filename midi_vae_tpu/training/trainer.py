@@ -58,6 +58,34 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 BATCH_KEYS = ("X", "Y", "I", "V", "D", "C", "S")
 
+# cap on epochs per jitted device call in fit(): bounds the (E, n_batches, B)
+# order-array upload and keeps chunk shapes repeating (so the program for the
+# common chunk length compiles once)
+MAX_EPOCHS_PER_DISPATCH = 128
+
+
+def _materialize_chunk(
+    e0: int, n_ep: int, train_dev: dict, eval_dev: dict | None,
+    eval_flags: np.ndarray | None,
+) -> tuple[list[dict], list[dict]]:
+    """Fetch a dispatched chunk's device metrics -> (train entries,
+    test entries) in history format. Blocks until the chunk has executed."""
+    # ONE batched device->host transfer for both metric dicts (~50 tiny
+    # per-key fetches would each pay the tunnel round-trip floor)
+    host, host_eval = jax.device_get((train_dev, eval_dev))
+    train_entries = [
+        {k: float(v[i]) for k, v in host.items()} for i in range(n_ep)
+    ]
+    test_entries = []
+    if eval_dev is not None and eval_flags is not None:
+        for i in range(n_ep):
+            if eval_flags[i] > 0:
+                test_entries.append(
+                    {"epoch": e0 + i,
+                     **{k: float(v[i]) for k, v in host_eval.items()}}
+                )
+    return train_entries, test_entries
+
 
 def _slice_batch(flat: FlatSplit, idx: np.ndarray, cfg: Config, H: np.ndarray | None) -> dict:
     batch = {k: getattr(flat, k)[idx] for k in BATCH_KEYS}
@@ -282,17 +310,27 @@ class VAETrainer:
         return params, opt_state, rng, z_cache, metrics
 
     def _device_epochs_fn(self, params, opt_state, rng, z_cache, data, orders,
-                          masks, h_scales, history_active=True):
+                          masks, h_scales, eval_flags, test_data, test_order,
+                          test_mask, history_active=True, with_eval=False):
         """E epochs in ONE jitted call: lax.scan over whole epochs.
 
         orders/masks: (E, n_batches, B); h_scales: (E,). Amortizes the
-        per-call dispatch latency (a tunneled TPU shows a ~4s floor PER
-        CALL) over the whole chunk -- the 1,200-epoch study runs in minutes
-        instead of hours."""
+        per-call dispatch latency (a tunneled TPU shows a multi-second floor
+        PER CALL) over the whole chunk -- the 1,200-epoch study runs in
+        minutes instead of hours.
+
+        ``with_eval`` (static) additionally runs the whole-test-split
+        evaluation INSIDE the epoch scan on epochs where ``eval_flags`` is
+        set (``lax.cond`` skips it elsewhere), so the reference's per-epoch
+        test cadence (test_step=1, vae_training.py:963) costs zero extra
+        dispatches instead of one eval round trip per epoch."""
 
         def epoch_body(carry, xs):
             params, opt_state, rng, z_cache = carry
-            order, mask, h_scale = xs
+            if with_eval:
+                order, mask, h_scale, eflag = xs
+            else:
+                order, mask, h_scale = xs
             params, opt_state, rng, z_cache, metrics = self._device_epoch_fn(
                 params, opt_state, rng, z_cache, data, order, mask, h_scale,
                 history_active,
@@ -303,13 +341,34 @@ class VAETrainer:
             epoch_metrics = {
                 k: jnp.sum(v * w) / tot for k, v in metrics.items()
             }
-            return (params, opt_state, rng, z_cache), epoch_metrics
+            if not with_eval:
+                return (params, opt_state, rng, z_cache), epoch_metrics
 
-        (params, opt_state, rng, z_cache), metrics = jax.lax.scan(
-            epoch_body, (params, opt_state, rng, z_cache),
-            (orders, masks, h_scales),
+            def run_eval(p):
+                return self._device_eval_fn(p, test_data, test_order, test_mask)
+
+            def skip_eval(p):
+                shapes = jax.eval_shape(run_eval, p)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
+            eval_metrics = jax.lax.cond(eflag > 0, run_eval, skip_eval, params)
+            return (params, opt_state, rng, z_cache), (epoch_metrics, eval_metrics)
+
+        xs = (
+            (orders, masks, h_scales, eval_flags)
+            if with_eval
+            else (orders, masks, h_scales)
         )
-        return params, opt_state, rng, z_cache, metrics
+        (params, opt_state, rng, z_cache), out = jax.lax.scan(
+            epoch_body, (params, opt_state, rng, z_cache), xs
+        )
+        if with_eval:
+            metrics, eval_metrics = out
+        else:
+            metrics, eval_metrics = out, None
+        return params, opt_state, rng, z_cache, metrics, eval_metrics
 
     # ------------------------------------------------------------------
     def _encode_all_z(self, params, data: dict) -> jnp.ndarray:
@@ -362,28 +421,18 @@ class VAETrainer:
         return self._seed_z_jit(params, data)
 
     def _epoch_orders(
-        self, state: TrainState, num_windows: int, n_epochs: int,
+        self, num_windows: int, n_epochs: int,
         shuffle: bool, first_epoch: int, use_history: bool,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Precompute (E, n_batches, B) batch orders + masks + history scales
-        for a chunk of epochs. Shuffle orders come from a deterministic
-        per-epoch chain seeded from the train state's rng (one host draw per
-        chunk, not per epoch)."""
+        for a chunk of epochs. Epoch e's shuffle order is a pure function of
+        (cfg.seed, e) -- NO device round trip (the old draw from state.rng
+        blocked dispatch pipelining), and the order for a given epoch is
+        identical regardless of how the run is chunked or resumed."""
         cfg = self.cfg
         bs = cfg.batch_size
         n_batches = max(1, (num_windows + bs - 1) // bs)
-        # the seed draw is a blocking host<->device round trip; skip it when
-        # nothing shuffles. fold_in (not state.rng itself) keeps the shuffle
-        # stream decorrelated from the device sampling chain rooted at rng
-        base_seed = (
-            int(
-                jax.random.randint(
-                    jax.random.fold_in(state.rng, 17), (), 0, 2**31 - 1
-                )
-            )
-            if shuffle
-            else 0
-        )
+        base_seed = (cfg.seed * 1_000_003 + 0x5EED) % (2**31) if shuffle else 0
         orders = np.empty((n_epochs, n_batches, bs), np.int32)
         masks = np.empty((n_epochs, n_batches, bs), np.float32)
         h_scales = np.empty((n_epochs,), np.float32)
@@ -440,7 +489,61 @@ class VAETrainer:
         metrics = self._device_eval_jit(
             state.params, data, jnp.asarray(order), jnp.asarray(mask)
         )
-        return {k: float(v) for k, v in metrics.items()}
+        return {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+    def dispatch_epochs_device(
+        self,
+        state: TrainState,
+        data: dict,
+        num_windows: int,
+        n_epochs: int,
+        shuffle: bool = True,
+        first_epoch: int = 0,
+        use_history: bool = True,
+        eval_flags: np.ndarray | None = None,
+        test_data: dict | None = None,
+        test_order: jnp.ndarray | None = None,
+        test_mask: jnp.ndarray | None = None,
+    ) -> tuple[dict, dict | None]:
+        """Dispatch ``n_epochs`` whole epochs as ONE device call WITHOUT
+        fetching results: returns (train_metrics, eval_metrics) as dicts of
+        per-epoch DEVICE arrays (the caller materializes when it needs
+        them, so dispatches pipeline). ``eval_flags`` (E,) enables the
+        in-scan test evaluation on flagged epochs."""
+        orders, masks, h_scales = self._epoch_orders(
+            num_windows, n_epochs, shuffle, first_epoch, use_history
+        )
+        # when every epoch in the chunk has h_scale=0 (epoch-0 chunks,
+        # use_history=False), compile a variant WITHOUT the history read
+        # instead of computing H for all windows and multiplying by zero
+        history_active = bool(h_scales.max() > 0.0)
+        with_eval = eval_flags is not None
+        z_cache = self._get_z_cache(state, data, first_epoch)
+        if not hasattr(self, "_device_epochs_jit"):
+            self._device_epochs_jit = {}
+        key = (history_active, with_eval)
+        if key not in self._device_epochs_jit:
+            self._device_epochs_jit[key] = jax.jit(
+                functools.partial(
+                    self._device_epochs_fn,
+                    history_active=history_active,
+                    with_eval=with_eval,
+                ),
+                donate_argnums=(0, 1, 3),
+            )
+        if with_eval:
+            eargs = (jnp.asarray(eval_flags), test_data, test_order, test_mask)
+        else:
+            # static with_eval=False never touches these; tiny placeholders
+            eargs = (jnp.zeros((n_epochs,), jnp.float32), {},
+                     jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32))
+        (state.params, state.opt_state, state.rng, state.z_cache,
+         metrics, eval_metrics) = self._device_epochs_jit[key](
+            state.params, state.opt_state, state.rng, z_cache, data,
+            jnp.asarray(orders), jnp.asarray(masks), jnp.asarray(h_scales),
+            *eargs,
+        )
+        return metrics, eval_metrics
 
     def run_epochs_device(
         self,
@@ -454,30 +557,11 @@ class VAETrainer:
     ) -> list[dict]:
         """Run ``n_epochs`` whole epochs as ONE device call; returns the list
         of per-epoch mean metric dicts."""
-        orders, masks, h_scales = self._epoch_orders(
-            state, num_windows, n_epochs, shuffle, first_epoch, use_history
+        metrics, _ = self.dispatch_epochs_device(
+            state, data, num_windows, n_epochs, shuffle=shuffle,
+            first_epoch=first_epoch, use_history=use_history,
         )
-        # when every epoch in the chunk has h_scale=0 (epoch-0 chunks,
-        # use_history=False), compile a variant WITHOUT the history read
-        # instead of computing H for all windows and multiplying by zero
-        history_active = bool(h_scales.max() > 0.0)
-        z_cache = self._get_z_cache(state, data, first_epoch)
-        if not hasattr(self, "_device_epochs_jit"):
-            self._device_epochs_jit = {}
-        if history_active not in self._device_epochs_jit:
-            self._device_epochs_jit[history_active] = jax.jit(
-                functools.partial(
-                    self._device_epochs_fn, history_active=history_active
-                ),
-                donate_argnums=(0, 1, 3),
-            )
-        state.params, state.opt_state, state.rng, state.z_cache, metrics = (
-            self._device_epochs_jit[history_active](
-                state.params, state.opt_state, state.rng, z_cache, data,
-                jnp.asarray(orders), jnp.asarray(masks), jnp.asarray(h_scales),
-            )
-        )
-        host = {k: np.asarray(v) for k, v in metrics.items()}
+        host = jax.device_get(metrics)  # one batched transfer
         return [{k: float(v[e]) for k, v in host.items()} for e in range(n_epochs)]
 
     def run_epoch_device(
@@ -517,8 +601,30 @@ class VAETrainer:
         init_key, rng = jax.random.split(key)
         params = self.model.init_params(init_key)
         params = pmesh.shard_params(params, self.mesh)
-        opt_state = self.optimizer.init(params)
+        # optimizer init as ONE jitted program with explicit out_shardings
+        # (moments shard like their params). Eager optax init is ~2 tiny
+        # dispatches PER LEAF -- tens of seconds over a tunneled chip
+        opt_state = jax.jit(
+            self.optimizer.init,
+            out_shardings=pmesh.param_shardings(
+                jax.eval_shape(self.optimizer.init, params), self.mesh
+            ),
+        )(params)
         return TrainState(params=params, opt_state=opt_state, rng=rng)
+
+    def _clone_state(self, state: TrainState):
+        """On-device copy of (params, opt_state, rng) as one jitted program.
+
+        Checkpoint saves hand the CLONE to the background writer; the live
+        state keeps training (the next chunk donates its buffers) while the
+        writer fetches the clone to host off the critical path."""
+        if not hasattr(self, "_clone_jit"):
+            def clone(p, o, r):
+                c = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+                return c(p), c(o), jnp.copy(r)
+
+            self._clone_jit = jax.jit(clone)
+        return self._clone_jit(state.params, state.opt_state, state.rng)
 
     # ------------------------------------------------------------------
     def compute_history(self, params, flat: FlatSplit) -> np.ndarray:
@@ -708,91 +814,12 @@ class VAETrainer:
                     except (ValueError, KeyError, IndexError):
                         pass  # unreadable/foreign history: start fresh
 
-        device_data = None
-        test_device_data = None
         if self.supports_device_epoch() and train.num_windows:
-            device_data = self.prepare_device_data(train)
-            if test is not None and test.num_windows:
-                test_device_data = self.prepare_device_data(test)
-
-        def is_boundary(x: int) -> bool:
-            if test is not None and test.num_windows and x % cfg.test_step == 0:
-                return True
-            if output_dir and x % cfg.save_step == 0:
-                return True
-            return False
-
-        start_epoch = state.epoch
-        last_saved_epoch = -1
-        e = state.epoch
-        while e < epochs:
-            t0 = time.time()
-            if device_data is not None:
-                # run every epoch up to (and including) the next test/save
-                # boundary as ONE device call (see run_epochs_device)
-                b = e
-                while b < epochs - 1 and not is_boundary(b):
-                    b += 1
-                per_epoch = self.run_epochs_device(
-                    state, device_data, train.num_windows, b - e + 1,
-                    shuffle=cfg.shuffle_train_set, first_epoch=e,
-                )
-            else:
-                b = e
-                H = None
-                if cfg.history and e > 0:
-                    H = self.compute_history(state.params, train)
-                run = (
-                    self.run_epoch_distributed
-                    if jax.process_count() > 1
-                    else self.run_epoch
-                )
-                per_epoch = [
-                    run(state, train, shuffle=cfg.shuffle_train_set, H=H).means()
-                ]
-            train_metrics = per_epoch[-1]
-            dt = time.time() - t0
-            steps = (b - e + 1) * train.num_windows * cfg.output_length
-            log_fn(
-                f"epoch {b}: loss={train_metrics.get('loss', float('nan')):.4f} "
-                f"notes_acc={train_metrics.get('notes_acc', float('nan')):.4f} "
-                f"kl={train_metrics.get('kl_loss', float('nan')):.4f} "
-                f"({steps / max(dt, 1e-9):.0f} note-steps/s)"
-            )
-            state.epoch = b + 1
-            for i, m in enumerate(per_epoch):
-                history["epoch"].append(e + i)
-                history["train"].append(m)
-
-            if test is not None and test.num_windows and b % cfg.test_step == 0:
-                test_metrics = (
-                    self.evaluate_device(state, test_device_data, test.num_windows)
-                    if test_device_data is not None
-                    else self.evaluate(state, test).means()
-                )
-                history["test"].append({"epoch": b, **test_metrics})
-                log_fn(
-                    f"  test: loss={test_metrics.get('loss', float('nan')):.4f} "
-                    f"notes_acc={test_metrics.get('notes_acc', float('nan')):.4f}"
-                )
-
-            if output_dir and b % cfg.save_step == 0:
-                ckpt.save_checkpoint(
-                    output_dir, b, state.params, state.opt_state, state.rng, cfg
-                )
-                last_saved_epoch = b
-                with open(os.path.join(output_dir, "history.json"), "w") as f:
-                    json.dump(history, f)
-            e = b + 1
+            self._fit_device(state, train, test, epochs, output_dir, log_fn, history)
+        else:
+            self._fit_host(state, train, test, epochs, output_dir, log_fn, history)
 
         if output_dir:
-            # final checkpoint -- unless the loop already saved this epoch,
-            # or nothing was trained (resume of an already-complete run)
-            if last_saved_epoch != epochs - 1 and start_epoch < epochs:
-                ckpt.save_checkpoint(
-                    output_dir, epochs - 1, state.params, state.opt_state,
-                    state.rng, cfg,
-                )
             with open(os.path.join(output_dir, "history.json"), "w") as f:
                 json.dump(history, f)
             if plot:
@@ -805,6 +832,250 @@ class VAETrainer:
                 except Exception as err:  # plotting must never kill training
                     print(f"plotting failed: {err}")
         return history
+
+    def _fit_device(
+        self, state, train, test, epochs, output_dir, log_fn, history
+    ) -> None:
+        """Pipelined device-resident training loop.
+
+        Chunks break ONLY at save boundaries (test-cadence evaluation runs
+        in-scan, `_device_epochs_fn` with_eval), dispatches are pipelined
+        one chunk deep (chunk N+1 is enqueued before chunk N's metrics are
+        fetched), and checkpoints are cloned on device and written by a
+        background thread -- the reference cadence (test_step=1,
+        save_step=10, settings.py:236-238) costs one dispatch per
+        save_step epochs instead of 2 dispatches + a blocking save per
+        epoch."""
+        cfg = self.cfg
+        timings = {"dispatch_s": 0.0, "flush_s": 0.0, "save_submit_s": 0.0,
+                   "writer_s": 0.0, "n_chunks": 0, "n_saves": 0}
+        device_data = self.prepare_device_data(train)
+        has_test = test is not None and test.num_windows > 0
+        test_device_data = test_order = test_mask = None
+        if has_test:
+            test_device_data = self.prepare_device_data(test)
+            bs = cfg.batch_size
+            n_b = max(1, (test.num_windows + bs - 1) // bs)
+            padded = np.full((n_b * bs,), -1, np.int32)
+            padded[: test.num_windows] = np.arange(test.num_windows)
+            order_np = padded.reshape(n_b, bs)
+            test_order = jnp.asarray(order_np)
+            test_mask = jnp.asarray((order_np >= 0).astype(np.float32))
+
+        from .async_saver import AsyncCheckpointWriter
+
+        writer = AsyncCheckpointWriter() if output_dir else None
+        start_epoch = state.epoch
+        last_saved_epoch = -1
+        pending = None  # previous chunk, not yet materialized
+
+        def flush(chunk) -> None:
+            t0 = time.time()
+            train_entries, test_entries = _materialize_chunk(
+                chunk["e0"], chunk["n_ep"], chunk["train_dev"],
+                chunk["eval_dev"], chunk["eval_flags"],
+            )
+            for i, m in enumerate(train_entries):
+                history["epoch"].append(chunk["e0"] + i)
+                history["train"].append(m)
+            history["test"].extend(test_entries)
+            last = train_entries[-1]
+            dt = time.time() - chunk["t_dispatch"]
+            steps = chunk["n_ep"] * train.num_windows * cfg.output_length
+            msg = (
+                f"epoch {chunk['e0'] + chunk['n_ep'] - 1}: "
+                f"loss={last.get('loss', float('nan')):.4f} "
+                f"notes_acc={last.get('notes_acc', float('nan')):.4f} "
+                f"kl={last.get('kl_loss', float('nan')):.4f} "
+                f"({steps / max(dt, 1e-9):.0f} note-steps/s)"
+            )
+            if test_entries:
+                tm = test_entries[-1]
+                msg += (
+                    f"  test: loss={tm.get('loss', float('nan')):.4f} "
+                    f"notes_acc={tm.get('notes_acc', float('nan')):.4f}"
+                )
+            log_fn(msg)
+            timings["flush_s"] += time.time() - t0
+
+        try:
+            e = state.epoch
+            while e < epochs:
+                # chunk [e..b]: up to the next save boundary (test cadence is
+                # in-scan), capped to bound per-dispatch upload size
+                b = e
+                while (
+                    b < epochs - 1
+                    and not (output_dir and b % cfg.save_step == 0)
+                    and b - e + 1 < MAX_EPOCHS_PER_DISPATCH
+                ):
+                    b += 1
+                n_ep = b - e + 1
+                eval_flags = None
+                if has_test:
+                    eval_flags = np.asarray(
+                        [(e + i) % cfg.test_step == 0 for i in range(n_ep)],
+                        np.float32,
+                    )
+                    if not eval_flags.any():
+                        eval_flags = None
+                t0 = time.time()
+                train_dev, eval_dev = self.dispatch_epochs_device(
+                    state, device_data, train.num_windows, n_ep,
+                    shuffle=cfg.shuffle_train_set, first_epoch=e,
+                    eval_flags=eval_flags, test_data=test_device_data,
+                    test_order=test_order, test_mask=test_mask,
+                )
+                state.epoch = b + 1
+                do_save = bool(output_dir) and b % cfg.save_step == 0
+                clone = self._clone_state(state) if do_save else None
+                timings["dispatch_s"] += time.time() - t0
+                timings["n_chunks"] += 1
+
+                if pending is not None:
+                    flush(pending)
+                pending = {
+                    "e0": e, "n_ep": n_ep, "train_dev": train_dev,
+                    "eval_dev": eval_dev, "eval_flags": eval_flags,
+                    "t_dispatch": t0,
+                }
+                if do_save:
+                    t0 = time.time()
+                    self._submit_save(
+                        writer, output_dir, b, clone, pending, history
+                    )
+                    last_saved_epoch = b
+                    timings["n_saves"] += 1
+                    timings["save_submit_s"] += time.time() - t0
+                e = b + 1
+
+            if pending is not None:
+                flush(pending)
+                pending = None
+            if output_dir and last_saved_epoch != epochs - 1 and start_epoch < epochs:
+                clone = self._clone_state(state)
+                self._submit_save(
+                    writer, output_dir, epochs - 1, clone, None, history
+                )
+                timings["n_saves"] += 1
+        finally:
+            if pending is not None:  # an error escaped before the flush
+                try:
+                    flush(pending)
+                except Exception:
+                    pass
+            if writer is not None:
+                t0 = time.time()
+                writer.close()
+                ckpt.wait_pending()  # async orbax commits (wait=False saves)
+                timings["writer_s"] += time.time() - t0
+        self.last_fit_timings = timings
+
+    def _submit_save(
+        self, writer, output_dir, epoch, clone, pending, history
+    ) -> None:
+        """Queue a checkpoint + history.json write on the background writer.
+
+        ``pending`` is the not-yet-materialized chunk ending at ``epoch``;
+        the WRITER materializes it (blocking in its own thread) so the
+        written history matches what a blocking save would have recorded."""
+        cfg = self.cfg
+        base = {
+            "epoch": list(history["epoch"]),
+            "train": list(history["train"]),
+            "test": list(history["test"]),
+        }
+        params_c, opt_c, rng_c = clone
+        chunk = dict(pending) if pending is not None else None
+
+        def job():
+            hist = base
+            if chunk is not None:
+                train_entries, test_entries = _materialize_chunk(
+                    chunk["e0"], chunk["n_ep"], chunk["train_dev"],
+                    chunk["eval_dev"], chunk["eval_flags"],
+                )
+                hist = {
+                    "epoch": base["epoch"]
+                    + [chunk["e0"] + i for i in range(chunk["n_ep"])],
+                    "train": base["train"] + train_entries,
+                    "test": base["test"] + test_entries,
+                }
+            # ONE batched device->host transfer (device_get starts every
+            # leaf's copy async before blocking) -- per-leaf np.asarray
+            # would serialize ~140 tunnel round trips per save
+            host_params, host_opt, host_rng = jax.device_get(
+                (params_c, opt_c, rng_c)
+            )
+            ckpt.save_checkpoint(
+                output_dir, epoch, host_params, host_opt, host_rng, cfg,
+                wait=False,
+            )
+            with open(os.path.join(output_dir, "history.json"), "w") as f:
+                json.dump(hist, f)
+
+        writer.submit(job)
+
+    def _fit_host(
+        self, state, train, test, epochs, output_dir, log_fn, history
+    ) -> None:
+        """Host-batched per-epoch loop (multi-process runs and empty device
+        paths); per-song semantics of the reference's vae_training.py:728-979
+        with global batches."""
+        cfg = self.cfg
+        start_epoch = state.epoch
+        last_saved_epoch = -1
+        e = state.epoch
+        while e < epochs:
+            t0 = time.time()
+            H = None
+            if cfg.history and e > 0:
+                H = self.compute_history(state.params, train)
+            run = (
+                self.run_epoch_distributed
+                if jax.process_count() > 1
+                else self.run_epoch
+            )
+            train_metrics = run(
+                state, train, shuffle=cfg.shuffle_train_set, H=H
+            ).means()
+            dt = time.time() - t0
+            steps = train.num_windows * cfg.output_length
+            log_fn(
+                f"epoch {e}: loss={train_metrics.get('loss', float('nan')):.4f} "
+                f"notes_acc={train_metrics.get('notes_acc', float('nan')):.4f} "
+                f"kl={train_metrics.get('kl_loss', float('nan')):.4f} "
+                f"({steps / max(dt, 1e-9):.0f} note-steps/s)"
+            )
+            state.epoch = e + 1
+            history["epoch"].append(e)
+            history["train"].append(train_metrics)
+
+            if test is not None and test.num_windows and e % cfg.test_step == 0:
+                test_metrics = self.evaluate(state, test).means()
+                history["test"].append({"epoch": e, **test_metrics})
+                log_fn(
+                    f"  test: loss={test_metrics.get('loss', float('nan')):.4f} "
+                    f"notes_acc={test_metrics.get('notes_acc', float('nan')):.4f}"
+                )
+
+            if output_dir and e % cfg.save_step == 0:
+                ckpt.save_checkpoint(
+                    output_dir, e, state.params, state.opt_state, state.rng, cfg
+                )
+                last_saved_epoch = e
+                with open(os.path.join(output_dir, "history.json"), "w") as f:
+                    json.dump(history, f)
+            e += 1
+
+        if output_dir:
+            # final checkpoint -- unless the loop already saved this epoch,
+            # or nothing was trained (resume of an already-complete run)
+            if last_saved_epoch != epochs - 1 and start_epoch < epochs:
+                ckpt.save_checkpoint(
+                    output_dir, epochs - 1, state.params, state.opt_state,
+                    state.rng, cfg,
+                )
 
     # ------------------------------------------------------------------
     def restore(self, ckpt_dir: str, epoch: int | None = None) -> TrainState:
