@@ -786,9 +786,30 @@ class VAETrainer:
         """Full training loop with test/save cadence (vae_training.py:728-979).
 
         Returns the metric history dict {metric: [per-epoch values]}.
+
+        Preemption-safe: while the loop runs, SIGTERM/SIGINT request a
+        graceful stop -- training halts at the next chunk/epoch boundary,
+        an off-cadence checkpoint of the last completed epoch is written,
+        and fit() returns normally (resume with ``restore()``/``--resume``
+        continues exactly). TPU pods get preempted; the reference's only
+        failure story is skipping unreadable MIDI files (SURVEY.md §5,
+        import_midi.py:17-22).
         """
+        import signal as _signal
+
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
+        self._stop_requested = False
+        prev_handlers = {}
+        if _signal and hasattr(_signal, "SIGTERM"):
+            def _request_stop(signum, frame):
+                self._stop_requested = True
+
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                try:
+                    prev_handlers[sig] = _signal.signal(sig, _request_stop)
+                except (ValueError, OSError):
+                    pass  # not the main thread / unsupported platform
         history: dict[str, list] = {"train": [], "test": [], "epoch": []}
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
@@ -814,10 +835,26 @@ class VAETrainer:
                     except (ValueError, KeyError, IndexError):
                         pass  # unreadable/foreign history: start fresh
 
-        if self.supports_device_epoch() and train.num_windows:
-            self._fit_device(state, train, test, epochs, output_dir, log_fn, history)
-        else:
-            self._fit_host(state, train, test, epochs, output_dir, log_fn, history)
+        try:
+            if self.supports_device_epoch() and train.num_windows:
+                self._fit_device(
+                    state, train, test, epochs, output_dir, log_fn, history
+                )
+            else:
+                self._fit_host(
+                    state, train, test, epochs, output_dir, log_fn, history
+                )
+        finally:
+            for sig, handler in prev_handlers.items():
+                try:
+                    _signal.signal(sig, handler)
+                except (ValueError, OSError):
+                    pass
+        if self._stop_requested:
+            log_fn(
+                f"stop signal received: checkpointed epoch {state.epoch - 1}, "
+                "exiting (resume to continue)"
+            )
 
         if output_dir:
             with open(os.path.join(output_dir, "history.json"), "w") as f:
@@ -898,16 +935,17 @@ class VAETrainer:
             log_fn(msg)
             timings["flush_s"] += time.time() - t0
 
+        max_chunk = getattr(self, "max_epochs_per_dispatch", MAX_EPOCHS_PER_DISPATCH)
         try:
             e = state.epoch
-            while e < epochs:
+            while e < epochs and not self._stop_requested:
                 # chunk [e..b]: up to the next save boundary (test cadence is
                 # in-scan), capped to bound per-dispatch upload size
                 b = e
                 while (
                     b < epochs - 1
                     and not (output_dir and b % cfg.save_step == 0)
-                    and b - e + 1 < MAX_EPOCHS_PER_DISPATCH
+                    and b - e + 1 < max_chunk
                 ):
                     b += 1
                 n_ep = b - e + 1
@@ -952,10 +990,13 @@ class VAETrainer:
             if pending is not None:
                 flush(pending)
                 pending = None
-            if output_dir and last_saved_epoch != epochs - 1 and start_epoch < epochs:
+            # final (or preemption-stop) checkpoint of the last completed
+            # epoch -- unless the loop already saved it, or nothing trained
+            final = state.epoch - 1
+            if output_dir and last_saved_epoch != final and final >= start_epoch:
                 clone = self._clone_state(state)
                 self._submit_save(
-                    writer, output_dir, epochs - 1, clone, None, history
+                    writer, output_dir, final, clone, None, history
                 )
                 timings["n_saves"] += 1
         finally:
@@ -1026,7 +1067,7 @@ class VAETrainer:
         start_epoch = state.epoch
         last_saved_epoch = -1
         e = state.epoch
-        while e < epochs:
+        while e < epochs and not getattr(self, "_stop_requested", False):
             t0 = time.time()
             H = None
             if cfg.history and e > 0:
@@ -1069,11 +1110,13 @@ class VAETrainer:
             e += 1
 
         if output_dir:
-            # final checkpoint -- unless the loop already saved this epoch,
-            # or nothing was trained (resume of an already-complete run)
-            if last_saved_epoch != epochs - 1 and start_epoch < epochs:
+            # final (or preemption-stop) checkpoint -- unless the loop
+            # already saved this epoch, or nothing was trained (resume of
+            # an already-complete run)
+            final = state.epoch - 1
+            if last_saved_epoch != final and final >= start_epoch:
                 ckpt.save_checkpoint(
-                    output_dir, epochs - 1, state.params, state.opt_state,
+                    output_dir, final, state.params, state.opt_state,
                     state.rng, cfg,
                 )
 

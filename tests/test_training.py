@@ -249,6 +249,31 @@ class TestTrainer:
                 np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
             )
 
+    def test_chunked_epochs_match_sequential_shuffled(self, cfg):
+        """With shuffle ON: epoch e's order is a pure function of
+        (cfg.seed, e), so ANY chunking produces the identical trajectory
+        (the old state.rng-derived seeds diverged across chunkings)."""
+        flat = synthetic_flat(cfg)
+        mesh = make_mesh(devices=[jax.devices()[0]])
+
+        finals = []
+        for chunks in ([1, 1, 1, 1], [2, 2], [4]):
+            t = VAETrainer(cfg, mesh=mesh)
+            s = t.init_state(seed=0)
+            data = t.prepare_device_data(flat)
+            e = 0
+            for n in chunks:
+                t.run_epochs_device(
+                    s, data, flat.num_windows, n, shuffle=True, first_epoch=e
+                )
+                e += n
+            finals.append(jax.tree_util.tree_leaves(s.params))
+        for leaves in finals[1:]:
+            for a, b in zip(finals[0], leaves):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+                )
+
     def test_fit_chunked_cadence(self, cfg, tmp_path):
         """fit() with sparse test/save cadence chunks epochs between
         boundaries and still records every epoch + the right test epochs."""
