@@ -147,6 +147,25 @@ def test_gradients_match_reference():
     assert summary["worst_rel_diff"] < 5e-3
 
 
+def test_training_trajectory_matches_reference():
+    """TRAINING-TRAJECTORY parity: 5 ACTUAL optimizer steps of the
+    executing reference -- full central-difference float64 gradients of
+    its total loss over EVERY parameter coordinate + the Keras-2.0.8 Adam
+    rule (the semantics of its fit loop, vae_training.py:804-809) -- vs
+    the framework's jitted adam_keras train step from identical params on
+    an identical batch. Per-step losses and every final parameter
+    coordinate must agree, closing the gap between "descends the same
+    gradient" (--grads) and "trains identically"."""
+    summary = _run("--trajectory", timeout=1800)
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_steps"] == 5
+    # 2 cell types x (5 per-step losses + 46/54 per-tensor finals)
+    assert summary["n_checks"] >= 100
+    assert summary["worst_loss_rel"] < 1e-6
+    assert summary["worst_param_rel"] < 1e-4
+
+
 def test_classifiers_match_reference():
     """Style-classifier differential parity: the reference's GRU-stack ->
     Dense-softmax judge graph (pitch/velocity/instrument geometries,

@@ -2102,6 +2102,211 @@ def check_gradients(cfg, seed: int = 0, coords_per_case: int = 8) -> dict:
     }
 
 
+def check_trajectory(cfg, seed: int = 0, n_steps: int = 5) -> dict:
+    """TRAINING-TRAJECTORY parity: N ACTUAL optimizer steps of the
+    EXECUTING reference vs this framework's train step, from identical
+    parameters on an identical batch.
+
+    check_model proves the losses are the same function of the parameters;
+    check_gradients proves jax.grad equals the reference's gradient at
+    sampled coordinates. This closes the last epsilon -- "trains
+    identically" vs "descends the same gradient" -- by reproducing the
+    semantics of the reference's Keras ``fit`` loop
+    (vae_training.py:804-809) end to end:
+
+    * reference side: the total training loss of the executing VAE.create
+      graph (through the float64 shim) is differentiated by FULL central
+      finite differences over EVERY parameter coordinate, and parameters
+      are updated with the Keras-2.0.8 Adam rule (optimizers.py semantics:
+      ``lr_t = lr*sqrt(1-b2^t)/(1-b1^t)``, epsilon added to the
+      uncorrected ``sqrt(v_t)``), in float64 numpy;
+    * framework side: ``jax.grad`` of ``loss_and_metrics`` +
+      ``make_optimizer(optimizer='adam_keras')`` (the shipped
+      ``--set optimizer=adam_keras`` path, trainer.py:171-181), in
+      float64 via jax_enable_x64.
+
+    Compares the per-step loss trajectory and every final parameter
+    coordinate. Tiny scale (lstm 8 / latent 8 / 1 bar / 1 voice) keeps
+    the ~2*|theta| loss evaluations per FD step tractable (~7.5k coords,
+    ~1.5 ms/eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    # float64 end to end on BOTH sides: the remaining diff is then the FD
+    # truncation error, not float32 rounding. x64 stays on for the process
+    # -- main() runs --trajectory standalone.
+    jax.config.update("jax_enable_x64", True)
+
+    from midi_vae_tpu.data import batching
+    from midi_vae_tpu.models.vae import MidiVAE, loss_and_metrics
+    from midi_vae_tpu.training.trainer import make_optimizer
+
+    vd = _load_vae_definition()
+    engine, math_mod, _backend = _shim_modules()
+    rng = np.random.default_rng(seed)
+    counts = {"match": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+    worst_loss_rel = 0.0
+    worst_param_rel = 0.0
+
+    cfg = cfg.replace(
+        bars_input_length=1, bars_output_length=1, max_voices=1,
+        lstm_size=8, latent_dim=8, use_pallas="off",
+    )
+    b1, b2, eps_adam = 0.9, 0.999, 1e-8  # Keras 2.0.8 Adam defaults
+    lr = cfg.learning_rate
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    for tag, cfg2 in [("GRU", cfg.replace(cell_type="GRU")),
+                      ("LSTM", cfg.replace(cell_type="LSTM"))]:
+        engine.reset_state()
+        math_mod.GATE_ACTIVATION = cfg2.gate_activation
+        _bind(vd, cfg2, {})
+        ref = vd.VAE()
+        ref.create(**_create_kwargs(cfg2))
+
+        model = MidiVAE(cfg2, platform="cpu")
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(11))
+        pairs: list = []
+        _transplant(cfg2, params, engine.LAYER_REGISTRY, pairs=pairs)
+
+        engine.set_floatx(np.float64)
+        try:
+            for layer, attr, _pid in pairs:
+                setattr(
+                    layer, attr, np.asarray(getattr(layer, attr), np.float64)
+                )
+
+            B = 2
+            X, Y, C, I, V, D, S, H = _random_prep_inputs(cfg2, rng, B)
+            in_list, out_list, sw = (
+                vd.prepare_autoencoder_input_and_output_list(
+                    X, Y, C, I, V, D, S, H, return_sample_weight=True
+                )
+            )
+
+            def ref_loss() -> float:
+                return ref.autoencoder.test_on_batch(
+                    in_list, out_list, sample_weight=sw
+                )["total"]
+
+            # ---- reference trajectory: full-FD grads + Keras Adam ----
+            arrs = [getattr(layer, attr) for layer, attr, _ in pairs]
+            m_acc = [np.zeros_like(a) for a in arrs]
+            v_acc = [np.zeros_like(a) for a in arrs]
+            ref_losses = []
+            for step in range(n_steps):
+                ref_losses.append(ref_loss())
+                fd_grads = []
+                for arr in arrs:
+                    g = np.empty_like(arr)
+                    for i in range(arr.size):
+                        base = arr.flat[i]
+                        h = 1e-4 * max(1.0, abs(base))
+                        arr.flat[i] = base + h
+                        lp = ref_loss()
+                        arr.flat[i] = base - h
+                        lm = ref_loss()
+                        arr.flat[i] = base
+                        g.flat[i] = (lp - lm) / (2.0 * h)
+                    fd_grads.append(g)
+                t = step + 1
+                lr_t = lr * np.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+                for arr, g, m, v in zip(arrs, fd_grads, m_acc, v_acc):
+                    m[...] = b1 * m + (1.0 - b1) * g
+                    v[...] = b2 * v + (1.0 - b2) * g * g
+                    arr -= lr_t * m / (np.sqrt(v) + eps_adam)
+
+            # ---- framework trajectory: jax.grad + shipped adam_keras ----
+            with jax.default_device(cpu):
+                batch = batching.prepare_song_batch(
+                    X, Y, C, I, V, D, S, cfg2, H=H
+                )
+                jbatch = {
+                    k: jnp.asarray(np.asarray(v, np.float64))
+                    if np.asarray(v).dtype.kind == "f" else jnp.asarray(v)
+                    for k, v in batch.items()
+                }
+                p = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params)
+                opt = make_optimizer(cfg2.replace(optimizer="adam_keras"))
+                opt_state = opt.init(p)
+
+                def loss_fn(pp):
+                    total, _ = loss_and_metrics(
+                        model, pp, jbatch, rng=None, epsilon_std=0.0
+                    )
+                    return total
+
+                import optax
+
+                step_fn = jax.jit(jax.value_and_grad(loss_fn))
+                our_losses = []
+                for _ in range(n_steps):
+                    total, grads = step_fn(p)
+                    our_losses.append(float(total))
+                    updates, opt_state = opt.update(grads, opt_state, p)
+                    p = optax.apply_updates(p, updates)
+
+            # ---- compare the loss trajectory ----
+            for step, (rl, ol) in enumerate(zip(ref_losses, our_losses)):
+                rel = abs(rl - ol) / max(abs(rl), abs(ol), 1e-3)
+                worst_loss_rel = max(worst_loss_rel, rel)
+                ok = rel < 1e-6
+                label = (
+                    f"{tag}: step {step} loss ref={rl:.12g} ours={ol:.12g} "
+                    f"rel={rel:.2e}"
+                )
+                if ok:
+                    counts["match"] += 1
+                else:
+                    counts["MISMATCH"] += 1
+                    mismatches.append(label)
+
+            # ---- compare every final parameter coordinate ----
+            # snapshot the reference's FD-trained layer arrays, then re-run
+            # the transplant copy with OUR final pytree: the same layout
+            # schedule lands our coordinates in the same shim attrs, so the
+            # two arrays compare elementwise
+            ref_final = [np.array(a, copy=True) for a in arrs]
+            _transplant(cfg2, p, engine.LAYER_REGISTRY)
+            for (layer, attr, _pid), r_arr in zip(pairs, ref_final):
+                o_arr = np.asarray(getattr(layer, attr), np.float64)
+                assert o_arr.shape == r_arr.shape
+                denom = np.maximum(
+                    np.maximum(np.abs(r_arr), np.abs(o_arr)), 1e-3
+                )
+                rel_arr = float(np.max(np.abs(r_arr - o_arr) / denom))
+                worst_param_rel = max(worst_param_rel, rel_arr)
+                ok_arr = rel_arr < 1e-4
+                label = (
+                    f"{tag}: final {layer.name}.{attr} "
+                    f"worst rel={rel_arr:.2e}"
+                )
+                if ok_arr:
+                    counts["match"] += 1
+                else:
+                    counts["MISMATCH"] += 1
+                    mismatches.append(label)
+        finally:
+            engine.set_floatx(np.float32)
+
+    return {
+        "surface": "trajectory",
+        "n_steps": n_steps,
+        "n_checks": sum(counts.values()),
+        **counts,
+        "worst_loss_rel": worst_loss_rel,
+        "worst_param_rel": worst_param_rel,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def check_classifier(cfg, seed: int = 0) -> dict:
     """Differential parity for the three style classifiers vs the executing
     reference graph: Input -> GRU stack (return_sequences on all but the
@@ -3592,6 +3797,18 @@ def main() -> int:
              "the same parameter coordinates",
     )
     ap.add_argument(
+        "--trajectory", action="store_true",
+        help="TRAINING-TRAJECTORY parity: N actual optimizer steps of the "
+             "executing reference (full-FD float64 gradients + the "
+             "Keras-2.0.8 Adam rule) vs the framework's adam_keras train "
+             "step -- per-step losses and every final parameter coordinate. "
+             "Run standalone: enables jax_enable_x64 for the process.",
+    )
+    ap.add_argument(
+        "--steps", type=int, default=5,
+        help="number of optimizer steps for --trajectory",
+    )
+    ap.add_argument(
         "--evalmetrics", action="store_true",
         help="differential check of the L5 evaluation-harness metric "
              "bookkeeping (vae_evaluation.py blocks executed by line range) "
@@ -3638,6 +3855,8 @@ def main() -> int:
         result = check_model(cfg, seed=args.seed)
     elif args.grads:
         result = check_gradients(cfg, seed=args.seed)
+    elif args.trajectory:
+        result = check_trajectory(cfg, seed=args.seed, n_steps=args.steps)
     elif args.classifier:
         result = check_classifier(cfg, seed=args.seed)
     elif args.evalmetrics:
