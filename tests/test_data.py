@@ -774,3 +774,80 @@ class TestConfigFromDict:
     def test_crop_bounds_validated(self):
         with pytest.raises(ValueError, match="high_crop"):
             Config(high_crop=24, low_crop=84)
+
+
+class TestHardDemoCorpus:
+    """The --hard demo-corpus mode must actually carry the real-music
+    statistics it advertises (tempo changes, drums, velocity phrasing,
+    humanized onsets) AND survive the import pipeline — it feeds the
+    per-head reconstruction study (EVAL_REPORT), so a silent regression
+    to easy statistics would quietly inflate those tables."""
+
+    @pytest.fixture(scope="class")
+    def hard_corpus(self, tmp_path_factory):
+        from conftest import tools_module
+
+        mod = tools_module("make_demo_corpus")
+        d = tmp_path_factory.mktemp("hardcorpus")
+        rng = np.random.RandomState(11)
+        songs = []
+        for name, style in list(mod.STYLES.items())[:2]:
+            sdir = d / name
+            sdir.mkdir()
+            for i in range(3):
+                song = mod.make_song_hard(style, rng)
+                song.write(str(sdir / f"{name}_{i:03d}.mid"))
+                songs.append(song)
+        return d, songs
+
+    def test_tempo_changes_present(self, hard_corpus):
+        _, songs = hard_corpus
+        n_multi = 0
+        for song in songs:
+            times, bpms = song.get_tempo_changes()
+            assert len(bpms) >= 1
+            if len(bpms) >= 2:
+                n_multi += 1
+                assert times[0] == 0.0
+                assert all(t2 > t1 for t1, t2 in zip(times, times[1:]))
+        assert n_multi == len(songs)  # every hard song has >=1 mid-song change
+
+    def test_drum_track_present_and_on_channel_10(self, hard_corpus):
+        d, songs = hard_corpus
+        for song in songs:
+            drums = [i for i in song.instruments if i.is_drum]
+            assert len(drums) == 1 and len(drums[0].notes) > 0
+        # survives a write/read round trip (channel 9 0-based = GM ch 10)
+        first = next((d / "style1").glob("*.mid"))
+        back = smf.read_midi(str(first))
+        assert any(i.is_drum and i.notes for i in back.instruments)
+
+    def test_velocity_phrasing_is_continuous(self, hard_corpus):
+        _, songs = hard_corpus
+        for song in songs:
+            vels = [n.velocity for i in song.instruments for n in i.notes]
+            # a 2-level corpus has ~2 distinct values; phrasing arcs +
+            # accents + jitter must produce a rich, wide distribution
+            assert len(set(vels)) > 20
+            assert np.std(vels) > 5.0
+
+    def test_onsets_are_humanized_off_grid(self, hard_corpus):
+        _, songs = hard_corpus
+        for song in songs:
+            melodic = [i for i in song.instruments if not i.is_drum]
+            starts = np.array([n.start for i in melodic for n in i.notes])
+            _, bpms = song.get_tempo_changes()
+            step = 60.0 / bpms[0] / 4.0
+            frac = np.abs((starts / step) - np.round(starts / step))
+            # gaussian 12ms jitter: most onsets NOT exactly on the grid
+            assert (frac > 1e-6).mean() > 0.8
+
+    def test_imports_through_pipeline(self, hard_corpus):
+        d, _ = hard_corpus
+        cfg = Config(test_fraction=0.34)
+        data = import_midi_from_folder(str(d), cfg, cache_dir=None)
+        X = np.concatenate(data.X_train + data.X_test, axis=0)
+        assert X.shape[1:] == (
+            cfg.output_length, cfg.new_num_notes + cfg.silent_dim
+        )
+        assert np.all(X.sum(axis=-1) == 1.0)  # one-hot incl. silent column
