@@ -3320,6 +3320,9 @@ def multihead_decode_train_fwd(primary, heads, T, activation, out_acts,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MH_VMEM_LIMIT_BYTES
+        ),
     )(*inputs)
 
 
@@ -3406,7 +3409,19 @@ def multihead_decode_train_bwd(primary, heads, fwd_outs, gs, T, out_acts,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MH_VMEM_LIMIT_BYTES
+        ),
     )(*inputs)
+
+
+# the multi-head bwd with BOTH narrow heads (B=256, Dp=61, dks=[1,2], H=256)
+# measures a 16.43 MB Mosaic scoped stack -- over XLA's default 16 MB
+# guardrail (the AOT/tunnel compiler rejects it; a cached binary of the
+# identical kernel trains correctly at full speed for 300+ epochs on v5e,
+# whose physical VMEM is far larger). Raise the per-kernel cap so the
+# compile is deterministic; _mh_vmem_ok still bounds admission.
+_MH_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
 
 
 def _mh_vmem_ok(B, Dp, dks, H) -> bool:
@@ -3427,8 +3442,9 @@ def _mh_vmem_ok(B, Dp, dks, H) -> bool:
     temps = 4 * B * 3 * H + 2 * B * H
     total = (2 * weights + streams + temps + carries) * 4
     # the estimate overcounts (Mosaic drops to single-buffering under
-    # pressure): the dks=[1,2] reference config computes 18.7 MB here and
-    # compiles + runs on the 16 MB v5e core
+    # pressure): the dks=[1,2] reference config computes 18.7 MB here,
+    # measures 16.43 MB in Mosaic, and compiles + runs on v5e under the
+    # raised _MH_VMEM_LIMIT_BYTES kernel cap
     return total < 19_000_000
 
 
