@@ -189,6 +189,18 @@ class Config:
     # same staleness class as the epoch-start encode pass (False) and the
     # reference's per-song predict; epoch 0 trains with H = 0 either way.
     history_from_train_z: bool = True
+    # store the multi-head decode kernels' hidden-sequence RESIDUALS
+    # (h1seq/h2seq/hkseq -- read only by the backward kernel) in bfloat16,
+    # halving ~151 MB/step of the largest HBM streams. The forward is
+    # BIT-EQUAL either way (the autoregressive carry stays at compute
+    # dtype in VMEM scratch); only the backward's gate recomputation
+    # reads rounded h values (~1e-3 rel gradient deviation). MEASURED
+    # PERF-NEUTRAL on v5e -- device-op tracing shows identical kernel
+    # times (576.3 vs 573.9 us/step mh-bwd; the step is serial-latency
+    # bound at ~35% of HBM bandwidth, tools/bench_residual_dtype.py +
+    # profile_step) -- so the default keeps exact-f32 gradients. The
+    # option stays for bandwidth-bound regimes (e.g. wider models).
+    decode_residual_bf16: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -342,9 +342,13 @@ class MidiVAE:
         if not _mh_use_pallas(primary, head_arrays, cfg.lstm_activation,
                               out_acts, self._interpret):
             return {}
+        residual_dtype = (
+            jnp.bfloat16 if cfg.decode_residual_bf16 else None
+        )
         results = gru_decode_multihead_train(
             primary, head_arrays, cfg.output_length,
             cfg.lstm_activation, out_acts, self._interpret,
+            residual_dtype,
         )
         names = ["notes"] + [n for n, _, _ in side]
         return {

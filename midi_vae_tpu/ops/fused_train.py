@@ -3185,14 +3185,14 @@ def _mh_bwd_kernel(*refs, n_heads, out_acts):
     dbo_ref[:] += jnp.sum(dlog, axis=0, keepdims=True)
     dh2 = _dot_t(dlog, wo[:]) + dh2_s[:]
     h1 = h1_ref[0]
-    h2p = jnp.where(is_first_t, i2[:], h2p_ref[0])
+    h2p = jnp.where(is_first_t, i2[:], h2p_ref[0].astype(i2.dtype))
     dx2, dh2p, dW2, dU2, db2 = _gru_cell_bwd(h1, h2p, w2[:], u2[:], b2[:], dh2)
     dw2_ref[:] += dW2
     du2_ref[:] += dU2
     db2_ref[:] += db2
     dh1 = dx2 + dh1_s[:]
     x = jnp.where(is_first_t, start_p[:], xprev_p[0])
-    h1p = jnp.where(is_first_t, i1[:], h1p_ref[0])
+    h1p = jnp.where(is_first_t, i1[:], h1p_ref[0].astype(i1.dtype))
     dx1, dh1p, dW1, dU1, db1 = _gru_cell_bwd(x, h1p, w1[:], u1[:], b1[:], dh1)
     dw1_ref[:] += dW1
     du1_ref[:] += dU1
@@ -3224,7 +3224,7 @@ def _mh_bwd_kernel(*refs, n_heads, out_acts):
         dbok_ref[:] += jnp.sum(dlog_k, axis=0, keepdims=True)
         dhk = _dot_t(dlog_k, wok[:]) + dhk_s[:]
         xk = jnp.where(is_first_t, start_k[:], xprev_k[0])
-        hkp = jnp.where(is_first_t, ik[:], hkp_ref[0])
+        hkp = jnp.where(is_first_t, ik[:], hkp_ref[0].astype(ik.dtype))
         dxk, dhkp, dWk, dUk, dbk = _gru_cell_bwd(
             xk, hkp, wk[:], uk[:], bk[:], dhk
         )
@@ -3260,13 +3260,14 @@ def _mh_specs(T, B, dims, H):
 
 
 def multihead_decode_train_fwd(primary, heads, T, activation, out_acts,
-                               interpret):
+                               interpret, residual_dtype=None):
     """Forward for the fused multi-head decode.
 
     primary: dict(cells=[c1, c2], out=dense, init=[i1, i2], start=(B, Dp),
     out_activation=str); heads: list of dicts with 1-element cells/init.
     Returns (probs_p, logits_p, h1seq, h2seq, [probs_k, logits_k, hkseq]*K),
-    every sequence time-major."""
+    every sequence time-major. residual_dtype narrows ONLY the h-seq
+    residual streams (see gru_decode_multihead_train)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -3286,11 +3287,12 @@ def multihead_decode_train_fwd(primary, heads, T, activation, out_acts,
         primary["cells"][1]["b"],
         primary["out"]["w"], primary["out"]["b"],
     ]
+    rdt = residual_dtype or dt
     out_shape = [
         jax.ShapeDtypeStruct((T, B, Dp), dt),
         jax.ShapeDtypeStruct((T, B, Dp), dt),
-        jax.ShapeDtypeStruct((T, B, H), dt),
-        jax.ShapeDtypeStruct((T, B, H), dt),
+        jax.ShapeDtypeStruct((T, B, H), rdt),
+        jax.ShapeDtypeStruct((T, B, H), rdt),
     ]
     out_specs = [seq(Dp, fwdmap), seq(Dp, fwdmap), seq(H, fwdmap),
                  seq(H, fwdmap)]
@@ -3306,7 +3308,7 @@ def multihead_decode_train_fwd(primary, heads, T, activation, out_acts,
         out_shape += [
             jax.ShapeDtypeStruct((T, B, Dk), dt),
             jax.ShapeDtypeStruct((T, B, Dk), dt),
-            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, H), rdt),
         ]
         out_specs += [seq(Dk, fwdmap), seq(Dk, fwdmap), seq(H, fwdmap)]
         scratch += [pltpu.VMEM((B, H), dt), pltpu.VMEM((B, Dk), dt)]
@@ -3424,6 +3426,7 @@ def multihead_decode_train_bwd(primary, heads, fwd_outs, gs, T, out_acts,
 _MH_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
 
 
+
 def _mh_vmem_ok(B, Dp, dks, H) -> bool:
     # weights + single f32 grad copies (accumulated in the pinned outputs)
     # + double-buffered per-step stream blocks + shared gate temporaries
@@ -3483,9 +3486,10 @@ def _mh_reference(primary, heads, T, activation, out_acts):
     return tuple(outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def gru_decode_multihead_train(
-    primary, heads, T: int, activation: str, out_acts: tuple, interpret: bool
+    primary, heads, T: int, activation: str, out_acts: tuple,
+    interpret: bool, residual_dtype=None,
 ):
     """Fused multi-head readout decode: 2-layer primary + K 1-layer heads.
 
@@ -3493,11 +3497,22 @@ def gru_decode_multihead_train(
     'start': (B, Dp)}; heads: tuple of the same with 1-element cells/init;
     out_acts: one output-activation name per head, primary first. Returns a
     tuple of (probs, logits) per head, each (T, B, D) time-major. One Pallas
-    kernel forward, one backward, for ALL heads together."""
+    kernel forward, one backward, for ALL heads together.
+
+    residual_dtype (e.g. jnp.bfloat16) narrows ONLY the hidden-sequence
+    residual streams the backward kernel reads (h1seq/h2seq/hkseq, at
+    reference scale ~151 MB of the step's HBM traffic). The forward carry
+    stays at model dtype in VMEM scratch, so probs/logits are BIT-EQUAL to
+    residual_dtype=None; only the backward's gate recomputation reads
+    rounded h values (~1e-3 rel gradient deviation). Measured perf-NEUTRAL
+    at reference scale on v5e -- the kernels are serial-latency bound, not
+    bandwidth bound (tools/bench_residual_dtype.py + profile_step device-op
+    A/B; PARITY.md "measured dead ends")."""
     if not _mh_use_pallas(primary, heads, activation, out_acts, interpret):
         return _mh_reference(primary, heads, T, activation, out_acts)
     fwd_outs = multihead_decode_train_fwd(
-        primary, list(heads), T, activation, out_acts, interpret
+        primary, list(heads), T, activation, out_acts, interpret,
+        residual_dtype,
     )
     K = len(heads)
     result = [(fwd_outs[0], fwd_outs[1])]
@@ -3506,7 +3521,8 @@ def gru_decode_multihead_train(
     return tuple(result)
 
 
-def _mh_fwd_rule(primary, heads, T, activation, out_acts, interpret):
+def _mh_fwd_rule(primary, heads, T, activation, out_acts, interpret,
+                 residual_dtype=None):
     if not _mh_use_pallas(primary, heads, activation, out_acts, interpret):
         out, vjp = jax.vjp(
             lambda p, h: _mh_reference(p, h, T, activation, out_acts),
@@ -3514,7 +3530,8 @@ def _mh_fwd_rule(primary, heads, T, activation, out_acts, interpret):
         )
         return out, (vjp,)
     fwd_outs = multihead_decode_train_fwd(
-        primary, list(heads), T, activation, out_acts, interpret
+        primary, list(heads), T, activation, out_acts, interpret,
+        residual_dtype,
     )
     K = len(heads)
     result = [(fwd_outs[0], fwd_outs[1])]
@@ -3523,7 +3540,8 @@ def _mh_fwd_rule(primary, heads, T, activation, out_acts, interpret):
     return tuple(result), (primary, heads, fwd_outs)
 
 
-def _mh_bwd_rule(T, activation, out_acts, interpret, residuals, g):
+def _mh_bwd_rule(T, activation, out_acts, interpret, residual_dtype,
+                 residuals, g):
     if len(residuals) == 1:
         (vjp,) = residuals
         return vjp(g)

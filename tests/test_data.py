@@ -706,8 +706,13 @@ class TestReleasedRunConfigs:
             f"configs/{name}.json must pin history_from_train_z=false "
             "(reference-strict history semantics)"
         )
+        assert raw.get("decode_residual_bf16") is False, (
+            f"configs/{name}.json must pin decode_residual_bf16=false "
+            "(reference gradients are exact f32)"
+        )
         cfg = Config.load(os.path.join(repo, "configs", f"{name}.json"))
         assert cfg.history_from_train_z is False
+        assert cfg.decode_residual_bf16 is False
 
 
 class TestSystemCommonEvents:

@@ -542,6 +542,51 @@ class TestMultiheadDecodeTrain:
         # notes (D=61) + velocity (D=1) + held (D=2) at B=256, H=256
         assert ft._mh_vmem_ok(256, 61, [1, 2], 256)
 
+    def test_bf16_residual_dtype(self):
+        """residual_dtype=bf16 narrows ONLY the h-seq residual streams:
+        the forward (probs/logits come off the f32 VMEM carry) must be
+        bit-equal to the default, and the gradients -- whose gate
+        recomputation reads the rounded h values -- close to f32."""
+        T = 6
+        primary, heads, out_acts = self._specs()
+        heads = heads[:1]
+        out_acts = out_acts[:2]
+
+        def loss(rdt):
+            def f(primary, heads):
+                outs = ft.gru_decode_multihead_train(
+                    primary, heads, T, "tanh", out_acts, True, rdt
+                )
+                return sum(
+                    jnp.sum(jnp.sin(p)) + 0.3 * jnp.sum(jnp.cos(l))
+                    for p, l in outs
+                )
+            return f
+
+        def fwd(primary, heads, rdt):
+            return ft.gru_decode_multihead_train(
+                primary, heads, T, "tanh", out_acts, True, rdt
+            )
+
+        out_f32 = fwd(primary, heads, None)
+        g_f32 = jax.grad(loss(None), argnums=(0, 1))(primary, heads)
+        out_bf = fwd(primary, heads, jnp.bfloat16)
+        g_bf = jax.grad(loss(jnp.bfloat16), argnums=(0, 1))(primary, heads)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_f32),
+            jax.tree_util.tree_leaves(out_bf),
+        ):
+            assert a.dtype == b.dtype == jnp.float32
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_f32),
+            jax.tree_util.tree_leaves(g_bf),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.05, atol=5e-3
+            )
+
 
 class TestMultibranchEncodeTrain:
     """Fused multi-branch encode: 2-layer notes stack + K independent

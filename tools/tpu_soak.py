@@ -42,6 +42,13 @@ CONFIGS: dict[str, dict] = {
         "compute_dtype": "bfloat16",
     },
     "held_bf16": {"meta_held_notes": True, "compute_dtype": "bfloat16"},
+    # bf16 h-seq residual streams in the multi-head decode kernels
+    # (backward-only narrowing; forward bit-equal -- config.py)
+    "residual_bf16": {"decode_residual_bf16": True},
+    "held_residual_bf16": {
+        "meta_held_notes": True,
+        "decode_residual_bf16": True,
+    },
     "teacher_force_bf16": {
         "teacher_force": True,
         "compute_dtype": "bfloat16",
