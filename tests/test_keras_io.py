@@ -1,0 +1,374 @@
+"""Keras-checkpoint I/O: reference save_weights HDF5 <-> framework params.
+
+Unit tests for midi_vae_tpu/utils/keras_h5.py (schedule construction, h5
+round trips, partial imports, params.txt -> Config) and the
+tools/import_reference_checkpoint.py CLI end to end. The differential leg
+-- schedule names/order/shapes vs the EXECUTING reference graph -- lives
+in tools/ref_parity_check.py --kerasio, gated by
+tests/test_ref_parity.py::test_keras_checkpoint_io_matches_reference.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from midi_vae_tpu.config import Config
+from midi_vae_tpu.models.classifier import ClassifierSpec, StyleClassifier
+from midi_vae_tpu.models.vae import MidiVAE
+from midi_vae_tpu.utils import keras_h5
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny(**kw) -> Config:
+    base = dict(
+        lstm_size=16, latent_dim=24, bars_input_length=2,
+        bars_output_length=2, max_voices=2, use_pallas="off",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def random_params(cfg: Config, seed: int = 0):
+    model = MidiVAE(cfg, platform="cpu")
+    params = model.init_params(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed + 1)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32)
+        + rng.normal(0, 0.1, np.shape(x)).astype(np.float32),
+        params,
+    )
+    if cfg.use_embedding:
+        # the reference Embedding has no bias; imports keep ours zero
+        params["encoder"]["embedding"]["b"][:] = 0
+    return model, params
+
+
+def assert_tree_equal(a, b):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+CASES = [
+    ("default", {}),
+    ("lstm_held_next_extra", dict(
+        cell_type="LSTM", meta_held_notes=True, meta_next_notes=True,
+        extra_layer=True,
+    )),
+    ("simplernn_nosplit", dict(cell_type="SimpleRNN", split_lstm_vector=False)),
+    ("embedding_composer23", dict(
+        use_embedding=True, embedding_dim=8,
+        composer_decoder_at_notes_output=True,
+        composer_decoder_at_instrument_output=True,
+    )),
+    ("deep", dict(num_layers_encoder=3, num_layers_decoder=3)),
+]
+
+
+class TestScheduleAndRoundtrip:
+    @pytest.mark.parametrize("tag,kw", CASES)
+    def test_autoencoder_roundtrip_bit_exact(self, tmp_path, tag, kw):
+        cfg = tiny(**kw)
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        path = str(tmp_path / "autoencoder.h5")
+        keras_h5.write_weights_h5(path, sched, params)
+        weights = keras_h5.read_weights_h5(path)
+        template = model.init_params(jax.random.PRNGKey(9))
+        out = keras_h5.params_from_weights(weights, cfg, template)
+        assert_tree_equal(params, out)
+
+    def test_encoder_decoder_pair_covers_all_but_probes(self, tmp_path):
+        """vae_training.py:966-978 writes encoder/decoder files too; their
+        union must rebuild everything except the composer output probes
+        (those live only in the autoencoder graph)."""
+        cfg = tiny(meta_held_notes=True)
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        enc, dec = str(tmp_path / "e.h5"), str(tmp_path / "d.h5")
+        keras_h5.write_weights_h5(enc, sched, params, model="encoder")
+        keras_h5.write_weights_h5(dec, sched, params, model="decoder")
+        weights = keras_h5.read_weights_h5([enc, dec])
+        template = model.init_params(jax.random.PRNGKey(9))
+        out = keras_h5.params_from_weights(weights, cfg, template)
+        assert_tree_equal(params, out)
+
+    def test_partial_import_fills_encoder_only(self, tmp_path):
+        cfg = tiny()
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        enc = str(tmp_path / "e.h5")
+        keras_h5.write_weights_h5(enc, sched, params, model="encoder")
+        template = model.init_params(jax.random.PRNGKey(9))
+        out = keras_h5.params_from_weights(
+            keras_h5.read_weights_h5(enc), cfg, template, strict=False
+        )
+        assert_tree_equal(params["encoder"], out["encoder"])
+        assert_tree_equal(template["decoder"], out["decoder"])
+
+    def test_strict_rejects_missing_and_leftover(self, tmp_path):
+        cfg = tiny()
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        enc = str(tmp_path / "e.h5")
+        keras_h5.write_weights_h5(enc, sched, params, model="encoder")
+        template = model.init_params(jax.random.PRNGKey(9))
+        with pytest.raises(KeyError, match="missing variable"):
+            keras_h5.params_from_weights(
+                keras_h5.read_weights_h5(enc), cfg, template
+            )
+        # a config that explains FEWER weights must flag the leftovers
+        # (composer probes exist only in the bigger graph; every shared
+        # slot's shape is identical, so the error is the leftover check)
+        big = tiny(composer_decoder_at_notes_output=True)
+        _, bparams = random_params(big)
+        full = str(tmp_path / "a.h5")
+        keras_h5.write_weights_h5(
+            full, keras_h5.vae_weight_schedule(big), bparams
+        )
+        with pytest.raises(ValueError, match="not consumed"):
+            keras_h5.params_from_weights(
+                keras_h5.read_weights_h5(full), cfg, template
+            )
+
+    def test_shape_mismatch_is_reported_by_name(self, tmp_path):
+        cfg = tiny()
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        path = str(tmp_path / "a.h5")
+        keras_h5.write_weights_h5(path, sched, params)
+        other = tiny(lstm_size=32)
+        with pytest.raises(ValueError, match="kernel:0.*shape"):
+            keras_h5.params_from_weights(
+                keras_h5.read_weights_h5(path), other,
+                MidiVAE(other, platform="cpu").init_params(
+                    jax.random.PRNGKey(1)
+                ),
+            )
+
+    def test_bidirectional_is_rejected(self):
+        with pytest.raises(NotImplementedError, match="bidirectional"):
+            keras_h5.vae_weight_schedule(tiny(bidirectional=True))
+
+    def test_held_only_is_rejected(self):
+        # reference bug: held notes alone create no fusion Dense
+        # (vae_definition.py:483) while the framework builds one
+        with pytest.raises(NotImplementedError, match="held_notes"):
+            keras_h5.vae_weight_schedule(
+                tiny(meta_instrument=False, meta_velocity=False,
+                     meta_held_notes=True)
+            )
+
+    def test_name_map_remaps_variables(self, tmp_path):
+        """The recurrentshop escape hatch: artifacts whose cell variables
+        carry different internal names import via name_map."""
+        import h5py
+
+        cfg = tiny()
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        path = str(tmp_path / "a.h5")
+        keras_h5.write_weights_h5(path, sched, params)
+        # simulate a deviant artifact: rename one cell variable on disk
+        with h5py.File(path, "r+") as f:
+            g = f["decoder"]
+            names = [
+                n.decode() if isinstance(n, bytes) else str(n)
+                for n in g.attrs["weight_names"]
+            ]
+            old = "gru_cell_1/kernel:0"
+            new = "rnn_cell_A/weird:0"
+            g[new] = np.asarray(g[old])
+            del g[old]
+            g.attrs["weight_names"] = [
+                (new if n == old else n).encode() for n in names
+            ]
+        template = model.init_params(jax.random.PRNGKey(9))
+        with pytest.raises(KeyError):
+            keras_h5.params_from_weights(
+                keras_h5.read_weights_h5(path), cfg, template
+            )
+        out = keras_h5.params_from_weights(
+            keras_h5.read_weights_h5(path), cfg, template,
+            name_map={old: new},
+        )
+        assert_tree_equal(params, out)
+
+    def test_classifier_roundtrip(self, tmp_path):
+        cfg = tiny()
+        spec = ClassifierSpec.for_kind("pitch", cfg, lstm_size=16)
+        clf = StyleClassifier(spec, platform="cpu")
+        params = clf.init_params(jax.random.PRNGKey(3))
+        sched = keras_h5.classifier_weight_schedule("GRU", spec.num_layers)
+        path = str(tmp_path / "clf.h5")
+        keras_h5.write_weights_h5(path, sched, params, model="model")
+        out = keras_h5.classifier_params_from_weights(
+            keras_h5.read_weights_h5(path), "GRU", spec.num_layers,
+            clf.init_params(jax.random.PRNGKey(4)),
+        )
+        assert_tree_equal(params, out)
+
+    def test_h5_layout_is_keras_save_weights(self, tmp_path):
+        """The on-disk layout must be what Keras 2.0.8 save_weights writes:
+        top-level layer_names attr, per-group weight_names, datasets named
+        by variable name; decoder weights nested in the 'decoder' group for
+        the autoencoder file (vae_definition.py:355+436)."""
+        import h5py
+
+        cfg = tiny()
+        _, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        path = str(tmp_path / "a.h5")
+        keras_h5.write_weights_h5(path, sched, params)
+        def _dec(seq):
+            return [
+                n.decode() if isinstance(n, bytes) else str(n) for n in seq
+            ]
+
+        with h5py.File(path, "r") as f:
+            names = _dec(f.attrs["layer_names"])
+            assert names[-1] == "decoder"
+            assert "z_mean" in names and "gru_1" in names
+            wn = _dec(f["z_mean"].attrs["weight_names"])
+            assert wn == ["z_mean/kernel:0", "z_mean/bias:0"]
+            dec = _dec(f["decoder"].attrs["weight_names"])
+            assert "gru_cell_1/kernel:0" in dec
+            assert "dense_1/kernel:0" in dec  # the notes readout Dense
+
+
+class TestParamsTxt:
+    def test_config_from_params_txt_roundtrip(self, tmp_path):
+        cfg = Config(classes=("a", "b"), beta=0.05, lstm_size=128,
+                     epochs=450, teacher_force=True)
+        # synthesize a params.txt the way vae_training.py:578-654 does
+        lines = []
+        for k in ("epochs", "batch_size", "learning_rate", "beta",
+                  "teacher_force", "cell_type", "lstm_size", "latent_dim",
+                  "optimizer", "num_layers_encoder", "num_layers_decoder",
+                  "meta_instrument", "meta_velocity", "extra_layer",
+                  "split_lstm_vector", "history"):
+            lines.append(f"{k}: {getattr(cfg, k)}")
+        lines.append("optimizer: Adam")  # reference casing
+        lines.append("train_set_size: 42")  # skipped bookkeeping
+        p = tmp_path / "params.txt"
+        p.write_text("\n".join(lines) + "\n")
+        out = keras_h5.config_from_params_txt(str(p), classes=("a", "b"))
+        for k in ("epochs", "batch_size", "beta", "teacher_force",
+                  "cell_type", "lstm_size", "latent_dim", "optimizer",
+                  "history"):
+            assert getattr(out, k) == getattr(cfg, k), k
+
+    @pytest.mark.skipif(
+        not os.path.isdir("/root/reference/models"),
+        reason="reference repo not mounted",
+    )
+    @pytest.mark.parametrize("run", ["JvP", "CvJ", "CvP", "BvM"])
+    def test_released_params_txt_parse(self, run):
+        cfg = keras_h5.config_from_params_txt(
+            f"/root/reference/models/{run}/params.txt",
+            classes=("x", "y"),
+        )
+        assert cfg.lstm_size == 256 and cfg.latent_dim == 256
+        assert cfg.optimizer == "adam"
+        assert cfg.meta_instrument and cfg.meta_velocity
+        # the schedule for a released run builds without error
+        sched = keras_h5.vae_weight_schedule(cfg)
+        assert len(sched) >= 19
+
+    def test_epoch_from_filename(self):
+        f = keras_h5.epoch_from_filename
+        assert f("models/BvM/autoencoderEpoch600.pickle") == 600
+        assert f("decoderEpoch410.pickle") == 410
+        assert f("weights.h5") is None
+
+
+class TestImporterCLI:
+    def test_import_then_evaluate_loadable(self, tmp_path):
+        """End to end: a reference-layout checkpoint + params.txt import
+        into a framework run dir that restore_checkpoint + MidiVAE can
+        drive."""
+        cfg = tiny(epochs=450)
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        wpath = str(tmp_path / "autoencoderEpoch40.pickle")
+        keras_h5.write_weights_h5(wpath, sched, params)
+        ptxt = tmp_path / "params.txt"
+        lines = [
+            f"{k}: {getattr(cfg, k)}"
+            for k in ("lstm_size", "latent_dim", "bars_input_length",
+                      "bars_output_length", "max_voices", "epochs",
+                      "cell_type", "num_layers_encoder",
+                      "num_layers_decoder")
+        ]
+        ptxt.write_text("\n".join(lines) + "\nuse_pallas: off\n")
+        out = str(tmp_path / "run")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "import_reference_checkpoint.py"),
+             "--weights", wpath, "--params-txt", str(ptxt),
+             "--classes", "a", "b", "--out", out, "--cpu"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+        info = json.loads(res.stdout.strip().splitlines()[-1])
+        assert info["epoch"] == 40
+
+        from midi_vae_tpu.training import checkpoint as ckpt
+
+        cfg2 = ckpt.load_config(out)
+        assert cfg2.lstm_size == cfg.lstm_size
+        state = ckpt.restore_checkpoint(out, 40)
+        assert state["epoch"] == 40
+        assert_tree_equal(params, state["params"])
+        # the restored model must run a forward pass
+        m2 = MidiVAE(cfg2, platform="cpu")
+        X = np.zeros((2, cfg2.input_length, cfg2.input_dim), np.float32)
+        X[..., -1] = 1.0
+        I = np.zeros(
+            (2, cfg2.meta_instrument_length, cfg2.meta_instrument_dim),
+            np.float32,
+        )
+        I[..., 0] = 1.0
+        V = np.zeros((2, cfg2.meta_velocity_length, 1), np.float32)
+        z = m2.encode(state["params"], {"X": X, "I": I, "V": V})
+        assert np.all(np.isfinite(np.asarray(z)))
+
+    def test_export_import_roundtrip(self, tmp_path):
+        """Framework checkpoint -> reference-layout files -> import back."""
+        from midi_vae_tpu.training import VAETrainer
+        from midi_vae_tpu.training import checkpoint as ckpt
+
+        cfg = tiny()
+        model, params = random_params(cfg)
+        run = str(tmp_path / "run")
+        state = VAETrainer(cfg).init_state(seed=0)
+        ckpt.save_checkpoint(run, 7, params, state.opt_state, state.rng, cfg)
+
+        exp = str(tmp_path / "exported")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "import_reference_checkpoint.py"),
+             "--export", "--checkpoint", run, "--out", exp, "--cpu"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+        files = sorted(os.listdir(exp))
+        assert "autoencoderEpoch7.pickle" in files
+        assert "encoderEpoch7.pickle" in files
+        assert "decoderEpoch7.pickle" in files
+        weights = keras_h5.read_weights_h5(
+            os.path.join(exp, "autoencoderEpoch7.pickle")
+        )
+        out = keras_h5.params_from_weights(
+            weights, cfg, model.init_params(jax.random.PRNGKey(2))
+        )
+        assert_tree_equal(params, out)

@@ -226,6 +226,20 @@ def test_generation_assembly_matches_reference():
     assert summary["known_restructure"] >= 3
 
 
+def test_keras_checkpoint_io_matches_reference():
+    """Keras-checkpoint I/O parity: the import/export weight schedule
+    (midi_vae_tpu/utils/keras_h5.py) vs the EXECUTING VAE.create graph
+    across the whole model case matrix -- layer names (explicit names
+    exactly; auto names modulo snake-casing with shared counter values),
+    creation order, kinds, every weight shape -- plus bit-exact h5 round
+    trips and a transplant of the imported pytree into the executing
+    graph, and the classifier builds (pitch_classifier.py:89-97)."""
+    summary = _run("--kerasio")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["match"] >= 1400
+
+
 def test_fuzz_folder_import_matches_reference(tmp_path):
     """Folder-level differential over a RANDOMIZED fuzz corpus: stratified
     seed-42 split membership/order, equal_mini_songs rebalance, and every

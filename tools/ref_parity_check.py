@@ -39,6 +39,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import tempfile
 import zlib
@@ -2529,6 +2530,222 @@ def _exec_eval_lines(start: int, end: int, namespace: dict) -> str:
     return buf.getvalue()
 
 
+_SHIM_AUTO_PREFIXES = {
+    # Keras-2.0.8 snake_case auto-name prefix -> the shim's lowercased
+    # class-name counter key (counter VALUES are identical: both bump one
+    # global counter per class, only for unnamed layers)
+    "gru_cell": "grucell",
+    "lstm_cell": "lstmcell",
+    "simple_rnn_cell": "simplernncell",
+    "simple_rnn": "simplernn",
+    "dense": "dense",
+    "embedding": "embedding",
+    "gru": "gru",
+    "lstm": "lstm",
+}
+
+
+def _shim_name(keras_name: str) -> str:
+    """Expected shim layer name for a Keras-2.0.8 layer name: explicit
+    names pass through; auto names translate snake_case -> lowercase."""
+    m = re.match(r"^([a-z_]+)_(\d+)$", keras_name)
+    if m and m.group(1) in _SHIM_AUTO_PREFIXES:
+        return f"{_SHIM_AUTO_PREFIXES[m.group(1)]}_{m.group(2)}"
+    return keras_name
+
+
+def check_kerasio(cfg, seed: int = 0) -> dict:
+    """Differential check of the Keras-checkpoint I/O schedule
+    (midi_vae_tpu/utils/keras_h5.py) against the EXECUTING reference graph.
+
+    For every model-matrix case, ``VAE.create`` (vae_definition.py:39-761)
+    runs through the shim and its weighted-layer registry -- the TRUE
+    creation order of the reference graph -- must agree 1:1 with
+    ``vae_weight_schedule``: layer count, creation order, layer KIND, every
+    weight shape, and the layer NAME (explicit names exactly as
+    vae_definition writes them; auto names modulo the snake_case spelling
+    whose counter values the shim shares). Then a full h5 round trip
+    (write_weights_h5 -> read_weights_h5 -> params_from_weights) must
+    return the parameter pytree BIT-EXACTLY, and ``_transplant`` of the
+    imported tree into the executing graph must consume the registry with
+    its own shape asserts. The classifier schedule is checked the same way
+    against an executing classifier build (pitch_classifier.py:89-97).
+
+    What this cannot pin without a real artifact (none ship in the
+    reference repo, .MISSING_LARGE_BLOBS): the exact variable-name strings
+    real recurrentshop cells produce -- documented in keras_h5.py with the
+    name_map escape hatch.
+    """
+    import importlib
+    import tempfile
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+    from midi_vae_tpu.models.classifier import ClassifierSpec, StyleClassifier
+    from midi_vae_tpu.models.vae import MidiVAE
+    from midi_vae_tpu.utils import keras_h5
+
+    engine, math_mod, _backend = _shim_modules()
+    sys.path.insert(0, SHIM_DIR)
+    try:
+        klayers = importlib.import_module("keras.layers")
+    finally:
+        sys.path.remove(SHIM_DIR)
+
+    vd = _load_vae_definition()
+    counts = {"match": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str):
+        if ok:
+            counts["match"] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def layer_weight_shapes(layer) -> dict:
+        if hasattr(layer, "recurrent_kernel"):
+            return {"w": layer.kernel.shape, "u": layer.recurrent_kernel.shape,
+                    "b": layer.bias.shape}
+        if hasattr(layer, "embeddings"):
+            return {"w": layer.embeddings.shape}
+        return {"w": layer.kernel.shape, "b": layer.bias.shape}
+
+    def check_registry_vs_schedule(tag, registry, schedule, template):
+        record(len(registry) == len(schedule),
+               f"{tag}: {len(registry)} registry layers vs "
+               f"{len(schedule)} slots")
+        for layer, slot in zip(registry, schedule):
+            want = _shim_name(slot.layer_name)
+            record(layer.name == want,
+                   f"{tag}: slot {slot.path} name {want!r} vs executing "
+                   f"{layer.name!r}")
+            shapes = layer_weight_shapes(layer)
+            is_rnn = "u" in shapes
+            record((slot.kind == "rnn") == is_rnn,
+                   f"{tag}: slot {slot.path} kind {slot.kind} vs executing "
+                   f"{type(layer).__name__}")
+            leaf = keras_h5._walk(template, slot.path)
+            for k, shp in shapes.items():
+                record(tuple(np.shape(leaf[k])) == tuple(shp),
+                       f"{tag}: {slot.layer_name}/{k} shape "
+                       f"{np.shape(leaf[k])} vs executing {shp}")
+
+    cfg = cfg.replace(
+        bars_input_length=2, bars_output_length=2, max_voices=2,
+        lstm_size=16, latent_dim=24, use_pallas="off",
+    )
+    cpu = jax.local_devices(backend="cpu")[0]
+    rng = np.random.default_rng(seed)
+
+    for tag, cfg2 in _model_case_matrix(cfg):
+        if cfg2.bidirectional:
+            # the schedule must REFUSE bidirectional (Keras wrapper-scope
+            # name collisions, keras_h5.py docstring)
+            try:
+                keras_h5.vae_weight_schedule(cfg2)
+                record(False, f"{tag}: bidirectional must raise")
+            except NotImplementedError:
+                record(True, "")
+            continue
+        engine.reset_state()
+        math_mod.GATE_ACTIVATION = cfg2.gate_activation
+        _bind(vd, cfg2, {})
+        ref = vd.VAE()
+        ref.create(**_create_kwargs(cfg2))
+        registry = list(engine.LAYER_REGISTRY)
+
+        model = MidiVAE(cfg2, platform="cpu")
+        key = zlib.crc32(tag.encode()) % 2**31
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(key))
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32), params
+        )
+        if cfg2.use_embedding:
+            params["encoder"]["embedding"]["b"][:] = 0  # ref has no bias
+
+        schedule = keras_h5.vae_weight_schedule(cfg2)
+        check_registry_vs_schedule(tag, registry, schedule, params)
+
+        # h5 round trip must be bit-exact, and the imported tree must
+        # transplant cleanly into the executing graph (its own shape
+        # asserts + full registry consumption)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "autoencoder.h5")
+            keras_h5.write_weights_h5(p, schedule, params)
+            weights = keras_h5.read_weights_h5(p)
+            with jax.default_device(cpu):
+                template = model.init_params(jax.random.PRNGKey(key + 1))
+            imported = keras_h5.params_from_weights(weights, cfg2, template)
+        same = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(params),
+                jax.tree_util.tree_leaves(imported),
+            )
+        )
+        record(same, f"{tag}: h5 round trip not bit-exact")
+        try:
+            _transplant(cfg2, imported, registry)
+            record(True, "")
+        except AssertionError as e:
+            record(False, f"{tag}: transplant of imported params: {e}")
+
+    # ----- classifiers (pitch_classifier.py:89-97 pattern) -----
+    H = 16
+    for n_layers in (1, 2):
+        tag = f"classifier n_layers={n_layers}"
+        engine.reset_state()
+        inputs = klayers.Input(shape=(None, cfg.input_dim))
+        h = inputs
+        for _ in range(n_layers - 1):
+            h = klayers.GRU(H, return_state=False, return_sequences=True)(h)
+        h = klayers.GRU(H, return_state=False, return_sequences=False)(h)
+        klayers.Dense(cfg.num_classes, activation="softmax")(h)
+        registry = list(engine.LAYER_REGISTRY)
+
+        spec = ClassifierSpec.for_kind(
+            "pitch", cfg, lstm_size=H, num_layers=n_layers
+        )
+        clf = StyleClassifier(spec)
+        with jax.default_device(cpu):
+            cparams = clf.init_params(jax.random.PRNGKey(seed + n_layers))
+        schedule = keras_h5.classifier_weight_schedule("GRU", n_layers)
+        check_registry_vs_schedule(tag, registry, schedule, cparams)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "clf.h5")
+            keras_h5.write_weights_h5(p, schedule, cparams, model="model")
+            weights = keras_h5.read_weights_h5(p)
+            with jax.default_device(cpu):
+                ctemplate = clf.init_params(jax.random.PRNGKey(seed + 50))
+            imported = keras_h5.classifier_params_from_weights(
+                weights, "GRU", n_layers, ctemplate
+            )
+        same = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(cparams),
+                jax.tree_util.tree_leaves(imported),
+            )
+        )
+        record(same, f"{tag}: h5 round trip not bit-exact")
+
+    _ = rng  # geometry is deterministic; rng reserved for future fuzzing
+    return {
+        "ok": counts["MISMATCH"] == 0,
+        "checked": "keras-checkpoint I/O schedule vs executing VAE.create "
+                   "+ classifier builds",
+        **counts,
+        "mismatches": mismatches[:20],
+    }
+
+
 def _random_onehot_windows(rng, n_windows: int, T: int, n_notes: int,
                            silent_prob: float = 0.25) -> np.ndarray:
     """Unrolled monophonic windows WITH trailing silent column, float64."""
@@ -3827,6 +4044,13 @@ def main() -> int:
              "nearest-z chaining (vae_evaluation.py:713-887, :1823-1896)",
     )
     ap.add_argument(
+        "--kerasio", action="store_true",
+        help="differential check of the Keras-checkpoint I/O schedule "
+             "(midi_vae_tpu/utils/keras_h5.py) vs the executing VAE.create "
+             "graph: layer names/order/kinds/shapes + bit-exact h5 round "
+             "trips + transplant of imported params",
+    )
+    ap.add_argument(
         "--classifier", action="store_true",
         help="differential check of the three style classifiers "
              "(pitch/velocity/instrument GRU-stack -> Dense softmax) "
@@ -3859,6 +4083,8 @@ def main() -> int:
         result = check_trajectory(cfg, seed=args.seed, n_steps=args.steps)
     elif args.classifier:
         result = check_classifier(cfg, seed=args.seed)
+    elif args.kerasio:
+        result = check_kerasio(cfg, seed=args.seed)
     elif args.evalmetrics:
         result = check_evalmetrics(cfg, seed=args.seed)
     elif args.sweepstats:
