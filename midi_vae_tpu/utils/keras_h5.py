@@ -475,7 +475,14 @@ _PARAMS_TXT_SKIP = {
 def config_from_params_txt(path: str, classes, **overrides) -> Config:
     """Build a Config from a reference run's ``params.txt`` dump
     (vae_training.py:578-654). ``classes`` must be supplied: the reference
-    never records the class names (they live in settings.py only)."""
+    never records the class names (they live in settings.py only).
+
+    ``gate_activation`` defaults to 'hard_sigmoid' here (overridable): a
+    params.txt comes from a Keras-2.0.8 run, whose GRU/LSTM recurrent
+    activation defaulted to hard_sigmoid (PARITY.md deviation #12) -- a
+    checkpoint trained under those gates only reproduces faithfully with
+    them (the hard_sigmoid path runs on the XLA scan, not the Pallas
+    kernels)."""
     import dataclasses
 
     fields = {f.name: f.type for f in dataclasses.fields(Config)}
@@ -503,11 +510,13 @@ def config_from_params_txt(path: str, classes, **overrides) -> Config:
                 kwargs[key] = value
     if "optimizer" in kwargs:
         kwargs["optimizer"] = str(kwargs["optimizer"]).lower()
+    kwargs.setdefault("gate_activation", "hard_sigmoid")
     kwargs.update(overrides)
     return Config(**kwargs)
 
 
 def epoch_from_filename(path: str) -> int | None:
-    """'autoencoderEpoch600.pickle' -> 600 (vae_training.py:966-978)."""
-    m = re.search(r"Epoch(\d+)", path)
+    """'autoencoderEpoch600.pickle' -> 600 (vae_training.py:966-978);
+    'pitch_classifier_epoch_90.pickle' -> 90 (pitch_classifier.py:154)."""
+    m = re.search(r"[Ee]poch_?(\d+)", path)
     return int(m.group(1)) if m else None

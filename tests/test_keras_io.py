@@ -265,6 +265,20 @@ class TestParamsTxt:
                   "history"):
             assert getattr(out, k) == getattr(cfg, k), k
 
+    def test_gate_activation_defaults_to_keras_era(self, tmp_path):
+        """A params.txt comes from Keras 2.0.8, whose recurrent activation
+        defaulted to hard_sigmoid (PARITY deviation #12) -- imported
+        configs must reproduce the checkpoint's actual gates unless
+        explicitly overridden."""
+        p = tmp_path / "params.txt"
+        p.write_text("lstm_size: 16\n")
+        cfg = keras_h5.config_from_params_txt(str(p), classes=("a", "b"))
+        assert cfg.gate_activation == "hard_sigmoid"
+        cfg2 = keras_h5.config_from_params_txt(
+            str(p), classes=("a", "b"), gate_activation="sigmoid"
+        )
+        assert cfg2.gate_activation == "sigmoid"
+
     @pytest.mark.skipif(
         not os.path.isdir("/root/reference/models"),
         reason="reference repo not mounted",
@@ -278,6 +292,7 @@ class TestParamsTxt:
         assert cfg.lstm_size == 256 and cfg.latent_dim == 256
         assert cfg.optimizer == "adam"
         assert cfg.meta_instrument and cfg.meta_velocity
+        assert cfg.gate_activation == "hard_sigmoid"
         # the schedule for a released run builds without error
         sched = keras_h5.vae_weight_schedule(cfg)
         assert len(sched) >= 19
@@ -286,6 +301,7 @@ class TestParamsTxt:
         f = keras_h5.epoch_from_filename
         assert f("models/BvM/autoencoderEpoch600.pickle") == 600
         assert f("decoderEpoch410.pickle") == 410
+        assert f("pitch_classifier_epoch_90.pickle") == 90
         assert f("weights.h5") is None
 
 
@@ -340,6 +356,47 @@ class TestImporterCLI:
         V = np.zeros((2, cfg2.meta_velocity_length, 1), np.float32)
         z = m2.encode(state["params"], {"X": X, "I": I, "V": V})
         assert np.all(np.isfinite(np.asarray(z)))
+
+    def test_import_classifier_checkpoint(self, tmp_path):
+        """A reference '<kind>_classifier_epoch_N.pickle' imports into a
+        run dir that load_classifier drives (the judges evaluate.py
+        --classifiers expects)."""
+        cfg = tiny()
+        # the reference judges trained under Keras-2.0.8 hard_sigmoid
+        spec = ClassifierSpec.for_kind(
+            "velocity", cfg, lstm_size=16, gate_activation="hard_sigmoid"
+        )
+        clf = StyleClassifier(spec, platform="cpu")
+        params = clf.init_params(jax.random.PRNGKey(11))
+        sched = keras_h5.classifier_weight_schedule("GRU", spec.num_layers)
+        wpath = str(tmp_path / "velocity_classifier_epoch_30.pickle")
+        keras_h5.write_weights_h5(wpath, sched, params, model="model")
+
+        cfgpath = str(tmp_path / "config.json")
+        tiny(gate_activation="hard_sigmoid", lstm_size=16).save(cfgpath)
+        out = str(tmp_path / "clf" / "velocity")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "import_reference_checkpoint.py"),
+             "--weights", wpath, "--classifier", "velocity",
+             "--clf-lstm-size", "16",
+             "--config", cfgpath, "--out", out, "--cpu"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+        info = json.loads(res.stdout.strip().splitlines()[-1])
+        assert info["epoch"] == 30 and info["kind"] == "velocity"
+
+        from midi_vae_tpu.training.classifier_trainer import load_classifier
+
+        model2, params2 = load_classifier(out)
+        assert model2.spec.kind == "velocity"
+        assert model2.spec.gate_activation == "hard_sigmoid"
+        assert_tree_equal(params, params2)
+        x = np.zeros((3, cfg.output_length, 1), np.float32)
+        probs = model2.predict(params2, x)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
 
     def test_export_import_roundtrip(self, tmp_path):
         """Framework checkpoint -> reference-layout files -> import back."""

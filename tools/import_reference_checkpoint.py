@@ -105,6 +105,84 @@ def do_import(args) -> None:
     )
 
 
+def do_import_classifier(args) -> None:
+    """Import one of the reference's style-classifier checkpoints
+    (pitch/velocity/instrument_classifier.py save model.save_weights as
+    '<kind>_classifier_epoch_N.pickle') into a classifier run dir
+    (spec.json + orbax checkpoint) that evaluate.py --classifiers and
+    midi_vae_tpu.training.load_classifier accept."""
+    import jax
+    import numpy as np
+
+    from midi_vae_tpu.config import Config
+    from midi_vae_tpu.models.classifier import ClassifierSpec
+    from midi_vae_tpu.training import checkpoint as ckpt
+    from midi_vae_tpu.training.classifier_trainer import ClassifierTrainer
+    from midi_vae_tpu.utils import keras_h5
+
+    if args.params_txt:
+        if not args.classes:
+            sys.exit("--classes is required with --params-txt")
+        cfg = keras_h5.config_from_params_txt(
+            args.params_txt, classes=args.classes
+        )
+    elif args.config:
+        cfg = Config.load(args.config)
+    elif args.classes:
+        cfg = Config(classes=tuple(args.classes),
+                     gate_activation="hard_sigmoid")
+    else:
+        sys.exit("one of --params-txt/--config/--classes is required")
+
+    # the reference judges trained under Keras-2.0.8 hard_sigmoid gates;
+    # their geometry is fixed in the classifier scripts, not params.txt
+    # (pitch_classifier.py:39,50: lstm_size 256, num_layers 2)
+    spec = ClassifierSpec.for_kind(
+        args.classifier, cfg, gate_activation=cfg.gate_activation,
+        lstm_size=args.clf_lstm_size, num_layers=args.clf_num_layers,
+    )
+    trainer = ClassifierTrainer(spec)
+    template = trainer.init_state()
+
+    name_map = None
+    if args.name_map:
+        with open(args.name_map) as f:
+            name_map = json.load(f)
+    weights = keras_h5.read_weights_h5(args.weights)
+    params = keras_h5.classifier_params_from_weights(
+        weights, spec.cell_type, spec.num_layers, template.params,
+        name_map=name_map, strict=not args.partial,
+    )
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), params
+    )
+
+    epoch = args.epoch
+    if epoch is None:
+        for p in args.weights:
+            epoch = keras_h5.epoch_from_filename(p)
+            if epoch is not None:
+                break
+        epoch = epoch or 0
+
+    os.makedirs(args.out, exist_ok=True)
+    path = ckpt.save_checkpoint(
+        args.out, epoch, params, template.opt_state, template.rng, None
+    )
+    with open(os.path.join(args.out, "spec.json"), "w") as f:
+        json.dump(spec.__dict__, f, indent=2)
+    print(
+        json.dumps(
+            {
+                "imported": path,
+                "kind": args.classifier,
+                "epoch": epoch,
+                "variables": len(weights),
+            }
+        )
+    )
+
+
 def do_export(args) -> None:
     from midi_vae_tpu.training import checkpoint as ckpt
     from midi_vae_tpu.utils import keras_h5
@@ -143,6 +221,14 @@ def main() -> None:
     ap.add_argument("--epoch", type=int, default=None,
                     help="epoch number (default: parsed from the filename)")
     ap.add_argument("--checkpoint", help="framework run dir (export mode)")
+    ap.add_argument("--classifier", choices=["pitch", "velocity",
+                                             "instrument"],
+                    help="import a style-classifier checkpoint of this "
+                         "kind instead of the VAE")
+    ap.add_argument("--clf-lstm-size", type=int, default=256,
+                    help="classifier hidden size (pitch_classifier.py:39)")
+    ap.add_argument("--clf-num-layers", type=int, default=2,
+                    help="classifier layer count (pitch_classifier.py:50)")
     ap.add_argument("--name-map",
                     help="JSON {expected_variable_name: actual} remap for "
                          "artifacts whose internal names deviate")
@@ -165,7 +251,10 @@ def main() -> None:
     else:
         if not args.weights:
             sys.exit("import requires --weights")
-        do_import(args)
+        if args.classifier:
+            do_import_classifier(args)
+        else:
+            do_import(args)
 
 
 if __name__ == "__main__":
