@@ -398,6 +398,45 @@ class TestImporterCLI:
         probs = model2.predict(params2, x)
         np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
 
+    def test_training_continues_from_imported_checkpoint(self, tmp_path):
+        """The migration's last mile: an imported reference checkpoint must
+        be resumable -- VAETrainer.restore accepts the run dir (fresh
+        optimizer state, like the reference's own resume) and further
+        epochs train with finite decreasing loss."""
+        from midi_vae_tpu.training import VAETrainer
+        from midi_vae_tpu.training import checkpoint as ckpt
+        from midi_vae_tpu.utils.synthetic import synthetic_flat
+
+        cfg = tiny(batch_size=8)
+        model, params = random_params(cfg)
+        sched = keras_h5.vae_weight_schedule(cfg)
+        wpath = str(tmp_path / "autoencoderEpoch3.pickle")
+        keras_h5.write_weights_h5(wpath, sched, params)
+        out = str(tmp_path / "run")
+        trainer = VAETrainer(cfg)
+        seed_state = trainer.init_state(seed=0)
+        imported = keras_h5.params_from_weights(
+            keras_h5.read_weights_h5(wpath), cfg, seed_state.params
+        )
+        ckpt.save_checkpoint(
+            out, 3, imported, seed_state.opt_state, seed_state.rng, cfg
+        )
+
+        state = trainer.restore(out)
+        assert state.epoch == 4  # continues AFTER the imported epoch
+        flat = synthetic_flat(cfg, n_songs=4, windows_per_song=4)
+        if trainer.supports_device_epoch():
+            data = trainer.prepare_device_data(flat)
+            per_epoch = trainer.run_epochs_device(
+                state, data, flat.num_windows, 3, shuffle=True
+            )
+        else:
+            per_epoch = [trainer.run_epoch(state, flat).means()
+                         for _ in range(3)]
+        losses = [m["loss"] for m in per_epoch]
+        assert all(np.isfinite(v) for v in losses)
+        assert losses[-1] < losses[0]
+
     def test_export_import_roundtrip(self, tmp_path):
         """Framework checkpoint -> reference-layout files -> import back."""
         from midi_vae_tpu.training import VAETrainer
