@@ -1,0 +1,156 @@
+"""Serving bundles: AOT-exported, weights-baked inference programs.
+
+midi_vae_tpu/serving.py exports encode / decode_argmax / style_transfer
+as serialized jax.export artifacts; these tests pin the bundle format,
+the loader, float-equivalence (and argmax identity) with the live model,
+shape enforcement, and the tools/export_serving.py CLI end to end.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from midi_vae_tpu import serving
+from midi_vae_tpu.config import Config
+from midi_vae_tpu.models.vae import MidiVAE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny(**kw) -> Config:
+    base = dict(
+        lstm_size=16, latent_dim=24, bars_input_length=2,
+        bars_output_length=2, max_voices=2, use_pallas="off",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_batch(cfg: Config, B: int, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    X = np.zeros((B, cfg.input_length, cfg.input_dim), np.float32)
+    for i in range(B):
+        for t in range(cfg.input_length):
+            X[i, t, rng.integers(cfg.input_dim)] = 1
+    batch = {"X": X}
+    if cfg.meta_instrument:
+        I = np.zeros((B, cfg.max_voices, cfg.instrument_dim), np.float32)
+        I[..., 0] = 1
+        batch["I"] = I
+    if cfg.meta_velocity:
+        batch["V"] = rng.random(
+            (B, cfg.meta_velocity_length, 1)
+        ).astype(np.float32)
+    if cfg.meta_held_notes:
+        D = np.zeros((B, cfg.meta_held_notes_length, 2), np.float32)
+        D[..., 0] = 1
+        batch["D"] = D
+    return batch
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    cfg = tiny()
+    model = MidiVAE(cfg, platform="cpu")
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = str(tmp_path_factory.mktemp("bundle"))
+    manifest = serving.export_serving_bundle(cfg, params, out, batch_size=8)
+    return cfg, model, params, out, manifest
+
+
+class TestServingBundle:
+    def test_manifest_and_files(self, bundle):
+        cfg, _, _, out, manifest = bundle
+        assert manifest["batch_size"] == 8
+        assert manifest["deterministic_encode"] is True
+        for name in ("encode", "decode_argmax", "style_transfer"):
+            p = os.path.join(out, f"{name}.jaxexport")
+            assert os.path.getsize(p) == manifest["blob_bytes"][name]
+        assert Config.load(os.path.join(out, "config.json")) == cfg
+
+    def test_encode_matches_live_model(self, bundle):
+        cfg, model, params, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        batch = make_batch(cfg, 8)
+        z = b.encode(batch)
+        z_ref = np.asarray(
+            model.encode(jax.device_put(params), batch, None, 0.0)
+        )
+        np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-6)
+
+    def test_decode_argmax_matches_live_model(self, bundle):
+        cfg, model, params, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        z = b.encode(make_batch(cfg, 8))
+        outs = b.decode_argmax(z)
+        assert {"notes_idx", "inst_idx", "vel"} <= set(outs)
+        live = model.decode(
+            jax.device_put(params), z, history=np.zeros_like(z),
+            inference=True,
+        )
+        np.testing.assert_array_equal(
+            outs["notes_idx"], np.argmax(np.asarray(live["notes"][0]), -1)
+        )
+        np.testing.assert_allclose(
+            outs["vel"], np.asarray(live["velocity"][0])[..., 0],
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_style_transfer_one_program(self, bundle):
+        cfg, _, _, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        batch = make_batch(cfg, 8)
+        perm = np.arange(cfg.latent_dim)[::-1].copy()
+        outs, switched = b.style_transfer(batch, perm)
+        z = b.encode(batch)
+        np.testing.assert_allclose(
+            switched, z[:, perm], rtol=1e-4, atol=1e-6
+        )
+        assert outs["notes_idx"].shape[0] == 8
+
+    def test_shape_enforcement(self, bundle):
+        cfg, _, _, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        bad = make_batch(cfg, 4)  # wrong batch size
+        with pytest.raises(Exception):
+            b.encode(bad)
+
+    def test_pad_batch(self, bundle):
+        cfg, _, _, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        padded, n = b.pad_batch(make_batch(cfg, 3))
+        assert n == 3
+        z = b.encode(padded)
+        assert z.shape == (8, cfg.latent_dim)
+
+    def test_cli_export(self, tmp_path):
+        from midi_vae_tpu.training import VAETrainer
+        from midi_vae_tpu.training import checkpoint as ckpt
+
+        cfg = tiny()
+        trainer = VAETrainer(cfg)
+        state = trainer.init_state(seed=0)
+        run = str(tmp_path / "run")
+        ckpt.save_checkpoint(
+            run, 5, state.params, state.opt_state, state.rng, cfg
+        )
+        out = str(tmp_path / "bundle")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "export_serving.py"),
+             "--model", run, "--out", out, "--batch", "4", "--cpu"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+        info = json.loads(res.stdout.strip().splitlines()[-1])
+        assert info["batch_size"] == 4
+        b = serving.load_serving_bundle(out)
+        z = b.encode(make_batch(cfg, 4))
+        assert z.shape == (4, cfg.latent_dim)
+        assert np.all(np.isfinite(z))
