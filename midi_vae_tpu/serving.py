@@ -16,18 +16,20 @@ this module exports the three serving programs a deployed MIDI-VAE needs --
                         vae_evaluation.py:2448-2625 semantics)
 
 -- as serialized ``jax.export`` artifacts (StableHLO) with the parameters
-BAKED IN as constants. A bundle directory is self-contained: three
-``.jaxexport`` blobs, the run's ``config.json``, and a ``manifest.json``
-recording shapes, platforms, and versions. Loading needs only jax -- no
-model classes, no checkpoint handling, no Python-side weight state -- and
-calls run the exact compiled computation that was exported (Pallas kernels
-included when exported on/for TPU).
+BAKED IN as constants. A bundle directory is self-contained: one blob per
+program per batch bucket, the run's ``config.json``, and a
+``manifest.json`` recording shapes, platforms, and versions. Loading
+needs only jax -- no model classes, no checkpoint handling, no
+Python-side weight state -- and calls run the exact compiled computation
+that was exported (Pallas kernels included when exported on/for TPU).
 
-Shapes are static (XLA's compilation model): a bundle serves ONE batch
-size; pad to it (``pad_batch``) or export several buckets. Exported
-programs enforce their input shapes/dtypes at call time. Outputs are
-float-EQUIVALENT to the live jitted model (identical argmax decisions;
-~1e-7 float noise from a different XLA fusion schedule after
+Shapes are static (XLA's compilation model), so a bundle carries one
+compiled program per BATCH BUCKET (``batch_sizes``, e.g. [8, 64, 256]);
+the loader auto-pads a request to the smallest adequate bucket and trims
+the outputs, so callers pass any row count up to the largest bucket.
+Exported programs enforce their input shapes/dtypes at call time.
+Outputs are float-EQUIVALENT to the live jitted model (identical argmax
+decisions; ~1e-7 float noise from a different XLA fusion schedule after
 serialization), not bit-identical -- tests/test_serving.py pins both
 properties.
 
@@ -40,7 +42,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any
+from typing import Any, Sequence
 
 import numpy as np
 
@@ -65,11 +67,14 @@ def export_serving_bundle(
     cfg: Config,
     params,
     out_dir: str,
-    batch_size: int = 256,
+    batch_size: int | Sequence[int] = 256,
     platforms: list[str] | None = None,
 ) -> dict[str, Any]:
     """Export the three serving programs for ``cfg``/``params``.
 
+    ``batch_size``: one bucket or a list of buckets -- each bucket gets
+    its own compiled program triple (XLA shapes are static; the loader
+    picks the smallest adequate bucket per call).
     ``platforms``: jax.export lowering platforms (default: the current
     backend). Exporting on a TPU host (or with platforms=['tpu']) bakes
     the Pallas inference kernels; a CPU export takes the jnp paths.
@@ -80,7 +85,13 @@ def export_serving_bundle(
     from .models.vae import MidiVAE
 
     model = MidiVAE(cfg)
-    B = int(batch_size)
+    buckets = sorted(
+        {int(b) for b in (
+            [batch_size] if isinstance(batch_size, int) else batch_size
+        )}
+    )
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"bad batch buckets {buckets}")
     dev = jax.devices()[0]
     params = jax.device_put(
         jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params),
@@ -92,13 +103,13 @@ def export_serving_bundle(
         return model.encode(params, batch, None, 0.0)
 
     def decode_argmax_fn(z, H, A):
+        import jax.numpy as jnp
+
         outs = model.decode(
             params, z, history=H,
             additional=A if cfg.decoder_additional_input else None,
             inference=True,
         )
-        import jax.numpy as jnp
-
         res = {"notes_idx": jnp.argmax(outs["notes"][0], axis=-1)}
         if "instrument" in outs:
             res["inst_idx"] = jnp.argmax(outs["instrument"][0], axis=-1)
@@ -118,43 +129,48 @@ def export_serving_bundle(
         H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
         return decode_argmax_fn(switched, H, A), switched
 
-    enc_shapes = _encoder_shapes(cfg, B)
-    batch_args = {
-        k: jax.ShapeDtypeStruct(s, f32) for k, s in enc_shapes.items()
-    }
-    z_arg = jax.ShapeDtypeStruct((B, cfg.latent_dim), f32)
-    h_arg = jax.ShapeDtypeStruct((B, cfg.latent_dim), f32)
-    a_arg = jax.ShapeDtypeStruct(
-        (B, max(1, cfg.decoder_additional_input_dim)), f32
-    )
+    a_dim = max(1, cfg.decoder_additional_input_dim)
     perm_arg = jax.ShapeDtypeStruct((cfg.latent_dim,), np.int32)
-
     kw = {"platforms": platforms} if platforms else {}
-    exports = {
-        "encode": jexport.export(jax.jit(encode_fn), **kw)(batch_args),
-        "decode_argmax": jexport.export(jax.jit(decode_argmax_fn), **kw)(
-            z_arg, h_arg, a_arg
-        ),
-        "style_transfer": jexport.export(jax.jit(style_transfer_fn), **kw)(
-            batch_args, perm_arg, a_arg
-        ),
-    }
 
     os.makedirs(out_dir, exist_ok=True)
-    sizes = {}
-    for name, exp in exports.items():
-        blob = exp.serialize()
-        with open(os.path.join(out_dir, f"{name}.jaxexport"), "wb") as f:
-            f.write(blob)
-        sizes[name] = len(blob)
+    sizes: dict[str, int] = {}
+    exported_platforms = None
+    for B in buckets:
+        batch_args = {
+            k: jax.ShapeDtypeStruct(s, f32)
+            for k, s in _encoder_shapes(cfg, B).items()
+        }
+        z_arg = jax.ShapeDtypeStruct((B, cfg.latent_dim), f32)
+        h_arg = jax.ShapeDtypeStruct((B, cfg.latent_dim), f32)
+        a_arg = jax.ShapeDtypeStruct((B, a_dim), f32)
+        exports = {
+            "encode": jexport.export(jax.jit(encode_fn), **kw)(batch_args),
+            "decode_argmax": jexport.export(jax.jit(decode_argmax_fn), **kw)(
+                z_arg, h_arg, a_arg
+            ),
+            "style_transfer": jexport.export(
+                jax.jit(style_transfer_fn), **kw
+            )(batch_args, perm_arg, a_arg),
+        }
+        exported_platforms = list(exports["encode"].platforms)
+        for name, exp in exports.items():
+            blob = exp.serialize()
+            fname = f"{name}@{B}.jaxexport"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(blob)
+            sizes[fname] = len(blob)
+
     cfg.save(os.path.join(out_dir, "config.json"))
     manifest = {
-        "programs": list(exports),
-        "batch_size": B,
-        "encoder_inputs": {k: list(v) for k, v in enc_shapes.items()},
+        "programs": list(_PROGRAMS),
+        "batch_sizes": buckets,
+        "encoder_input_dims": {
+            k: list(s[1:]) for k, s in _encoder_shapes(cfg, 1).items()
+        },
         "latent_dim": cfg.latent_dim,
-        "additional_dim": max(1, cfg.decoder_additional_input_dim),
-        "platforms": list(exports["encode"].platforms),
+        "additional_dim": a_dim,
+        "platforms": exported_platforms,
         "deterministic_encode": True,
         "jax_version": jax.__version__,
         "blob_bytes": sizes,
@@ -168,8 +184,9 @@ class ServingBundle:
     """A loaded bundle: sealed compiled programs, numpy in/out.
 
     ``encode(batch)``, ``decode_argmax(z, H, A)``, and
-    ``style_transfer(batch, perm, A)`` run the exported computations;
-    shapes must match ``manifest['batch_size']`` (use ``pad_batch``).
+    ``style_transfer(batch, perm, A)`` accept any row count up to the
+    largest exported bucket: inputs are zero-padded to the smallest
+    adequate bucket and outputs trimmed back.
     """
 
     def __init__(self, bundle_dir: str):
@@ -178,56 +195,77 @@ class ServingBundle:
         with open(os.path.join(bundle_dir, _MANIFEST)) as f:
             self.manifest = json.load(f)
         self.cfg = Config.load(os.path.join(bundle_dir, "config.json"))
+        self.batch_sizes = [int(b) for b in self.manifest["batch_sizes"]]
         self._fns = {}
         for name in self.manifest["programs"]:
-            with open(os.path.join(bundle_dir, f"{name}.jaxexport"), "rb") as f:
-                self._fns[name] = jexport.deserialize(f.read())
+            for B in self.batch_sizes:
+                path = os.path.join(bundle_dir, f"{name}@{B}.jaxexport")
+                with open(path, "rb") as f:
+                    self._fns[(name, B)] = jexport.deserialize(f.read())
 
     @property
-    def batch_size(self) -> int:
-        return int(self.manifest["batch_size"])
+    def max_batch(self) -> int:
+        return self.batch_sizes[-1]
 
-    def pad_batch(self, batch: dict) -> tuple[dict, int]:
-        """Zero-pad a partial batch to the bundle's batch size; returns
+    def bucket_for(self, n: int) -> int:
+        for B in self.batch_sizes:
+            if n <= B:
+                return B
+        raise ValueError(
+            f"{n} rows exceed the bundle's largest bucket {self.max_batch}"
+        )
+
+    def _pad_rows(self, a, B: int, dtype=np.float32):
+        a = np.asarray(a, dtype)
+        p = np.zeros((B,) + a.shape[1:], dtype)
+        p[: a.shape[0]] = a
+        return p
+
+    def pad_batch(self, batch: dict, B: int | None = None) -> tuple[dict, int]:
+        """Zero-pad a partial encoder batch to a bucket; returns
         (padded batch, real row count)."""
-        B = self.batch_size
-        n = None
+        n = int(np.asarray(batch["X"]).shape[0])
+        B = self.bucket_for(n) if B is None else B
         out = {}
-        for k, shape in self.manifest["encoder_inputs"].items():
+        for k, dims in self.manifest["encoder_input_dims"].items():
             a = np.asarray(batch[k], np.float32)
-            n = a.shape[0] if n is None else n
-            if a.shape[0] > B:
+            if list(a.shape[1:]) != list(dims):
                 raise ValueError(
-                    f"{a.shape[0]} rows exceed the bundle batch size {B}"
+                    f"{k}: expected trailing dims {dims}, got "
+                    f"{list(a.shape[1:])}"
                 )
-            p = np.zeros(shape, np.float32)
-            p[: a.shape[0]] = a
-            out[k] = p
-        return out, int(n or 0)
+            out[k] = self._pad_rows(a, B)
+        return out, n
 
     def encode(self, batch: dict) -> np.ndarray:
-        return np.asarray(self._fns["encode"].call(batch))
+        padded, n = self.pad_batch(batch)
+        B = padded["X"].shape[0]
+        z = np.asarray(self._fns[("encode", B)].call(padded))
+        return z[:n]
 
     def decode_argmax(self, z, H=None, A=None) -> dict[str, np.ndarray]:
-        B = self.batch_size
-        z = np.asarray(z, np.float32)
-        H = (np.zeros((B, self.manifest["latent_dim"]), np.float32)
-             if H is None else np.asarray(H, np.float32))
-        A = (np.zeros((B, self.manifest["additional_dim"]), np.float32)
-             if A is None else np.asarray(A, np.float32))
-        out = self._fns["decode_argmax"].call(z, H, A)
-        return {k: np.asarray(v) for k, v in out.items()}
+        z = np.atleast_2d(np.asarray(z, np.float32))
+        n = z.shape[0]
+        B = self.bucket_for(n)
+        zp = self._pad_rows(z, B)
+        Hp = (np.zeros((B, self.manifest["latent_dim"]), np.float32)
+              if H is None else self._pad_rows(np.atleast_2d(H), B))
+        Ap = (np.zeros((B, self.manifest["additional_dim"]), np.float32)
+              if A is None else self._pad_rows(np.atleast_2d(A), B))
+        out = self._fns[("decode_argmax", B)].call(zp, Hp, Ap)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def style_transfer(self, batch: dict, perm, A=None):
-        B = self.batch_size
-        A = (np.zeros((B, self.manifest["additional_dim"]), np.float32)
-             if A is None else np.asarray(A, np.float32))
-        outs, switched = self._fns["style_transfer"].call(
-            batch, np.asarray(perm, np.int32), A
+        padded, n = self.pad_batch(batch)
+        B = padded["X"].shape[0]
+        Ap = (np.zeros((B, self.manifest["additional_dim"]), np.float32)
+              if A is None else self._pad_rows(np.atleast_2d(A), B))
+        outs, switched = self._fns[("style_transfer", B)].call(
+            padded, np.asarray(perm, np.int32), Ap
         )
         return (
-            {k: np.asarray(v) for k, v in outs.items()},
-            np.asarray(switched),
+            {k: np.asarray(v)[:n] for k, v in outs.items()},
+            np.asarray(switched)[:n],
         )
 
 

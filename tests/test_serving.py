@@ -1,9 +1,10 @@
 """Serving bundles: AOT-exported, weights-baked inference programs.
 
 midi_vae_tpu/serving.py exports encode / decode_argmax / style_transfer
-as serialized jax.export artifacts; these tests pin the bundle format,
-the loader, float-equivalence (and argmax identity) with the live model,
-shape enforcement, and the tools/export_serving.py CLI end to end.
+as serialized jax.export artifacts, one program per batch bucket; these
+tests pin the bundle format, the loader's bucket selection + pad/trim,
+float-equivalence (and argmax identity) with the live model, shape
+enforcement, and the tools/export_serving.py CLI end to end.
 """
 
 import json
@@ -59,18 +60,22 @@ def bundle(tmp_path_factory):
     model = MidiVAE(cfg, platform="cpu")
     params = model.init_params(jax.random.PRNGKey(0))
     out = str(tmp_path_factory.mktemp("bundle"))
-    manifest = serving.export_serving_bundle(cfg, params, out, batch_size=8)
+    manifest = serving.export_serving_bundle(
+        cfg, params, out, batch_size=[4, 8]
+    )
     return cfg, model, params, out, manifest
 
 
 class TestServingBundle:
     def test_manifest_and_files(self, bundle):
         cfg, _, _, out, manifest = bundle
-        assert manifest["batch_size"] == 8
+        assert manifest["batch_sizes"] == [4, 8]
         assert manifest["deterministic_encode"] is True
         for name in ("encode", "decode_argmax", "style_transfer"):
-            p = os.path.join(out, f"{name}.jaxexport")
-            assert os.path.getsize(p) == manifest["blob_bytes"][name]
+            for B in (4, 8):
+                f = f"{name}@{B}.jaxexport"
+                assert os.path.getsize(os.path.join(out, f)) == \
+                    manifest["blob_bytes"][f]
         assert Config.load(os.path.join(out, "config.json")) == cfg
 
     def test_encode_matches_live_model(self, bundle):
@@ -82,6 +87,21 @@ class TestServingBundle:
             model.encode(jax.device_put(params), batch, None, 0.0)
         )
         np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-6)
+
+    def test_bucket_pad_and_trim(self, bundle):
+        """A 3-row request runs on the 4-bucket and trims back to 3; the
+        padded rows must not perturb the real rows' outputs."""
+        cfg, model, params, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        batch8 = make_batch(cfg, 8)
+        batch3 = {k: v[:3] for k, v in batch8.items()}
+        assert b.bucket_for(3) == 4
+        z3 = b.encode(batch3)
+        assert z3.shape == (3, cfg.latent_dim)
+        z8 = b.encode(batch8)
+        np.testing.assert_allclose(z3, z8[:3], rtol=1e-4, atol=1e-6)
+        with pytest.raises(ValueError, match="largest bucket"):
+            b.bucket_for(9)
 
     def test_decode_argmax_matches_live_model(self, bundle):
         cfg, model, params, out, _ = bundle
@@ -113,20 +133,13 @@ class TestServingBundle:
         )
         assert outs["notes_idx"].shape[0] == 8
 
-    def test_shape_enforcement(self, bundle):
+    def test_trailing_dim_enforcement(self, bundle):
         cfg, _, _, out, _ = bundle
         b = serving.load_serving_bundle(out)
-        bad = make_batch(cfg, 4)  # wrong batch size
-        with pytest.raises(Exception):
+        bad = make_batch(cfg, 4)
+        bad["X"] = bad["X"][:, :, :-1]  # wrong pitch dim
+        with pytest.raises(ValueError, match="trailing dims"):
             b.encode(bad)
-
-    def test_pad_batch(self, bundle):
-        cfg, _, _, out, _ = bundle
-        b = serving.load_serving_bundle(out)
-        padded, n = b.pad_batch(make_batch(cfg, 3))
-        assert n == 3
-        z = b.encode(padded)
-        assert z.shape == (8, cfg.latent_dim)
 
     def test_cli_export(self, tmp_path):
         from midi_vae_tpu.training import VAETrainer
@@ -144,13 +157,13 @@ class TestServingBundle:
         res = subprocess.run(
             [sys.executable,
              os.path.join(REPO, "tools", "export_serving.py"),
-             "--model", run, "--out", out, "--batch", "4", "--cpu"],
+             "--model", run, "--out", out, "--batch", "2", "4", "--cpu"],
             capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
         )
         assert res.returncode == 0, res.stdout + res.stderr
         info = json.loads(res.stdout.strip().splitlines()[-1])
-        assert info["batch_size"] == 4
+        assert info["batch_sizes"] == [2, 4]
         b = serving.load_serving_bundle(out)
-        z = b.encode(make_batch(cfg, 4))
-        assert z.shape == (4, cfg.latent_dim)
+        z = b.encode(make_batch(cfg, 3))
+        assert z.shape == (3, cfg.latent_dim)
         assert np.all(np.isfinite(z))

@@ -5,7 +5,10 @@ style_transfer programs with the weights baked in, loadable with nothing
 but jax.
 
     python tools/export_serving.py --model runs/jvp --out bundles/jvp \\
-        [--batch 256] [--epoch N] [--platforms tpu] [--cpu]
+        [--batch 8 64 256] [--epoch N] [--platforms tpu] [--cpu]
+
+Each --batch value becomes a compiled bucket; the loader auto-pads any
+request to the smallest adequate bucket.
 """
 
 from __future__ import annotations
@@ -22,7 +25,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True, help="framework run dir")
     ap.add_argument("--out", required=True, help="bundle output dir")
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, nargs="+", default=[256],
+                    help="batch bucket size(s)")
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="lowering platforms (default: current backend)")
