@@ -25,6 +25,57 @@ from . import sampling
 from ..data.batching import bucket_pow2 as _bucket  # shared padding policy
 
 
+def decode_argmax_graph(model: MidiVAE, cfg: Config):
+    """Build the pure fn (params, z, H, A) -> per-head argmax dict.
+
+    One autoregressive decode + on-device argmax per enabled head (indices
+    cross the tunnel, not probability tensors). Shared by
+    ``GenerationContext`` (live jitted serving) and
+    ``serving.export_serving_bundle`` (AOT export with params baked in), so
+    the exported bundles run the exact graph the evaluation harness runs."""
+
+    def decode_argmax_fn(params, z, H, A):
+        outs = model.decode(
+            params, z, history=H,
+            additional=A if cfg.decoder_additional_input else None,
+            inference=True,
+        )
+        res = {"notes_idx": jnp.argmax(outs["notes"][0], axis=-1)}
+        if "instrument" in outs:
+            res["inst_idx"] = jnp.argmax(outs["instrument"][0], axis=-1)
+        if "velocity" in outs:
+            res["vel"] = outs["velocity"][0][..., 0]
+        if "held" in outs:
+            res["held_idx"] = jnp.argmax(outs["held"][0], axis=-1)
+        if "next" in outs:
+            res["next_idx"] = jnp.argmax(outs["next"][0], axis=-1)
+        return res
+
+    return decode_argmax_fn
+
+
+def transfer_argmax_graph(model: MidiVAE, cfg: Config, eps: float):
+    """Build the fused style-transfer fn
+    (params, batch, perm, A, rng) -> (argmax dict, switched z).
+
+    encode -> latent-dim swap -> history roll -> decode -> argmax, ONE
+    device program. ``perm`` is a latent-index permutation (the
+    z[C] <-> z[C_switch] swap of vae_evaluation.py:2474-2478 as a gather,
+    so every class pair shares the compiled program); ``A`` is the decoder
+    additional input for the TARGET class (vae_evaluation.py:2481 passes
+    C_switch + S). ``eps`` is the encode sampling epsilon (0.0 for the
+    deterministic eval/serving path; rng may then be None)."""
+    decode_argmax = decode_argmax_graph(model, cfg)
+
+    def transfer_argmax_fn(params, batch, perm, A, rng):
+        z = model.encode(params, batch, rng, eps)
+        switched = z[:, perm]
+        H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
+        return decode_argmax(params, switched, H, A), switched
+
+    return transfer_argmax_fn
+
+
 class GenerationContext:
     """Owns jitted encode/decode on a trained model; all IO in numpy.
 
@@ -70,39 +121,12 @@ class GenerationContext:
         def encode_fn(params, batch, rng):
             return model.encode(params, batch, rng, self._eval_eps)
 
-        def decode_argmax_fn(params, z, H, A):
-            outs = model.decode(
-                params, z, history=H,
-                additional=A if cfg.decoder_additional_input else None,
-                inference=True,
-            )
-            res = {"notes_idx": jnp.argmax(outs["notes"][0], axis=-1)}
-            if "instrument" in outs:
-                res["inst_idx"] = jnp.argmax(outs["instrument"][0], axis=-1)
-            if "velocity" in outs:
-                res["vel"] = outs["velocity"][0][..., 0]
-            if "held" in outs:
-                res["held_idx"] = jnp.argmax(outs["held"][0], axis=-1)
-            if "next" in outs:
-                res["next_idx"] = jnp.argmax(outs["next"][0], axis=-1)
-            return res
-
-        def transfer_argmax_fn(params, batch, perm, A, rng):
-            """encode -> latent-dim swap -> history roll -> decode -> argmax,
-            ONE device program. ``perm`` is a latent-index permutation (the
-            z[C] <-> z[C_switch] swap of vae_evaluation.py:2474-2478 as a
-            gather, so every class pair shares the compiled program); ``A``
-            is the decoder additional input for the TARGET class
-            (vae_evaluation.py:2481 passes C_switch + S)."""
-            z = model.encode(params, batch, rng, self._eval_eps)
-            switched = z[:, perm]
-            H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
-            return decode_argmax_fn(params, switched, H, A), switched
-
         self._decode = jax.jit(decode_fn)
-        self._decode_argmax = jax.jit(decode_argmax_fn)
+        self._decode_argmax = jax.jit(decode_argmax_graph(model, cfg))
         self._encode = jax.jit(encode_fn)
-        self._transfer_argmax = jax.jit(transfer_argmax_fn)
+        self._transfer_argmax = jax.jit(
+            transfer_argmax_graph(model, cfg, self._eval_eps)
+        )
 
     # ------------------------------------------------------------------
     def _bucket_for(self, n: int) -> int:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import csv
 import json
+import math
 import os
 from collections import defaultdict
 from dataclasses import dataclass
@@ -916,12 +917,27 @@ class Evaluator:
         return self.results
 
     def _dump_results_json(self) -> None:
-        def default(o):
+        # Non-finite floats become JSON null at DUMP time only: sweep stats
+        # replicate the reference's single-element-window NaN strength edge
+        # bit-for-bit (evaluation/sweep.py, pinned by the --sweepstats
+        # differential), and Python's json would otherwise emit a bare
+        # ``NaN`` literal that standard parsers reject. The in-memory
+        # ``self.results`` values stay untouched.
+        def sanitize(o):
+            if isinstance(o, dict):
+                return {k: sanitize(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [sanitize(v) for v in o]
             if isinstance(o, np.ndarray):
-                return o.tolist()
+                return sanitize(o.tolist())
             if isinstance(o, (np.floating, np.integer)):
-                return o.item()
-            return str(o)
+                o = o.item()
+            if isinstance(o, float) and not math.isfinite(o):
+                return None
+            return o
 
         with open(os.path.join(self.save_folder, "results.json"), "w") as f:
-            json.dump(self.results, f, default=default, indent=1)
+            json.dump(
+                sanitize(self.results), f, default=str, indent=1,
+                allow_nan=False,
+            )

@@ -82,6 +82,10 @@ def export_serving_bundle(
     import jax
     from jax import export as jexport
 
+    from .evaluation.generation import (
+        decode_argmax_graph,
+        transfer_argmax_graph,
+    )
     from .models.vae import MidiVAE
 
     model = MidiVAE(cfg)
@@ -99,35 +103,19 @@ def export_serving_bundle(
     )
     f32 = np.float32
 
+    # the exact graphs GenerationContext jits live, with params closed over
+    # and the deterministic eps=0 encode (no rng in exported signatures)
+    _decode_argmax = decode_argmax_graph(model, cfg)
+    _transfer_argmax = transfer_argmax_graph(model, cfg, 0.0)
+
     def encode_fn(batch):
         return model.encode(params, batch, None, 0.0)
 
     def decode_argmax_fn(z, H, A):
-        import jax.numpy as jnp
-
-        outs = model.decode(
-            params, z, history=H,
-            additional=A if cfg.decoder_additional_input else None,
-            inference=True,
-        )
-        res = {"notes_idx": jnp.argmax(outs["notes"][0], axis=-1)}
-        if "instrument" in outs:
-            res["inst_idx"] = jnp.argmax(outs["instrument"][0], axis=-1)
-        if "velocity" in outs:
-            res["vel"] = outs["velocity"][0][..., 0]
-        if "held" in outs:
-            res["held_idx"] = jnp.argmax(outs["held"][0], axis=-1)
-        if "next" in outs:
-            res["next_idx"] = jnp.argmax(outs["next"][0], axis=-1)
-        return res
+        return _decode_argmax(params, z, H, A)
 
     def style_transfer_fn(batch, perm, A):
-        import jax.numpy as jnp
-
-        z = model.encode(params, batch, None, 0.0)
-        switched = z[:, perm]
-        H = jnp.zeros_like(switched).at[1:].set(switched[:-1])
-        return decode_argmax_fn(switched, H, A), switched
+        return _transfer_argmax(params, batch, perm, A, None)
 
     a_dim = max(1, cfg.decoder_additional_input_dim)
     perm_arg = jax.ShapeDtypeStruct((cfg.latent_dim,), np.int32)

@@ -25,6 +25,7 @@ from ..data.batching import FlatSplit
 from ..models.classifier import ClassifierSpec, StyleClassifier, classifier_loss
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt
+from .trainer import padded_batch_order
 
 
 def classifier_arrays(flat: FlatSplit, kind: str) -> tuple[np.ndarray, np.ndarray]:
@@ -86,14 +87,7 @@ class ClassifierTrainer:
         init_key, rng = jax.random.split(key)
         params = self.model.init_params(init_key)
         params = pmesh.shard_params(params, self.mesh)
-        # one jitted program, not 2 eager dispatches per leaf (see
-        # VAETrainer.init_state)
-        opt_state = jax.jit(
-            self.optimizer.init,
-            out_shardings=pmesh.param_shardings(
-                jax.eval_shape(self.optimizer.init, params), self.mesh
-            ),
-        )(params)
+        opt_state = pmesh.jit_optimizer_init(self.optimizer, params, self.mesh)
         return ClassifierState(params=params, opt_state=opt_state, rng=rng)
 
     # ------------------------------------------------------------------
@@ -188,10 +182,7 @@ class ClassifierTrainer:
             order = np.arange(n)
             if shuffle:
                 np.random.RandomState((seed + e) % (2**31)).shuffle(order)
-            padded = np.full((n_batches * bs,), -1, np.int32)
-            padded[:n] = order
-            orders[e] = padded.reshape(n_batches, bs)
-            masks[e] = (orders[e] >= 0).astype(np.float32)
+            orders[e], masks[e] = padded_batch_order(order, bs)
         if not hasattr(self, "_device_epochs_jit"):
             self._device_epochs_jit = jax.jit(
                 self._device_epochs_fn, donate_argnums=(0, 1)

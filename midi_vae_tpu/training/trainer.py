@@ -114,6 +114,22 @@ def _slice_batch(flat: FlatSplit, idx: np.ndarray, cfg: Config, H: np.ndarray | 
     return batch
 
 
+def padded_batch_order(order, bs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a window-index order to an (n_batches, bs) int32 grid, -1 = pad.
+
+    Returns (grid, mask). Keeps the jitted epoch/eval programs static-shaped
+    across a partial last batch: -1 rows gather row 0 on device and are
+    masked out of every loss/metric. Shared by the VAE and classifier
+    trainers (epoch orders, device eval, in-scan test cadence)."""
+    order = np.asarray(order)
+    n = int(order.shape[0])
+    n_batches = max(1, (n + bs - 1) // bs)
+    padded = np.full((n_batches * bs,), -1, np.int32)
+    padded[:n] = order
+    grid = padded.reshape(n_batches, bs)
+    return grid, (grid >= 0).astype(np.float32)
+
+
 @dataclass
 class TrainState:
     params: Any
@@ -440,10 +456,7 @@ class VAETrainer:
             order = np.arange(num_windows)
             if shuffle:
                 np.random.RandomState((base_seed + first_epoch + e) % (2**31)).shuffle(order)
-            padded = np.full((n_batches * bs,), -1, np.int32)
-            padded[:num_windows] = order
-            orders[e] = padded.reshape(n_batches, bs)
-            masks[e] = (orders[e] >= 0).astype(np.float32)
+            orders[e], masks[e] = padded_batch_order(order, bs)
             h_scales[e] = 1.0 if (use_history and first_epoch + e > 0) else 0.0
         return orders, masks, h_scales
 
@@ -479,11 +492,7 @@ class VAETrainer:
         """evaluate() over device-resident test data, one dispatch total
         (the host loop pays the per-call tunnel floor once per BATCH)."""
         bs = self.cfg.batch_size
-        n_batches = max(1, (num_windows + bs - 1) // bs)
-        padded = np.full((n_batches * bs,), -1, np.int32)
-        padded[:num_windows] = np.arange(num_windows)
-        order = padded.reshape(n_batches, bs)
-        mask = (order >= 0).astype(np.float32)
+        order, mask = padded_batch_order(np.arange(num_windows), bs)
         if not hasattr(self, "_device_eval_jit"):
             self._device_eval_jit = jax.jit(self._device_eval_fn)
         metrics = self._device_eval_jit(
@@ -601,15 +610,7 @@ class VAETrainer:
         init_key, rng = jax.random.split(key)
         params = self.model.init_params(init_key)
         params = pmesh.shard_params(params, self.mesh)
-        # optimizer init as ONE jitted program with explicit out_shardings
-        # (moments shard like their params). Eager optax init is ~2 tiny
-        # dispatches PER LEAF -- tens of seconds over a tunneled chip
-        opt_state = jax.jit(
-            self.optimizer.init,
-            out_shardings=pmesh.param_shardings(
-                jax.eval_shape(self.optimizer.init, params), self.mesh
-            ),
-        )(params)
+        opt_state = pmesh.jit_optimizer_init(self.optimizer, params, self.mesh)
         return TrainState(params=params, opt_state=opt_state, rng=rng)
 
     def _clone_state(self, state: TrainState):
@@ -799,6 +800,7 @@ class VAETrainer:
 
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
+        start_epoch = state.epoch
         self._stop_requested = False
         prev_handlers = {}
         if _signal and hasattr(_signal, "SIGTERM"):
@@ -851,10 +853,21 @@ class VAETrainer:
                 except (ValueError, OSError):
                     pass
         if self._stop_requested:
-            log_fn(
-                f"stop signal received: checkpointed epoch {state.epoch - 1}, "
-                "exiting (resume to continue)"
-            )
+            # the fit loops write a stop-time checkpoint only when there is
+            # somewhere to write it AND at least one epoch completed -- the
+            # log must not claim otherwise (bench/ad-hoc runs pass no
+            # output_dir)
+            final = state.epoch - 1
+            if output_dir and final >= start_epoch:
+                log_fn(
+                    f"stop signal received: checkpointed epoch {final}, "
+                    "exiting (resume to continue)"
+                )
+            else:
+                log_fn(
+                    "stop signal received: no checkpoint written "
+                    "(no output_dir or no completed epoch), exiting"
+                )
 
         if output_dir:
             with open(os.path.join(output_dir, "history.json"), "w") as f:
@@ -891,13 +904,11 @@ class VAETrainer:
         test_device_data = test_order = test_mask = None
         if has_test:
             test_device_data = self.prepare_device_data(test)
-            bs = cfg.batch_size
-            n_b = max(1, (test.num_windows + bs - 1) // bs)
-            padded = np.full((n_b * bs,), -1, np.int32)
-            padded[: test.num_windows] = np.arange(test.num_windows)
-            order_np = padded.reshape(n_b, bs)
+            order_np, mask_np = padded_batch_order(
+                np.arange(test.num_windows), cfg.batch_size
+            )
             test_order = jnp.asarray(order_np)
-            test_mask = jnp.asarray((order_np >= 0).astype(np.float32))
+            test_mask = jnp.asarray(mask_np)
 
         from .async_saver import AsyncCheckpointWriter
 

@@ -292,6 +292,33 @@ class TestHarness:
             k.startswith("original_") for k in results["signature_mahalanobis"]
         )
 
+    def test_results_json_serializes_non_finite_as_null(self, tmp_path):
+        """Sweep stats keep the reference's NaN trend-strength edge in memory
+        (PARITY.md quirk #3); results.json must still be standard JSON, so
+        non-finite floats become null at dump time only."""
+        import json
+        import os
+
+        from midi_vae_tpu.evaluation.harness import Evaluator
+
+        ev = Evaluator.__new__(Evaluator)
+        ev.save_folder = str(tmp_path)
+        ev.results = {
+            "nan": float("nan"),
+            "inf": np.float64("inf"),
+            "nested": [np.float32("nan"), 1.5, {"k": -np.inf}],
+            "arr": np.array([np.nan, 2.0]),
+            "fine": 3,
+        }
+        ev._dump_results_json()
+        loaded = json.load(open(os.path.join(tmp_path, "results.json")))
+        assert loaded["nan"] is None and loaded["inf"] is None
+        assert loaded["nested"] == [None, 1.5, {"k": None}]
+        assert loaded["arr"] == [None, 2.0]
+        assert loaded["fine"] == 3
+        # in-memory results untouched
+        assert np.isnan(ev.results["nan"])
+
     def test_latent_sweep_section(self, tiny_setup, tmp_path):
         from midi_vae_tpu.evaluation import EvalSections, Evaluator
 
