@@ -32,7 +32,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .cells import activation_fn, dense_apply, dense_init, get_cell
+from .cells import (
+    activation_fn,
+    dense_apply,
+    dense_init,
+    get_cell,
+    glorot_uniform,
+)
 from .rnn import (
     decode_autoregressive,
     decode_heads_merged,
@@ -116,7 +122,14 @@ class MidiVAE:
         enc: Params = {}
         enc_in = cfg.embedding_dim if cfg.use_embedding else cfg.input_dim
         if cfg.use_embedding:
-            enc["embedding"] = dense_init(next(keys), cfg.input_dim, cfg.embedding_dim)
+            # pure lookup table like the reference's Keras Embedding
+            # (vae_definition.py:212-214) -- deliberately NO bias, so the
+            # save_weights HDF5 round trip (utils/keras_h5.py) is lossless
+            enc["embedding"] = {
+                "w": glorot_uniform(
+                    next(keys), (cfg.input_dim, cfg.embedding_dim)
+                )
+            }
         enc["notes_rnn"] = rnn_stack(cfg.num_layers_encoder, enc_in, cfg.bidirectional)
         n_meta = 0
         if cfg.meta_instrument:
@@ -212,7 +225,8 @@ class MidiVAE:
             and cfg.compute_dtype == "bfloat16"
         )
         if cfg.use_embedding:
-            x = dense_apply(enc["embedding"], x)
+            # one-hot @ table == embedding lookup; no bias (reference parity)
+            x = x @ enc["embedding"]["w"]
         ftr = cfg.fused_train_encoder
 
         # NOTE: a fused multi-branch encode kernel (notes stack + every meta

@@ -99,7 +99,8 @@ class Slot:
     path:   tuple of keys/indices into the framework params pytree,
             addressing the {"w","u","b"} / {"w","b"} leaf dict.
     kind:   'rnn' (kernel/recurrent_kernel/bias), 'dense' (kernel/bias) or
-            'embedding' (embeddings; our equivalent Dense keeps bias 0).
+            'embedding' (embeddings; a bias-free {"w"} lookup table on
+            our side, exactly like the reference Embedding).
     layer_name: the Keras layer name owning the variables.
     group:  top-level h5 group the variables land in when saving the
             AUTOENCODER model (encoder layers are direct children; all
@@ -393,9 +394,6 @@ def _fill(schedule, weights, template, name_map, strict):
             arr = take(vname, np.shape(leaf[key]))
             if arr is not None:
                 leaf[key] = arr
-        if slot.kind == "embedding":
-            # reference Embedding has no bias; our lookup-Dense keeps 0
-            leaf["b"] = np.zeros_like(np.asarray(leaf["b"]))
     if strict and remaining:
         raise ValueError(
             f"{len(remaining)} checkpoint variables were not consumed "

@@ -43,9 +43,6 @@ def random_params(cfg: Config, seed: int = 0):
         + rng.normal(0, 0.1, np.shape(x)).astype(np.float32),
         params,
     )
-    if cfg.use_embedding:
-        # the reference Embedding has no bias; imports keep ours zero
-        params["encoder"]["embedding"]["b"][:] = 0
     return model, params
 
 

@@ -1555,11 +1555,9 @@ def _transplant(cfg, params, registry, pairs: list | None = None) -> None:
     enc = params["encoder"]
     if cfg.use_embedding:
         layer = nxt("Embedding")
+        # ours is a bias-free {"w"} lookup table, exactly like the reference
         w = np.asarray(enc["embedding"]["w"], np.float32)
         assert layer.embeddings.shape == w.shape
-        assert not np.any(np.asarray(enc["embedding"]["b"])), (
-            "ref Embedding has no bias; ours must be zero for transplant"
-        )
         layer.embeddings = w
     for p in enc["notes_rnn"]:
         if "fwd" in p:  # Bidirectional registers forward then backward
@@ -2667,9 +2665,6 @@ def check_kerasio(cfg, seed: int = 0) -> dict:
         params = jax.tree_util.tree_map(
             lambda x: np.asarray(x, np.float32), params
         )
-        if cfg2.use_embedding:
-            params["encoder"]["embedding"]["b"][:] = 0  # ref has no bias
-
         schedule = keras_h5.vae_weight_schedule(cfg2)
         check_registry_vs_schedule(tag, registry, schedule, params)
 
