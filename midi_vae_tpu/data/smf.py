@@ -9,6 +9,13 @@ minimal SMF layer with the subset of semantics the pipeline needs:
   the tempo map (pretty_midi semantics: one instrument per (track, channel,
   program) stream; note_on vel 0 == note_off; a note_off closes every open
   note at that pitch, notes starting at the same tick survive),
+* all three SMF formats and both division kinds: PPQ files use the tempo
+  map; SMPTE-division files use the fixed fps x ticks-per-frame wall clock
+  (SMF spec -- tempo metas stay advisory BPM labels). Tempo/time-signature
+  events are honored from the FIRST track only, matching pretty_midi's
+  ``_load_tempo_changes``/``_load_metadata`` (tracks[0], warn-and-ignore
+  elsewhere); format 2 takes the same uniform handling. See PARITY.md
+  "SMF format and division semantics" and tests/test_smf_compat.py,
 * ``tempo_changes`` / ``end_time`` / ``time_signature_changes`` accessors used
   by the tensorizer (import_midi.py:30-67),
 * a writer used by the roll->MIDI renderer (midi_functions.py:57-137):
@@ -47,10 +54,18 @@ class TimeSignature:
 
 
 class MidiFile:
-    """In-memory MIDI song: instruments + tempo map, times in seconds."""
+    """In-memory MIDI song: instruments + tempo map, times in seconds.
+
+    ``format`` is the SMF header format (0/1/2) of a parsed file (1 for
+    in-memory songs); ``smpte`` is ``(fps, ticks_per_frame)`` when the file
+    used SMPTE time division, else None -- in that case ``resolution`` holds
+    the tick rate in ticks/second (fps x tpf) rather than ticks/quarter.
+    """
 
     def __init__(self, initial_tempo: float = 120.0, resolution: int = 480):
         self.resolution = resolution
+        self.format = 1
+        self.smpte: tuple[float, int] | None = None
         self.instruments: list[Instrument] = []
         self.time_signature_changes: list[TimeSignature] = []
         # parallel arrays: change time (sec) and tempo in BPM from there on
@@ -202,6 +217,34 @@ class _TempoMap:
         return times, bpm
 
 
+def decode_division(division: int) -> tuple[float, int] | None:
+    """Decode the MThd division word: None for PPQ (ticks/quarter), or
+    ``(fps, ticks_per_frame)`` for SMPTE division (bit 15 set; bits 8-14 are
+    the negated frame rate in two's complement, -29 meaning 29.97 drop-frame
+    per the SMF spec)."""
+    if not division & 0x8000:
+        return None
+    fps = float(256 - ((division >> 8) & 0xFF))
+    if fps == 29.0:
+        fps = 29.97
+    tpf = division & 0xFF
+    if tpf == 0:
+        raise MidiParseError("SMPTE division with zero ticks per frame")
+    return fps, tpf
+
+
+class _FrameClock:
+    """tick -> seconds under SMPTE division: a fixed wall-clock tick rate of
+    fps x ticks_per_frame ticks/second, independent of tempo metas (SMF spec;
+    tempo events remain advisory BPM labels for get_tempo_changes)."""
+
+    def __init__(self, fps: float, tpf: int):
+        self.rate = fps * tpf  # ticks per second
+
+    def to_seconds(self, tick: int) -> float:
+        return tick / self.rate
+
+
 def read_midi(path: str, native: bool = True) -> MidiFile:
     with open(path, "rb") as f:
         data = f.read()
@@ -222,33 +265,53 @@ def _parse_midi_bytes_native(data: bytes) -> MidiFile | None:
     parsed = parse_smf_native(data)
     if parsed is None:
         return None
-    resolution, notes, tempos, timesigs = parsed
+    fmt, division, notes, tempos, timesigs = parsed
+    smpte = decode_division(division)
 
-    tmap = _TempoMap([(int(t), int(u)) for t, u in tempos], resolution)
+    import numpy as _np
+
+    if smpte is None:
+        resolution = division
+        tmap = _TempoMap([(int(t), int(u)) for t, u in tempos], resolution)
+        times, bpm = tmap.change_times_and_bpm()
+        to_seconds = tmap.to_seconds
+
+        map_ticks = _np.asarray(tmap.ticks, dtype=_np.int64)
+        map_secs = _np.asarray(tmap.seconds)
+        map_uspq = _np.asarray(tmap.uspq, dtype=_np.float64)
+
+        def ticks_to_seconds(ticks: "_np.ndarray") -> "_np.ndarray":
+            idx = _np.searchsorted(map_ticks, ticks, side="right") - 1
+            idx = _np.clip(idx, 0, len(map_ticks) - 1)
+            # BIT-FOR-BIT _TempoMap.to_seconds: multiply THEN divide --
+            # pre-dividing uspq into a rate differs by 1 ulp for some tempi,
+            # which can flip the tensorizer's round-half-even at half-tick
+            # note boundaries depending on which parser is available
+            return map_secs[idx] + (ticks - map_ticks[idx]) * map_uspq[idx] / (
+                1e6 * tmap.resolution
+            )
+    else:
+        clock = _FrameClock(*smpte)
+        resolution = int(round(clock.rate))
+        to_seconds = clock.to_seconds
+        tempo_list = [(int(t), int(u)) for t, u in tempos]
+        if not tempo_list or tempo_list[0][0] != 0:
+            tempo_list = [(0, 500000)] + tempo_list
+        times = [to_seconds(t) for t, _ in tempo_list]
+        bpm = [6e7 / u for _, u in tempo_list]
+
+        def ticks_to_seconds(ticks: "_np.ndarray") -> "_np.ndarray":
+            # same double division as _FrameClock.to_seconds: bit-identical
+            # between the native and Python parsers
+            return ticks / clock.rate
+
     mid = MidiFile(resolution=resolution)
-    times, bpm = tmap.change_times_and_bpm()
+    mid.format = fmt
+    mid.smpte = smpte
     mid.set_tempo_changes(times, bpm)
     for tick, num, den in sorted(map(tuple, timesigs)):
         mid.time_signature_changes.append(
-            TimeSignature(int(num), int(den), tmap.to_seconds(int(tick)))
-        )
-
-    # vectorized tick -> seconds over the tempo map
-    import numpy as _np
-
-    map_ticks = _np.asarray(tmap.ticks, dtype=_np.int64)
-    map_secs = _np.asarray(tmap.seconds)
-    map_uspq = _np.asarray(tmap.uspq, dtype=_np.float64)
-
-    def ticks_to_seconds(ticks: "_np.ndarray") -> "_np.ndarray":
-        idx = _np.searchsorted(map_ticks, ticks, side="right") - 1
-        idx = _np.clip(idx, 0, len(map_ticks) - 1)
-        # BIT-FOR-BIT _TempoMap.to_seconds: multiply THEN divide --
-        # pre-dividing uspq into a rate differs by 1 ulp for some tempi,
-        # which can flip the tensorizer's round-half-even at half-tick
-        # note boundaries depending on which parser is available
-        return map_secs[idx] + (ticks - map_ticks[idx]) * map_uspq[idx] / (
-            1e6 * tmap.resolution
+            TimeSignature(int(num), int(den), to_seconds(int(tick)))
         )
 
     instruments: dict[tuple[int, int, int], Instrument] = {}
@@ -281,9 +344,7 @@ def parse_midi_bytes(data: bytes) -> MidiFile:
         raise MidiParseError("not a MIDI file (missing MThd)")
     header_len = struct.unpack(">I", data[4:8])[0]
     fmt, ntracks, division = struct.unpack(">HHH", data[8:14])
-    if division & 0x8000:
-        raise MidiParseError("SMPTE time division is not supported")
-    resolution = division
+    smpte = decode_division(division)
     pos = 8 + header_len
 
     tracks: list[bytes] = []
@@ -295,13 +356,19 @@ def parse_midi_bytes(data: bytes) -> MidiFile:
         if chunk_type == b"MTrk":
             tracks.append(body)
 
-    # pass 1: tempo map + time signatures across all tracks
+    # pass 1: tempo map + time signatures from the FIRST track only --
+    # pretty_midi semantics (its _load_tempo_changes/_load_metadata read
+    # midi_data.tracks[0] and it warns-and-ignores such events on other
+    # tracks), applied uniformly to formats 0/1/2; see PARITY.md "SMF
+    # format and division semantics"
     tempo_changes: list[tuple[int, int]] = []
     timesig_events: list[tuple[int, int, int]] = []
     parsed_tracks = []
-    for body in tracks:
+    for track_idx, body in enumerate(tracks):
         events = list(_parse_track_events(body))
         parsed_tracks.append(events)
+        if track_idx != 0:
+            continue
         for tick, status, payload in events:
             if status == 0xFF51 and len(payload) >= 3:
                 uspq = (payload[0] << 16) | (payload[1] << 8) | payload[2]
@@ -314,14 +381,30 @@ def parse_midi_bytes(data: bytes) -> MidiFile:
                     (tick, payload[0], 1 << min(payload[1], 62))
                 )
 
-    tmap = _TempoMap(tempo_changes, resolution)
+    if smpte is None:
+        resolution = division
+        tmap = _TempoMap(tempo_changes, resolution)
+        to_seconds = tmap.to_seconds
+        times, bpm = tmap.change_times_and_bpm()
+    else:
+        # SMPTE: ticks advance on a fixed wall clock; tempo metas do not
+        # affect timing but are surfaced as the advisory BPM map the
+        # tensorizer reads for its quantization grid (default 120)
+        clock = _FrameClock(*smpte)
+        resolution = int(round(clock.rate))
+        to_seconds = clock.to_seconds
+        if not tempo_changes or tempo_changes[0][0] != 0:
+            tempo_changes = [(0, 500000)] + tempo_changes
+        times = [to_seconds(t) for t, _ in tempo_changes]
+        bpm = [6e7 / u for _, u in tempo_changes]
 
     mid = MidiFile(resolution=resolution)
-    times, bpm = tmap.change_times_and_bpm()
+    mid.format = fmt
+    mid.smpte = smpte
     mid.set_tempo_changes(times, bpm)
     for tick, num, den in sorted(timesig_events):
         mid.time_signature_changes.append(
-            TimeSignature(num, den, tmap.to_seconds(tick))
+            TimeSignature(num, den, to_seconds(tick))
         )
 
     # pass 2: notes. one Instrument per (track, channel, program) stream.
@@ -347,8 +430,8 @@ def parse_midi_bytes(data: bytes) -> MidiFile:
                 if start_tick == end_tick:
                     keep.append((start_tick, velocity, program))
                     continue
-                start_s = tmap.to_seconds(start_tick)
-                end_s = tmap.to_seconds(end_tick)
+                start_s = to_seconds(start_tick)
+                end_s = to_seconds(end_tick)
                 if end_s > start_s:
                     get_instrument(channel, program).notes.append(
                         Note(pitch, velocity, start_s, end_s)
@@ -380,8 +463,8 @@ def parse_midi_bytes(data: bytes) -> MidiFile:
         # close anything left hanging at end of track
         for (channel, pitch), stack in list(open_notes.items()):
             for start_tick, velocity, program in stack:
-                start_s = tmap.to_seconds(start_tick)
-                end_s = tmap.to_seconds(max_tick)
+                start_s = to_seconds(start_tick)
+                end_s = to_seconds(max_tick)
                 if end_s > start_s:
                     get_instrument(channel, program).notes.append(
                         Note(pitch, velocity, start_s, end_s)

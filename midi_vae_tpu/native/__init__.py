@@ -22,7 +22,8 @@ _load_failed = False
 
 class _SmfResult(ctypes.Structure):
     _fields_ = [
-        ("resolution", ctypes.c_int32),
+        ("format", ctypes.c_int32),
+        ("division", ctypes.c_int32),
         ("n_notes", ctypes.c_int64),
         ("note_data", ctypes.POINTER(ctypes.c_int64)),
         ("n_tempo", ctypes.c_int64),
@@ -89,10 +90,11 @@ def get_smf_lib():
 def parse_smf_native(data: bytes):
     """Parse SMF bytes with the C++ core.
 
-    Returns (resolution, notes, tempos, timesigs) as numpy int64 arrays of
-    shapes (n,7), (n,2), (n,3) -- or None if the native library is
-    unavailable. Raises ValueError on malformed files (same contract as the
-    Python parser).
+    Returns (format, division, notes, tempos, timesigs) -- division is the
+    RAW MThd word (bit 15 set = SMPTE; decode with smf.decode_division) and
+    the arrays are numpy int64 of shapes (n,7), (n,2), (n,3) -- or None if
+    the native library is unavailable. Raises ValueError on malformed files
+    (same contract as the Python parser).
     """
     import numpy as np
 
@@ -118,6 +120,7 @@ def parse_smf_native(data: bytes):
         timesigs = np.ctypeslib.as_array(
             result.ts_data, shape=(result.n_timesig, 3)
         ).copy() if result.n_timesig else np.zeros((0, 3), np.int64)
-        return int(result.resolution), notes, tempos, timesigs
+        return (int(result.format), int(result.division), notes, tempos,
+                timesigs)
     finally:
         lib.smf_free(ctypes.byref(result))

@@ -69,7 +69,9 @@ struct Parser {
 extern "C" {
 
 struct SmfResult {
-    int32_t resolution;
+    int32_t format;       // MThd format word (0/1/2)
+    int32_t division;     // raw MThd division word (bit 15 set = SMPTE;
+                          // Python decodes -- smf.decode_division)
     int64_t n_notes;
     int64_t* note_data;   // n_notes x 7: track,channel,program,pitch,vel,start,end
     int64_t n_tempo;
@@ -102,14 +104,10 @@ int smf_parse(const uint8_t* data, int64_t len, SmfResult* out) {
     }
     p.pos = 4;
     uint32_t header_len = p.u32();
-    p.u16();  // format
+    out->format = p.u16();
     uint16_t ntracks = p.u16();
-    uint16_t division = p.u16();
-    if (division & 0x8000) {
-        set_error(out, "SMPTE time division is not supported");
-        return 1;
-    }
-    out->resolution = division;
+    // raw division word: PPQ or SMPTE, decoded on the Python side
+    out->division = p.u16();
     p.pos = 8 + header_len;
 
     std::vector<Note> notes;
@@ -165,12 +163,18 @@ int smf_parse(const uint8_t* data, int64_t len, SmfResult* out) {
                 // a truncated file would otherwise be read past the buffer
                 int64_t mend = mstart + mlen;
                 bool payload_ok = mlen >= 0 && mend <= body_end && mend <= len;
-                if (meta_type == 0x51 && mlen >= 3 && payload_ok) {
+                // tempo/time-signature honored from the FIRST track only
+                // (pretty_midi semantics, mirrored by smf.parse_midi_bytes
+                // pass 1 -- see PARITY.md "SMF format and division
+                // semantics")
+                if (meta_type == 0x51 && mlen >= 3 && payload_ok &&
+                    track_idx == 0) {
                     int64_t uspq = ((int64_t)data[mstart] << 16) |
                                    ((int64_t)data[mstart + 1] << 8) |
                                    (int64_t)data[mstart + 2];
                     if (uspq > 0) tempos.push_back({tick, uspq});
-                } else if (meta_type == 0x58 && mlen >= 2 && payload_ok) {
+                } else if (meta_type == 0x58 && mlen >= 2 && payload_ok &&
+                           track_idx == 0) {
                     // shift clamped: den_pow >= 63 would be UB (and sane
                     // MIDI uses <= 7); the Python parser clamps identically
                     int den_pow = data[mstart + 1];
