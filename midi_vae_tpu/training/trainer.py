@@ -225,12 +225,98 @@ class VAETrainer:
         # multi-process mesh, which jax rejects -- host-driven epochs there
         return jax.process_count() == 1
 
-    def prepare_device_data(self, flat: FlatSplit) -> dict:
-        """Upload the full split to device memory once."""
-        data = {k: jnp.asarray(getattr(flat, k)) for k in BATCH_KEYS}
-        data["first_in_song"] = jnp.asarray(flat.first_in_song)
-        data["song_id"] = jnp.asarray(flat.song_id)
-        return data
+    def prepare_device_data(self, flat: FlatSplit, shard: bool = False) -> dict:
+        """Upload the full split to device memory once.
+
+        ``shard=True`` lays the window axis out over the mesh's 'data' axis
+        (NamedSharding) instead of replicating, so an N-chip mesh holds N x
+        the corpus. Rows are padded up to a multiple of the axis size with
+        inert values: ``song_id=-1`` (never equals a real id, so the
+        next-window gather falls to the silence target exactly like the last
+        window of a song) and ``first_in_song=1`` (zero history); padded
+        rows are never listed in any batch order, and the z-cache dustbin
+        row moves with the padded length, so training semantics are
+        unchanged (gated bit-for-bit vs the replicated path in
+        tests/test_training.py)."""
+        arrays: dict[str, np.ndarray] = {
+            k: np.asarray(getattr(flat, k)) for k in BATCH_KEYS
+        }
+        arrays["first_in_song"] = np.asarray(flat.first_in_song)
+        arrays["song_id"] = np.asarray(flat.song_id)
+        d = self.mesh.shape.get(pmesh.DATA_AXIS, 1) if self.mesh is not None else 1
+        if not shard or d <= 1:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(pmesh.DATA_AXIS))
+        N = arrays["X"].shape[0]
+        pad = (-N) % d
+        out = {}
+        for k, v in arrays.items():
+            if pad:
+                fill = -1 if k in ("song_id", "first_in_song") else 0
+                if k == "first_in_song":
+                    fill = 1
+                pad_block = np.full((pad, *v.shape[1:]), fill, dtype=v.dtype)
+                v = np.concatenate([v, pad_block], axis=0)
+            out[k] = jax.device_put(v, sharding)
+        return out
+
+    # -- HBM capacity accounting for the device-resident path ----------
+
+    def split_device_bytes(self, flat: FlatSplit) -> int:
+        """Bytes the resident upload of ``flat`` occupies, plus the
+        per-window H/z-cache arrays the epoch program materializes."""
+        total = 0
+        for k in BATCH_KEYS:
+            total += np.asarray(getattr(flat, k)).nbytes
+        total += np.asarray(flat.first_in_song).nbytes
+        total += np.asarray(flat.song_id).nbytes
+        # H_all + z_cache: 2 x (N, latent_dim) f32
+        total += 2 * flat.num_windows * self.cfg.latent_dim * 4
+        return total
+
+    def hbm_budget_bytes(self) -> int | None:
+        """Per-device bytes available for resident data: an explicit
+        ``self.hbm_budget`` override (tests / operator), else the backend's
+        reported limit minus a working-set reserve, else None (unknown --
+        e.g. the CPU backend reports no limit; caller treats as unlimited,
+        matching the pre-guard behavior)."""
+        override = getattr(self, "hbm_budget", None)
+        if override is not None:
+            return int(override)
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+        except Exception:
+            stats = None
+        if not stats or "bytes_limit" not in stats:
+            return None
+        # reserve for params/optimizer/activations/orders + fragmentation;
+        # the model is small (<100MB at H=512) but wide-batch activations
+        # and the chunked orders upload are not
+        reserve = max(int(0.25 * stats["bytes_limit"]), 2 << 30)
+        return max(0, int(stats["bytes_limit"]) - reserve)
+
+    def choose_device_data_mode(
+        self, train: FlatSplit, test: FlatSplit | None
+    ) -> str:
+        """'replicated' | 'sharded' | 'host': pick the largest-capacity
+        resident layout that fits the per-device budget (VERDICT r3: a
+        corpus bigger than one chip's HBM must not OOM, and an N-chip mesh
+        should hold N x the corpus before falling back to host-driven
+        epochs)."""
+        budget = self.hbm_budget_bytes()
+        if budget is None:
+            return "replicated"
+        need = self.split_device_bytes(train)
+        if test is not None and test.num_windows:
+            need += self.split_device_bytes(test)
+        if need <= budget:
+            return "replicated"
+        d = self.mesh.shape.get(pmesh.DATA_AXIS, 1) if self.mesh is not None else 1
+        if d > 1 and need <= budget * d:
+            return "sharded"
+        return "host"
 
     def _uses_z_cache(self) -> bool:
         """History latents come from the per-window z cache (updated inside
@@ -838,11 +924,26 @@ class VAETrainer:
                         pass  # unreadable/foreign history: start fresh
 
         try:
+            mode = "host"
             if self.supports_device_epoch() and train.num_windows:
+                mode = self.choose_device_data_mode(train, test)
+            if mode != "host":
+                if mode == "sharded":
+                    d = self.mesh.shape.get(pmesh.DATA_AXIS, 1)
+                    log_fn(
+                        "corpus exceeds one device's HBM budget: resident "
+                        f"data sharded over the {d}-way 'data' mesh axis"
+                    )
                 self._fit_device(
-                    state, train, test, epochs, output_dir, log_fn, history
+                    state, train, test, epochs, output_dir, log_fn, history,
+                    shard_data=(mode == "sharded"),
                 )
             else:
+                if self.supports_device_epoch() and train.num_windows:
+                    log_fn(
+                        "corpus exceeds the mesh's HBM budget even sharded: "
+                        "falling back to host-driven epochs"
+                    )
                 self._fit_host(
                     state, train, test, epochs, output_dir, log_fn, history
                 )
@@ -884,7 +985,8 @@ class VAETrainer:
         return history
 
     def _fit_device(
-        self, state, train, test, epochs, output_dir, log_fn, history
+        self, state, train, test, epochs, output_dir, log_fn, history,
+        shard_data: bool = False,
     ) -> None:
         """Pipelined device-resident training loop.
 
@@ -899,11 +1001,11 @@ class VAETrainer:
         cfg = self.cfg
         timings = {"dispatch_s": 0.0, "flush_s": 0.0, "save_submit_s": 0.0,
                    "writer_s": 0.0, "n_chunks": 0, "n_saves": 0}
-        device_data = self.prepare_device_data(train)
+        device_data = self.prepare_device_data(train, shard=shard_data)
         has_test = test is not None and test.num_windows > 0
         test_device_data = test_order = test_mask = None
         if has_test:
-            test_device_data = self.prepare_device_data(test)
+            test_device_data = self.prepare_device_data(test, shard=shard_data)
             order_np, mask_np = padded_batch_order(
                 np.arange(test.num_windows), cfg.batch_size
             )
