@@ -43,7 +43,13 @@ def _class_index(cfg, value: str, flag: str) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", required=True, help="VAE run dir (train.py --output)")
+    p.add_argument("--model", default=None, help="VAE run dir (train.py --output)")
+    p.add_argument(
+        "--bundle", default=None,
+        help="sealed serving-bundle dir (tools/export_serving.py): run the "
+             "transfer from the AOT-exported programs alone -- no model "
+             "build, no checkpoint restore (mutually exclusive with --model)",
+    )
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--input", required=True, nargs="+", help="MIDI file(s)")
     p.add_argument("--output", required=True, help="output folder")
@@ -89,17 +95,30 @@ def main(argv: list[str] | None = None) -> int:
         load_rolls_from_path,
         save_rolls_as_midi,
     )
-    from midi_vae_tpu.evaluation.generation import (
-        GenerationContext,
-        vote_for_programs,
-    )
-    from midi_vae_tpu.models import MidiVAE
-    from midi_vae_tpu.training import checkpoint as ckpt
+    from midi_vae_tpu.evaluation.generation import vote_for_programs
 
-    cfg = ckpt.load_config(args.model)
-    state = ckpt.restore_checkpoint(args.model, args.epoch)
-    model = MidiVAE(cfg)
-    ctx = GenerationContext(cfg, model, state["params"])
+    if (args.model is None) == (args.bundle is None):
+        raise SystemExit("pass exactly one of --model or --bundle")
+    if args.bundle is not None:
+        # sealed-artifact path: the compiled programs + config are the whole
+        # deployment -- no model classes, no checkpoint handling
+        from midi_vae_tpu.serving import load_serving_bundle
+
+        ctx = load_serving_bundle(args.bundle)
+        cfg = ctx.cfg
+        run_dir = args.bundle
+        if args.epoch is not None:
+            raise SystemExit("--epoch applies to --model runs, not bundles")
+    else:
+        from midi_vae_tpu.evaluation.generation import GenerationContext
+        from midi_vae_tpu.models import MidiVAE
+        from midi_vae_tpu.training import checkpoint as ckpt
+
+        cfg = ckpt.load_config(args.model)
+        state = ckpt.restore_checkpoint(args.model, args.epoch)
+        model = MidiVAE(cfg)
+        ctx = GenerationContext(cfg, model, state["params"])
+        run_dir = args.model
     os.makedirs(args.output, exist_ok=True)
 
     judges = {}
@@ -141,7 +160,7 @@ def main(argv: list[str] | None = None) -> int:
     # with the TRAIN-time stats train.py saved next to the checkpoints
     sig_stats = None
     if cfg.append_signature_vector_to_latent:
-        stats_path = os.path.join(args.model, "signature_stats.npz")
+        stats_path = os.path.join(run_dir, "signature_stats.npz")
         if os.path.exists(stats_path):
             d = np.load(stats_path)
             sig_stats = (d["mean"], d["std"])

@@ -25,6 +25,30 @@ from . import sampling
 from ..data.batching import bucket_pow2 as _bucket  # shared padding policy
 
 
+def additional_rows(
+    cfg: Config, C: int | None, S: np.ndarray | None, n: int
+) -> np.ndarray | None:
+    """Decoder additional input rows, [C one-hot ⊕ S] per the configured
+    flags (prepare_decoder_input, vae_definition.py:835-847). None when the
+    config has no additional input. Shared by the live GenerationContext
+    and the sealed ServingBundle song entry points."""
+    if not cfg.decoder_additional_input:
+        return None
+    parts = []
+    if cfg.decoder_input_composer:
+        onehot = np.zeros((n, cfg.num_classes), np.float32)
+        if C is not None:
+            onehot[:, C] = 1.0
+        parts.append(onehot)
+    if cfg.append_signature_vector_to_latent:
+        sig = np.zeros((n, cfg.signature_vector_length), np.float32)
+        if S is not None:
+            S = np.atleast_2d(np.asarray(S, np.float32))
+            sig[: min(n, len(S))] = S[:n]
+        parts.append(sig)
+    return np.concatenate(parts, axis=-1)
+
+
 def decode_argmax_graph(model: MidiVAE, cfg: Config):
     """Build the pure fn (params, z, H, A) -> per-head argmax dict.
 
@@ -206,27 +230,7 @@ class GenerationContext:
     def additional_for(
         self, C: int | None, S: np.ndarray | None, n: int
     ) -> np.ndarray | None:
-        """Decoder additional input rows, [C one-hot ⊕ S] per the configured
-        flags (prepare_decoder_input, vae_definition.py:835-847). None when
-        the config has no additional input."""
-        cfg = self.cfg
-        if not cfg.decoder_additional_input:
-            return None
-        parts = []
-        if cfg.decoder_input_composer:
-            onehot = np.zeros((n, cfg.num_classes), np.float32)
-            if C is not None:
-                onehot[:, C] = 1.0
-            parts.append(onehot)
-        if cfg.append_signature_vector_to_latent:
-            if S is None:
-                sig = np.zeros((n, cfg.signature_vector_length), np.float32)
-            else:
-                sig = np.zeros((n, cfg.signature_vector_length), np.float32)
-                S = np.atleast_2d(np.asarray(S, np.float32))
-                sig[: min(n, len(S))] = S[:n]
-            parts.append(sig)
-        return np.concatenate(parts, axis=-1)
+        return additional_rows(self.cfg, C, S, n)
 
     def style_transfer_song(
         self,

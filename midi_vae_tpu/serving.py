@@ -50,6 +50,8 @@ from .config import Config
 
 _PROGRAMS = ("encode", "decode_argmax", "style_transfer")
 _MANIFEST = "manifest.json"
+# bumped when the on-disk layout or program signatures change incompatibly
+BUNDLE_FORMAT = 1
 
 
 def _encoder_shapes(cfg: Config, B: int) -> dict[str, tuple]:
@@ -151,6 +153,7 @@ def export_serving_bundle(
 
     cfg.save(os.path.join(out_dir, "config.json"))
     manifest = {
+        "bundle_format": BUNDLE_FORMAT,
         "programs": list(_PROGRAMS),
         "batch_sizes": buckets,
         "encoder_input_dims": {
@@ -178,10 +181,28 @@ class ServingBundle:
     """
 
     def __init__(self, bundle_dir: str):
+        import jax
         from jax import export as jexport
 
         with open(os.path.join(bundle_dir, _MANIFEST)) as f:
             self.manifest = json.load(f)
+        fmt = int(self.manifest.get("bundle_format", 1))
+        if fmt > BUNDLE_FORMAT:
+            raise RuntimeError(
+                f"bundle {bundle_dir!r} has format {fmt}, newer than this "
+                f"framework supports ({BUNDLE_FORMAT}); upgrade the package "
+                "or re-export the bundle"
+            )
+        platforms = [p.lower() for p in self.manifest.get("platforms") or []]
+        backend = jax.default_backend().lower()
+        if platforms and backend not in platforms:
+            raise RuntimeError(
+                f"bundle {bundle_dir!r} was exported for platform(s) "
+                f"{platforms}; this process runs on {backend!r}. Re-export "
+                f"with --platforms {backend} (tools/export_serving.py) or "
+                "load it on a matching host"
+            )
+        self.bundle_dir = bundle_dir
         self.cfg = Config.load(os.path.join(bundle_dir, "config.json"))
         self.batch_sizes = [int(b) for b in self.manifest["batch_sizes"]]
         self._fns = {}
@@ -226,6 +247,15 @@ class ServingBundle:
         return out, n
 
     def encode(self, batch: dict) -> np.ndarray:
+        n = int(np.asarray(batch["X"]).shape[0])
+        if n > self.max_batch:
+            # encode is row-independent: chunk over the largest bucket
+            chunks = [
+                self.encode({k: np.asarray(v)[i: i + self.max_batch]
+                             for k, v in batch.items()})
+                for i in range(0, n, self.max_batch)
+            ]
+            return np.concatenate(chunks, axis=0)
         padded, n = self.pad_batch(batch)
         B = padded["X"].shape[0]
         z = np.asarray(self._fns[("encode", B)].call(padded))
@@ -234,6 +264,19 @@ class ServingBundle:
     def decode_argmax(self, z, H=None, A=None) -> dict[str, np.ndarray]:
         z = np.atleast_2d(np.asarray(z, np.float32))
         n = z.shape[0]
+        if n > self.max_batch:
+            # row-independent given explicit H/A: chunk like encode
+            def row(a, i):
+                return None if a is None else np.atleast_2d(a)[i: i + self.max_batch]
+
+            chunks = [
+                self.decode_argmax(z[i: i + self.max_batch], row(H, i), row(A, i))
+                for i in range(0, n, self.max_batch)
+            ]
+            return {
+                k: np.concatenate([c[k] for c in chunks], axis=0)
+                for k in chunks[0]
+            }
         B = self.bucket_for(n)
         zp = self._pad_rows(z, B)
         Hp = (np.zeros((B, self.manifest["latent_dim"]), np.float32)
@@ -254,6 +297,86 @@ class ServingBundle:
         return (
             {k: np.asarray(v)[:n] for k, v in outs.items()},
             np.asarray(switched)[:n],
+        )
+
+    # -- song-level entry points (GenerationContext-compatible) ---------
+    # The transfer CLI drives either a live GenerationContext or a loaded
+    # bundle through this same four-method surface; bundles decode argmax
+    # only (that is what was exported).
+
+    def _song_batch(self, X, I, V, D) -> dict:
+        from .data.batching import held_to_categorical, prepare_velocity
+
+        cfg = self.cfg
+        n = X.shape[0]
+        D_cat = held_to_categorical(np.atleast_2d(D))
+        V3 = prepare_velocity(np.atleast_2d(V), D_cat, cfg)
+        batch = {"X": np.asarray(X, np.float32)}
+        if cfg.meta_instrument:
+            batch["I"] = np.tile(
+                np.asarray(I, np.float32)[None], (n, 1, 1)
+            )
+        if cfg.meta_velocity:
+            batch["V"] = np.asarray(V3, np.float32)
+        if cfg.meta_held_notes:
+            batch["D"] = np.asarray(D_cat, np.float32)
+        return batch
+
+    def additional_for(self, C, S, n):
+        from .evaluation.generation import additional_rows
+
+        return additional_rows(self.cfg, C, S, n)
+
+    def encode_song(self, X, I, V, D) -> np.ndarray:
+        """Windows of one song -> deterministic latents (n, latent)."""
+        return self.encode(self._song_batch(X, I, V, D))
+
+    def style_transfer_song(
+        self, X, I, V, D, C: int, C_switch: int, S=None
+    ):
+        """MIDI->MIDI style transfer from the sealed programs alone:
+        encode -> z[C] <-> z[C_switch] swap -> history roll -> argmax
+        decode, identical contract to
+        GenerationContext.style_transfer_song (the capability of
+        /root/reference/vae_evaluation.py:2448-2625).
+
+        Songs up to the largest bucket take the fused one-program path;
+        longer songs COMPOSE the same pipeline from the sealed encode +
+        decode programs (the history roll happens on the host between
+        them -- the fused graph's exact semantics, transfer_argmax_graph),
+        so a bundle serves any song length."""
+        from .evaluation import sampling
+
+        cfg = self.cfg
+        batch = self._song_batch(X, I, V, D)
+        n = batch["X"].shape[0]
+        perm = np.arange(cfg.latent_dim)
+        perm[[C, C_switch]] = perm[[C_switch, C]]
+        A = self.additional_for(C_switch, S, n)
+        if n <= self.max_batch:
+            idx, switched = self.style_transfer(batch, perm, A)
+        else:
+            z = self.encode(batch)
+            switched = z[:, perm]
+            H = np.zeros_like(switched)
+            H[1:] = switched[:-1]
+            idx = self.decode_argmax(switched, H, A)
+        return sampling.process_argmax_outputs(idx, cfg), switched
+
+    def decode_and_process(
+        self, z, history=None, additional=None, sample_method: str = "argmax",
+        rng=None, independent_windows: bool = False,
+    ):
+        if sample_method != "argmax":
+            raise ValueError(
+                "serving bundles export argmax decoding only; "
+                f"got sample_method={sample_method!r}"
+            )
+        from .evaluation import sampling
+
+        idx = self.decode_argmax(z, history, additional)
+        return sampling.process_argmax_outputs(
+            idx, self.cfg, independent_windows=independent_windows
         )
 
 

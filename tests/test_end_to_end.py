@@ -192,6 +192,36 @@ def test_transfer_cli(workdir):
     )
     assert "source class equals target class" in out
 
+    # sealed-artifact path: export a serving bundle from the run, then
+    # transfer with ONLY the bundle (no checkpoint restore, no model build)
+    run(
+        [os.path.join(REPO, "tools", "export_serving.py"),
+         "--model", str(d / "vae_t"), "--out", str(d / "bundle_t"),
+         "--batch", "8", "--cpu"],
+        cwd=str(d),
+    )
+    out = run(
+        [os.path.join(REPO, "transfer.py"), "--bundle", str(d / "bundle_t"),
+         "--input", src, "--to-class", "style2",
+         "--output", str(d / "transfer_bundle"), "--cpu"],
+        cwd=str(d),
+    )
+    assert "style1_to_style2" in out
+    midis = sorted(os.listdir(d / "transfer_bundle"))
+    assert any(m.endswith("_style1_to_style2.mid") for m in midis)
+    # exactly one of --model/--bundle
+    import subprocess as sp
+
+    r = sp.run(
+        [sys.executable,
+         os.path.join(REPO, "transfer.py"), "--model", str(d / "vae_t"),
+         "--bundle", str(d / "bundle_t"), "--input", src,
+         "--to-class", "style2", "--output", str(d / "x"), "--cpu"],
+        capture_output=True, text=True, cwd=str(d),
+    )
+    assert r.returncode != 0
+    assert "exactly one of --model or --bundle" in r.stderr
+
 
 def test_train_classify_evaluate(workdir):
     d = workdir

@@ -167,3 +167,114 @@ class TestServingBundle:
         z = b.encode(make_batch(cfg, 3))
         assert z.shape == (3, cfg.latent_dim)
         assert np.all(np.isfinite(z))
+
+
+class TestBundleValidationAndSongAPI:
+    def test_platform_mismatch_clean_error(self, bundle, tmp_path):
+        """A bundle exported for another platform must fail at LOAD time
+        with an actionable message, not at call time with an XLA error."""
+        import shutil
+
+        _, _, _, out, _ = bundle
+        alien = str(tmp_path / "alien")
+        shutil.copytree(out, alien)
+        mpath = os.path.join(alien, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["platforms"] = ["tpu"]
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        with pytest.raises(RuntimeError, match="exported for platform"):
+            serving.load_serving_bundle(alien)
+
+    def test_future_format_clean_error(self, bundle, tmp_path):
+        import shutil
+
+        _, _, _, out, _ = bundle
+        future = str(tmp_path / "future")
+        shutil.copytree(out, future)
+        mpath = os.path.join(future, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["bundle_format"] = serving.BUNDLE_FORMAT + 1
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        with pytest.raises(RuntimeError, match="newer than this framework"):
+            serving.load_serving_bundle(future)
+
+    def test_style_transfer_song_matches_live_context(self, bundle):
+        """The sealed song-level transfer must make the SAME argmax
+        decisions as the live GenerationContext (the CLI drives both
+        through one surface)."""
+        from midi_vae_tpu.evaluation.generation import GenerationContext
+
+        cfg, model, params, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        ctx = GenerationContext(cfg, model, params)
+        rng = np.random.default_rng(3)
+        n = 3
+        X = np.zeros((n, cfg.input_length, cfg.input_dim), np.float32)
+        for i in range(n):
+            for t in range(cfg.input_length):
+                X[i, t, rng.integers(cfg.input_dim)] = 1
+        I = np.zeros((cfg.max_voices, cfg.instrument_dim), np.float32)
+        I[:, 0] = 1
+        V = rng.random((n, cfg.output_length)).astype(np.float32)
+        D = np.zeros((n, cfg.output_length), np.float32)
+
+        (Yb, Ib, Vb, Db, Nb), sw_b = b.style_transfer_song(
+            X, I, V, D, C=0, C_switch=1
+        )
+        (Yl, Il, Vl, Dl, Nl), sw_l = ctx.style_transfer_song(
+            X, I, V, D, C=0, C_switch=1
+        )
+        np.testing.assert_array_equal(Yb, Yl)
+        if Ib is not None:
+            np.testing.assert_array_equal(Ib, Il)
+        if Vb is not None:
+            np.testing.assert_allclose(Vb, Vl, atol=1e-5)
+        np.testing.assert_allclose(sw_b, sw_l, atol=1e-5)
+
+    def test_encode_and_decode_song_roundtrip(self, bundle):
+        cfg, model, params, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        rng = np.random.default_rng(5)
+        n = 2
+        X = np.zeros((n, cfg.input_length, cfg.input_dim), np.float32)
+        for i in range(n):
+            for t in range(cfg.input_length):
+                X[i, t, rng.integers(cfg.input_dim)] = 1
+        I = np.zeros((cfg.max_voices, cfg.instrument_dim), np.float32)
+        I[:, 0] = 1
+        V = rng.random((n, cfg.output_length)).astype(np.float32)
+        D = np.zeros((n, cfg.output_length), np.float32)
+        z = b.encode_song(X, I, V, D)
+        assert z.shape == (n, cfg.latent_dim)
+        rolls = b.decode_and_process(z, history=z)
+        assert rolls[0].shape[0] == n * cfg.output_length
+        with pytest.raises(ValueError, match="argmax"):
+            b.decode_and_process(z, sample_method="choice")
+
+    def test_long_song_composed_transfer_matches_live(self, bundle):
+        """A song longer than the largest bucket takes the composed
+        encode -> host roll -> chunked decode path; argmax decisions must
+        still match the live context."""
+        from midi_vae_tpu.evaluation.generation import GenerationContext
+
+        cfg, model, params, out, _ = bundle
+        b = serving.load_serving_bundle(out)
+        ctx = GenerationContext(cfg, model, params)
+        rng = np.random.default_rng(11)
+        n = b.max_batch + 5
+        X = np.zeros((n, cfg.input_length, cfg.input_dim), np.float32)
+        for i in range(n):
+            for t in range(cfg.input_length):
+                X[i, t, rng.integers(cfg.input_dim)] = 1
+        I = np.zeros((cfg.max_voices, cfg.instrument_dim), np.float32)
+        I[:, 0] = 1
+        V = rng.random((n, cfg.output_length)).astype(np.float32)
+        D = np.zeros((n, cfg.output_length), np.float32)
+        (Yb, *_), sw_b = b.style_transfer_song(X, I, V, D, C=0, C_switch=1)
+        (Yl, *_), sw_l = ctx.style_transfer_song(X, I, V, D, C=0, C_switch=1)
+        np.testing.assert_array_equal(Yb, Yl)
+        np.testing.assert_allclose(sw_b, sw_l, atol=1e-5)

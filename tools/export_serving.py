@@ -48,6 +48,13 @@ def main() -> None:
         cfg, state["params"], args.out,
         batch_size=args.batch, platforms=args.platforms,
     )
+    # signature-conditioned runs keep their train-time normalization stats
+    # next to the programs so `transfer --bundle` can normalize inputs
+    stats = os.path.join(args.model, "signature_stats.npz")
+    if os.path.exists(stats):
+        import shutil
+
+        shutil.copy(stats, os.path.join(args.out, "signature_stats.npz"))
     print(json.dumps({"bundle": os.path.abspath(args.out), **manifest}))
 
 
