@@ -93,6 +93,7 @@ WORKER = textwrap.dedent(
     os.environ.get("MIDI_VAE_TPU_SKIP_DISTRIBUTED") == "1",
     reason="distributed test disabled",
 )
+@pytest.mark.slow
 def test_two_process_training_step(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))

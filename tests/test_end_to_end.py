@@ -51,6 +51,7 @@ def workdir3(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_train_on_pathological_corpus(tmp_path):
     """Robustness soak: the full CLI pipeline on a randomized fuzz corpus
     (multi-tempo files, off-grid starts, dense chords, sub-quantum notes,
@@ -89,6 +90,7 @@ def test_train_on_pathological_corpus(tmp_path):
     assert os.path.exists(tmp_path / "eval" / "evaluation_metrics.csv")
 
 
+@pytest.mark.slow
 def test_three_class_switch_matrix(workdir3):
     """>= 3 classes: per-(C -> C_switch) columns must all survive -- the
     reference overwrites its switched_* CSV columns per C_switch
@@ -149,6 +151,7 @@ def test_three_class_switch_matrix(workdir3):
         )
 
 
+@pytest.mark.slow
 def test_transfer_cli(workdir):
     """transfer.py: MIDI file in -> style-swapped MIDI out, through the
     one-program serving path (plus the --write-reconstruction companion)."""
@@ -223,6 +226,7 @@ def test_transfer_cli(workdir):
     assert "exactly one of --model or --bundle" in r.stderr
 
 
+@pytest.mark.slow
 def test_train_classify_evaluate(workdir):
     d = workdir
     out = run(

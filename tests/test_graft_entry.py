@@ -14,6 +14,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import conftest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -63,6 +65,7 @@ class TestDryrunMultichip:
             env=env,
         )
 
+    @pytest.mark.slow
     def test_dryrun_8_devices(self):
         """The driver's exact invocation must succeed on a fresh process."""
         env = dict(os.environ)
@@ -71,6 +74,7 @@ class TestDryrunMultichip:
         assert res.returncode == 0, res.stderr[-4000:]
         assert "dryrun_multichip OK" in res.stdout
 
+    @pytest.mark.slow
     def test_dryrun_8_devices_driver_platform(self):
         """Same, but with the platform pin the driver environment uses
         (e.g. JAX_PLATFORMS=axon -> a single tunneled TPU): the entry must

