@@ -61,6 +61,21 @@ class MidiVAE:
         supported on CPU backend"). None = use the default backend."""
         self.cfg = cfg
         self.platform = platform
+        # optional device mesh; when its 'data' axis is >1 the forward runs
+        # under shard_map (manual over 'data') so the Mosaic kernels -- which
+        # GSPMD cannot auto-partition -- see per-shard batches. Set by the
+        # trainer / generation context; None = plain single-program dispatch.
+        self.mesh = None
+        # True when the trainer's resident dataset is sharded over 'data'
+        # (the HBM-overflow layout): the epoch program then gathers batches
+        # from 'data'-sharded arrays, and XLA's SPMD partitioner hits an
+        # INTERNAL RET_CHECK (ReduceScatterCreator, layout {2,0,1} on the
+        # (N,T,1) velocity array) when that gather feeds a shard_map manual
+        # region. Sharded-data programs therefore take plain GSPMD with the
+        # scan-path RNNs (Mosaic kernels cannot appear under auto axes);
+        # capacity beats kernel speed in the overflow mode. Verified by
+        # tools/compile_topology.py --shard-data on a v5e-8 topology.
+        self.sharded_data = False
         self.cell = get_cell(cfg.cell_type)
         # test hook: run the whole-decode multi-head kernel in Pallas
         # interpret mode so CPU tests can exercise the model-level dispatch
@@ -78,6 +93,19 @@ class MidiVAE:
             return False  # kernels implement exact-sigmoid gates only
         if cfg.use_pallas == "on":
             return True
+        if (
+            self.mesh is not None
+            and self.mesh.shape.get("data", 1) > 1
+            and self.sharded_data
+        ):
+            return False  # sharded-data epochs run plain GSPMD (see __init__)
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            # tensor-parallel meshes: the dense layers are GSPMD-sharded
+            # over 'model', and Mosaic kernels cannot appear under any auto
+            # mesh axis -- the RNN layers take the XLA scan path there
+            # (DP-only meshes keep the kernels via fully-manual shard_map,
+            # see apply_sharded)
+            return False
         if self.platform is not None:
             return self.platform == "tpu"
         import jax as _jax
@@ -631,12 +659,20 @@ class MidiVAE:
         batch: dict,
         rng: jax.Array | None = None,
         epsilon_std: float = 0.0,
+        noise: jnp.ndarray | None = None,
     ) -> dict:
         """Autoencoder forward: encode, sample, decode all heads + probes.
 
         With ``cfg.compute_dtype='bfloat16'`` the whole forward runs in bf16
         (MXU 2x rate; matmul accumulation stays f32 via
-        preferred_element_type) while the caller's loss upcasts to f32."""
+        preferred_element_type) while the caller's loss upcasts to f32.
+
+        ``noise``: optional PRE-SCALED reparameterization noise
+        (epsilon_std * N(0,1), shape (B, latent_dim), z_mean's dtype) --
+        z = z_mean + exp(z_log_var/2) * noise. Used by the shard_map'd
+        forward (apply_sharded): the noise is drawn OUTSIDE the manual
+        region with the same key/shape/dtype sample_z would use, so the
+        sharded program is bit-identical to the single-program one."""
         cfg = self.cfg
         if cfg.compute_dtype == "bfloat16":
             bf16 = jnp.bfloat16
@@ -645,8 +681,13 @@ class MidiVAE:
                 k: (v.astype(bf16) if hasattr(v, "dtype") and v.dtype == jnp.float32 else v)
                 for k, v in batch.items()
             }
+            if noise is not None:
+                noise = noise.astype(bf16)
         z_mean, z_log_var = self.encode_stats(params, batch)
-        z = self.sample_z(z_mean, z_log_var, rng, epsilon_std)
+        if noise is not None:
+            z = z_mean + jnp.exp(z_log_var / 2.0) * noise
+        else:
+            z = self.sample_z(z_mean, z_log_var, rng, epsilon_std)
         outputs = self.decode(
             params,
             z,
@@ -676,6 +717,95 @@ class MidiVAE:
                 params, outputs["instrument"][0]
             )
         return result
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: manual-over-'data' forward for multi-chip meshes
+# ---------------------------------------------------------------------------
+# GSPMD cannot auto-partition Mosaic (Pallas) kernels -- a multi-chip TPU
+# mesh with the fused kernels enabled fails to compile ("Mosaic kernels
+# cannot be automatically partitioned"). The forward is per-row over the
+# batch, so the fix is exact: run model.apply / model.encode inside
+# jax.shard_map, manual over the 'data' axis (each chip's kernels see the
+# local batch shard) and auto over 'model' (GSPMD keeps tensor-parallel
+# layouts). All batch reductions (losses, metrics) happen OUTSIDE on the
+# sharded outputs, so the math -- and, with the reparameterization noise
+# drawn outside the manual region, the bits -- match the single-program
+# dispatch. AD composes: replicated params get their cotangents psum'd
+# over 'data' by shard_map's transpose, which IS the DP gradient
+# all-reduce.
+
+
+def _data_manual(model: MidiVAE, n_rows: int):
+    """(mesh, manual axis names) to shard_map over, or (None, None) for
+    plain dispatch. Rows that do not divide the 'data' axis (host-path
+    partial batches) take the plain dispatch -- the jitted trainer paths
+    always pad to full batches.
+
+    DP-only meshes go FULLY manual (every axis named): Mosaic kernels
+    cannot appear under any auto mesh axis, and with model=1 there is
+    nothing for GSPMD to do inside. Tensor-parallel meshes stay manual
+    over 'data' only, leaving 'model' to GSPMD -- the kernels are then
+    disabled (_pallas_enabled) and the scan path partitions cleanly."""
+    mesh = model.mesh
+    if mesh is None or mesh.shape.get("data", 1) <= 1 or model.sharded_data:
+        return None, None
+    if n_rows % mesh.shape["data"] != 0:
+        return None, None
+    if mesh.shape.get("model", 1) == 1:
+        return mesh, set(mesh.axis_names)
+    return mesh, {"data"}
+
+
+def apply_sharded(
+    model: MidiVAE, params: Params, batch: dict, rng, epsilon_std: float
+) -> dict:
+    """model.apply, shard_map'd over the mesh 'data' axis when one is set."""
+    mesh, manual = _data_manual(model, batch["X"].shape[0])
+    if mesh is None:
+        return model.apply(params, batch, rng, epsilon_std)
+    from jax.sharding import PartitionSpec as P
+
+    cfg = model.cfg
+    batch_specs = {k: P("data") for k in batch}
+    if rng is not None and epsilon_std != 0.0:
+        dt = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        # same key / shape / dtype / scaling as sample_z would use inside
+        noise = epsilon_std * jax.random.normal(
+            rng, (batch["X"].shape[0], cfg.latent_dim), dt
+        )
+        fn = jax.shard_map(
+            lambda p, b, nz: model.apply(p, b, None, 0.0, noise=nz),
+            mesh=mesh, axis_names=manual, check_vma=False,
+            in_specs=(P(), batch_specs, P("data")), out_specs=P("data"),
+        )
+        return fn(params, batch, noise)
+    fn = jax.shard_map(
+        lambda p, b: model.apply(p, b, None, 0.0),
+        mesh=mesh, axis_names=manual, check_vma=False,
+        in_specs=(P(), batch_specs), out_specs=P("data"),
+    )
+    return fn(params, batch)
+
+
+def encode_sharded(
+    model: MidiVAE, params: Params, batch: dict
+) -> jnp.ndarray:
+    """Deterministic model.encode, shard_map'd over 'data' when set."""
+    mesh, manual = _data_manual(model, batch["X"].shape[0])
+    if mesh is None:
+        return model.encode(params, batch)
+    from jax.sharding import PartitionSpec as P
+
+    batch_specs = {k: P("data") for k in batch}
+    fn = jax.shard_map(
+        lambda p, b: model.encode(p, b),
+        mesh=mesh, axis_names=manual, check_vma=False,
+        in_specs=(P(), batch_specs), out_specs=P("data"),
+    )
+    return fn(params, batch)
 
 
 # ---------------------------------------------------------------------------
@@ -724,7 +854,7 @@ def loss_and_metrics(
     callers must pop it before averaging (the trainer's history-z cache).
     """
     cfg = model.cfg
-    out = model.apply(params, batch, rng, epsilon_std)
+    out = apply_sharded(model, params, batch, rng, epsilon_std)
     if cfg.compute_dtype == "bfloat16":
         # losses/metrics in full precision
         out = jax.tree_util.tree_map(

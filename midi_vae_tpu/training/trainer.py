@@ -177,6 +177,10 @@ class VAETrainer:
         # mesh in a TPU-default process must take the jnp fallback
         mesh_platform = self.mesh.devices.flat[0].platform
         self.model = model or MidiVAE(cfg, platform=mesh_platform)
+        # multi-chip 'data' meshes run the forward under shard_map (GSPMD
+        # cannot auto-partition Mosaic kernels; see models/vae.py
+        # apply_sharded)
+        self.model.mesh = self.mesh
         self.optimizer = make_optimizer(cfg)
         self._build_steps()
 
@@ -203,7 +207,9 @@ class VAETrainer:
             return metrics
 
         def encode_step(params, batch):
-            return model.encode(params, batch)
+            from ..models.vae import encode_sharded
+
+            return encode_sharded(model, params, batch)
 
         # inputs arrive pre-placed (shard_params / shard_batch); jit infers
         # shardings from them, so the same step runs DP-only or DP+TP meshes
@@ -244,6 +250,10 @@ class VAETrainer:
         arrays["first_in_song"] = np.asarray(flat.first_in_song)
         arrays["song_id"] = np.asarray(flat.song_id)
         d = self.mesh.shape.get(pmesh.DATA_AXIS, 1) if self.mesh is not None else 1
+        # flip the model's dispatch mode (trace-time static; the epoch jits
+        # key on it): sharded-data programs take plain GSPMD, see
+        # MidiVAE.__init__ sharded_data
+        self.model.sharded_data = bool(shard and d > 1)
         if not shard or d <= 1:
             return {k: jnp.asarray(v) for k, v in arrays.items()}
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -486,10 +496,12 @@ class VAETrainer:
         ).reshape(n_enc, bs)
 
         def enc_one(idx):
+            from ..models.vae import encode_sharded
+
             batch = {
                 k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")
             }
-            return self.model.encode(params, batch)
+            return encode_sharded(self.model, params, batch)
 
         return jax.lax.map(enc_one, idx_all).reshape(n_enc * bs, -1)[:N]
 
@@ -616,7 +628,7 @@ class VAETrainer:
         z_cache = self._get_z_cache(state, data, first_epoch)
         if not hasattr(self, "_device_epochs_jit"):
             self._device_epochs_jit = {}
-        key = (history_active, with_eval)
+        key = (history_active, with_eval, self.model.sharded_data)
         if key not in self._device_epochs_jit:
             self._device_epochs_jit[key] = jax.jit(
                 functools.partial(

@@ -76,12 +76,39 @@ class StepTimer:
         return items_per_step / s["mean_s"]
 
 
+def host_cpu_fingerprint() -> str:
+    """Short hash of the host's CPU feature flags. XLA:CPU executables are
+    AOT-compiled against the compiling host's exact feature set and ABORT
+    (SIGILL-class) when a persistent-cache entry from a different host is
+    loaded ("Target machine feature +prefer-no-scatter is not supported
+    on the host machine" -- observed when these VMs migrate hosts). Cache
+    directories are keyed by this fingerprint so a host change means a
+    recompile, never a crash."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache() -> None:
     """Persistent jit cache: big-program compiles happen once per machine.
 
     Every CLI calls this before touching jax (the tunneled dev TPU takes
     minutes to compile the wide programs; the second run of any CLI is
-    fast). Override the location with MIDI_VAE_TPU_JAX_CACHE.
+    fast). Override the location with MIDI_VAE_TPU_JAX_CACHE. The
+    directory is keyed by the host CPU fingerprint (see
+    host_cpu_fingerprint) so stale cross-host XLA:CPU executables can
+    never be loaded.
     """
     import jax
 
@@ -89,6 +116,7 @@ def enable_compilation_cache() -> None:
         "MIDI_VAE_TPU_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "midi_vae_tpu", "jax"),
     )
+    cache = os.path.join(cache, host_cpu_fingerprint())
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

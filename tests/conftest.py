@@ -24,8 +24,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent jit-compilation cache: repeat test runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/midi_vae_tpu_jax_cache")
+# persistent jit-compilation cache: repeat test runs skip recompiles. The
+# dir is keyed by the host CPU fingerprint: XLA:CPU cache entries from a
+# different host ABORT the process when loaded (utils/profiling.py
+# host_cpu_fingerprint), observed as suite-killing "Fatal Python error:
+# Aborted" when the VM migrated hosts.
+from midi_vae_tpu.utils.profiling import host_cpu_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/midi_vae_tpu_jax_cache_{host_cpu_fingerprint()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

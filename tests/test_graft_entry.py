@@ -94,3 +94,37 @@ class TestDryrunMultichip:
         assert "dryrun_multichip OK" in res.stdout
         # 8 virtual devices -> a real 4x2 (data, model) mesh
         assert "'data': 4" in res.stdout and "'model': 2" in res.stdout
+
+
+class TestRealTopologyAOT:
+    """AOT-compile the training program for a REAL v5e-8 topology (chipless
+    PJRT topology description): the strongest multi-chip evidence this
+    one-chip environment can produce. Skipped where the TPU compile client
+    is unavailable."""
+
+    @pytest.mark.slow
+    def test_v5e8_train_step_compiles_with_fused_kernels(self):
+        import json
+
+        try:
+            from jax.experimental import topologies
+
+            topologies.get_topology_desc(
+                platform="tpu", topology_name="v5e:2x4"
+            )
+        except Exception as e:  # pragma: no cover - env-dependent
+            pytest.skip(f"no TPU topology client: {e}")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "compile_topology.py"),
+             "--topology", "v5e:2x4", "--mesh", "data=8"],
+            capture_output=True, text=True, timeout=1500, env=env, cwd=REPO,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr[-3000:]
+        out = json.loads(res.stdout.strip().splitlines()[-1])
+        step = out["programs"]["train_step"]
+        # the FUSED kernels must be in the partitioned program (the r4
+        # Mosaic-cannot-be-auto-partitioned regression), with the DP
+        # gradient all-reduce emitted
+        assert step["mosaic_kernels"] > 0, step
+        assert step["collectives"]["all-reduce"] >= 1, step

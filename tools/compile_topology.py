@@ -125,12 +125,15 @@ def main() -> int:
             shape_dtype.shape, shape_dtype.dtype, sharding=sharding
         )
 
-    # abstract state: param/optimizer shapes from eval_shape (nothing is
-    # materialized -- the topology has no addressable devices)
-    params_s = jax.eval_shape(
-        lambda k: tr.model.init_params(k), jax.random.PRNGKey(0)
+    # abstract state: init the (small) params for real on host CPU, keep
+    # only shapes + topology shardings (nothing is materialized on the
+    # topology -- it has no addressable devices)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params_real = tr.model.init_params(jax.random.PRNGKey(0))
+    params_s = jax.tree_util.tree_map(
+        lambda l: struct(l, spec_of(l)), params_real
     )
-    params_s = jax.tree_util.tree_map(lambda l: struct(l, spec_of(l)), params_s)
     opt_s = jax.eval_shape(tr.optimizer.init, params_s)
     opt_s = jax.tree_util.tree_map(lambda l: struct(l, spec_of(l)), opt_s)
     rng_s = jax.ShapeDtypeStruct(
@@ -164,7 +167,11 @@ def main() -> int:
     def record(name: str, compiled) -> None:
         hlo = compiled.as_text()
         mem = compiled.memory_analysis()
-        entry = {"collectives": collective_inventory(hlo)}
+        entry = {
+            "collectives": collective_inventory(hlo),
+            # proof the FUSED kernels (not fallbacks) are in the program
+            "mosaic_kernels": len(re.findall(r"tpu_custom_call", hlo)),
+        }
         if mem is not None:
             entry["per_chip_bytes"] = {
                 "arguments": int(getattr(mem, "argument_size_in_bytes", 0)),
@@ -183,6 +190,11 @@ def main() -> int:
 
     # ---- 2. the chunked-epoch program (the production dispatch) ----
     if args.epoch:
+        # mirror prepare_device_data's dispatch-mode flip (sharded-data
+        # epochs run plain GSPMD; see MidiVAE.sharded_data)
+        tr.model.sharded_data = bool(
+            args.shard_data and mesh.shape[pmesh.DATA_AXIS] > 1
+        )
         n_windows = 16 * cfg.batch_size
         E = 4
         n_batches = -(-n_windows // cfg.batch_size)
