@@ -1011,8 +1011,10 @@ class VAETrainer:
         save_step epochs instead of 2 dispatches + a blocking save per
         epoch."""
         cfg = self.cfg
-        timings = {"dispatch_s": 0.0, "flush_s": 0.0, "save_submit_s": 0.0,
-                   "writer_s": 0.0, "n_chunks": 0, "n_saves": 0}
+        timings = {"upload_s": 0.0, "dispatch_s": 0.0, "flush_s": 0.0,
+                   "save_submit_s": 0.0, "writer_s": 0.0, "n_chunks": 0,
+                   "n_saves": 0}
+        t0 = time.time()
         device_data = self.prepare_device_data(train, shard=shard_data)
         has_test = test is not None and test.num_windows > 0
         test_device_data = test_order = test_mask = None
@@ -1023,6 +1025,8 @@ class VAETrainer:
             )
             test_order = jnp.asarray(order_np)
             test_mask = jnp.asarray(mask_np)
+        jax.block_until_ready(device_data)
+        timings["upload_s"] = time.time() - t0
 
         from .async_saver import AsyncCheckpointWriter
 

@@ -77,27 +77,47 @@ class StepTimer:
 
 
 def host_cpu_fingerprint() -> str:
-    """Short hash of the host's CPU feature flags. XLA:CPU executables are
-    AOT-compiled against the compiling host's exact feature set and ABORT
-    (SIGILL-class) when a persistent-cache entry from a different host is
-    loaded ("Target machine feature +prefer-no-scatter is not supported
-    on the host machine" -- observed when these VMs migrate hosts). Cache
-    directories are keyed by this fingerprint so a host change means a
-    recompile, never a crash."""
+    """Short hash of the host CPU's identity. XLA:CPU executables are
+    AOT-compiled against the compiling host's exact LLVM feature set and
+    ABORT (SIGILL-class) when a persistent-cache entry from a different
+    host is loaded ("Target machine feature +prefer-no-scatter is not
+    supported on the host machine" -- observed when these VMs migrate
+    hosts). Cache directories are keyed by this fingerprint so a host
+    change means a recompile, never a crash.
+
+    The /proc/cpuinfo *flags* line alone is NOT enough: LLVM tuning
+    features like +prefer-no-gather depend on the CPU model/stepping/
+    microcode (Downfall-class mitigations), so two hosts can share
+    identical flags yet produce ABI-incompatible AOT blobs -- observed
+    as a migration-surviving /tmp cache aborting the test suite. Hash
+    the model identity lines and the jaxlib version too."""
     import hashlib
 
-    flags = ""
+    parts = []
     try:
+        keys = ("flags", "model name", "model", "cpu family", "stepping",
+                "microcode", "vendor_id")
+        seen = {}
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in keys and key not in seen:
+                    val = line.split(":", 1)[1].strip()
+                    if key == "flags":
+                        val = " ".join(sorted(val.split()))
+                    seen[key] = val
+        parts = [f"{k}={seen[k]}" for k in keys if k in seen]
     except OSError:
         import platform
 
-        flags = platform.processor() or platform.machine()
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+        parts = [platform.processor() or platform.machine()]
+    try:
+        import jaxlib
+
+        parts.append(f"jaxlib={jaxlib.__version__}")
+    except Exception:  # pragma: no cover - jaxlib is always present
+        pass
+    return hashlib.sha1(";".join(parts).encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache() -> None:

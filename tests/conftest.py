@@ -15,9 +15,17 @@ ORIG_XLA_FLAGS = os.environ.get("XLA_FLAGS")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # XLA:CPU in-process collectives CHECK-fail ("AwaitAndLogIfStuck" ->
+    # SIGABRT) when the 8-way rendezvous takes longer than the default
+    # timeout. On a 1-core VM the 8 virtual partitions of a chunked-epoch
+    # program execute SERIALLY, so the first participant legitimately
+    # waits 7x a partition's pre-collective work before the others
+    # arrive -- seconds-to-minutes for the big epoch programs. Raise the
+    # terminate timeout; a real deadlock still aborts, just later.
+    flags = flags + " --xla_cpu_collective_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -434,12 +434,22 @@ class TestShardedResidentData:
     """HBM-capacity guard + 'data'-axis-sharded resident dataset (VERDICT r3
     weak #1): an N-chip mesh must hold N x the corpus, oversized corpora must
     fall back to host-driven epochs instead of OOMing, and the sharded layout
-    must be a pure layout change."""
+    must train the same model to float tolerance.
+
+    NOT bit-exact by design: the replicated layout runs the forward under
+    the fully-manual shard_map (so Mosaic kernels partition on real
+    multi-chip meshes, models/vae.py apply_sharded) while the sharded-data
+    layout runs plain GSPMD with the scan-path RNNs (the gather-from-
+    sharded-data + manual-region combination is a measured XLA dead end,
+    models/vae.py MidiVAE.__init__). Two different-but-equivalent programs
+    differ in reduction association at the last float bit."""
 
     def test_sharded_matches_replicated_bitexact(self, cfg):
         """3 chunked epochs over sharded resident data (N=12 windows padded
-        to 16 over the 8-way axis) must match the replicated layout
-        bit-for-bit: same metrics, same final params."""
+        to 16 over the 8-way axis) must match the replicated layout to
+        float tolerance: same metrics, same final params. The tolerance is
+        tight enough that any real layout bug (wrong rows gathered, padding
+        rows leaking into the loss) still fails by orders of magnitude."""
         flat = synthetic_flat(cfg)  # N=12, not divisible by 8
         results = []
         for shard in (False, True):
@@ -456,13 +466,18 @@ class TestShardedResidentData:
         (m_rep, p_rep), (m_sh, p_sh) = results
         for e, (a, b) in enumerate(zip(m_rep, m_sh)):
             for k in a:
-                np.testing.assert_array_equal(a[k], b[k], err_msg=f"epoch{e}:{k}")
+                np.testing.assert_allclose(
+                    a[k], b[k], rtol=1e-4, atol=1e-5, err_msg=f"epoch{e}:{k}"
+                )
         for a, b in zip(p_rep, p_sh):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
 
     def test_sharded_with_z_cache_history(self, cfg):
         """history_from_train_z scatters into the z cache inside the step;
-        the padded dustbin row must keep sharded == replicated."""
+        the padded dustbin row must keep sharded == replicated (to float
+        tolerance -- different-but-equivalent programs, see class doc)."""
         cfg2 = cfg.replace(history=True, history_from_train_z=True)
         flat = synthetic_flat(cfg2)
         finals = []
@@ -477,9 +492,13 @@ class TestShardedResidentData:
         (m_rep, p_rep), (m_sh, p_sh) = finals
         for a, b in zip(m_rep, m_sh):
             for k in a:
-                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+                np.testing.assert_allclose(
+                    a[k], b[k], rtol=1e-4, atol=1e-5, err_msg=k
+                )
         for a, b in zip(p_rep, p_sh):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
 
     def test_mode_selection_ladder(self, cfg):
         flat = synthetic_flat(cfg)
