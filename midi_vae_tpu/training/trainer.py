@@ -231,8 +231,29 @@ class VAETrainer:
         # multi-process mesh, which jax rejects -- host-driven epochs there
         return jax.process_count() == 1
 
+    @staticmethod
+    def _resident_uint8(k: str, v: np.ndarray) -> bool:
+        """True when the split array ``k`` should live on device as uint8.
+
+        The one-hot/binary planes (notes X/Y, instrument I, held D,
+        composer C -- exactly which depends on the config, so decide by
+        VALUE, not by name) carry only {0.0, 1.0}: uploading them as uint8
+        and expanding to f32 AFTER the in-jit window gather is bit-exact
+        (uint8->f32 conversion of 0/1 is exact) while cutting the
+        host->device transfer, the resident HBM footprint, AND the
+        per-batch gather traffic 4x. Continuous planes (velocity V,
+        signature S) fail the value check and stay f32."""
+        return (
+            k in BATCH_KEYS
+            and v.dtype == np.float32
+            and bool(np.all((v == 0.0) | (v == 1.0)))
+        )
+
     def prepare_device_data(self, flat: FlatSplit, shard: bool = False) -> dict:
         """Upload the full split to device memory once.
+
+        Binary planes travel and reside as uint8 (see _resident_uint8);
+        consumers expand them to f32 after the gather (_take_f32).
 
         ``shard=True`` lays the window axis out over the mesh's 'data' axis
         (NamedSharding) instead of replicating, so an N-chip mesh holds N x
@@ -242,11 +263,14 @@ class VAETrainer:
         window of a song) and ``first_in_song=1`` (zero history); padded
         rows are never listed in any batch order, and the z-cache dustbin
         row moves with the padded length, so training semantics are
-        unchanged (gated bit-for-bit vs the replicated path in
+        unchanged (gated to float tolerance vs the replicated path in
         tests/test_training.py)."""
         arrays: dict[str, np.ndarray] = {
             k: np.asarray(getattr(flat, k)) for k in BATCH_KEYS
         }
+        for k, v in list(arrays.items()):
+            if self._resident_uint8(k, v):
+                arrays[k] = v.astype(np.uint8)
         arrays["first_in_song"] = np.asarray(flat.first_in_song)
         arrays["song_id"] = np.asarray(flat.song_id)
         d = self.mesh.shape.get(pmesh.DATA_AXIS, 1) if self.mesh is not None else 1
@@ -276,10 +300,12 @@ class VAETrainer:
 
     def split_device_bytes(self, flat: FlatSplit) -> int:
         """Bytes the resident upload of ``flat`` occupies, plus the
-        per-window H/z-cache arrays the epoch program materializes."""
+        per-window H/z-cache arrays the epoch program materializes.
+        Binary planes count at their uint8 (1-byte) resident size."""
         total = 0
         for k in BATCH_KEYS:
-            total += np.asarray(getattr(flat, k)).nbytes
+            v = np.asarray(getattr(flat, k))
+            total += v.size if self._resident_uint8(k, v) else v.nbytes
         total += np.asarray(flat.first_in_song).nbytes
         total += np.asarray(flat.song_id).nbytes
         # H_all + z_cache: 2 x (N, latent_dim) f32
@@ -333,13 +359,22 @@ class VAETrainer:
         each train step) instead of a per-epoch whole-split encode pass."""
         return self.cfg.history and self.cfg.history_from_train_z
 
+    @staticmethod
+    def _take_f32(data: dict, k: str, idx) -> jnp.ndarray:
+        """Window gather from resident data; uint8 binary planes expand to
+        f32 AFTER the gather (so the gather itself moves 1-byte rows)."""
+        v = jnp.take(data[k], idx, axis=0)
+        if v.dtype == jnp.uint8:
+            v = v.astype(jnp.float32)
+        return v
+
     def _gather_batch(self, data: dict, idx, m, H_all, N: int) -> dict:
         """In-jit batch assembly from device-resident split data: window
         gather + history + next-window targets + decoder additional input
         (mirrors the host path's _slice_batch)."""
         cfg = self.cfg
         safe = jnp.maximum(idx, 0)
-        batch = {k: jnp.take(data[k], safe, axis=0) for k in BATCH_KEYS}
+        batch = {k: self._take_f32(data, k, safe) for k in BATCH_KEYS}
         batch["H"] = jnp.take(H_all, safe, axis=0)
         batch["M"] = m
         if cfg.meta_next_notes:
@@ -349,7 +384,7 @@ class VAETrainer:
             same = (
                 jnp.take(data["song_id"], nxt) == jnp.take(data["song_id"], safe)
             ) & (nxt != safe)
-            Nt = jnp.take(data["Y"], nxt, axis=0)
+            Nt = self._take_f32(data, "Y", nxt)
             silent = jnp.zeros_like(Nt)
             if cfg.include_silent_note:
                 silent = silent.at[..., -1].set(1.0)
@@ -499,7 +534,7 @@ class VAETrainer:
             from ..models.vae import encode_sharded
 
             batch = {
-                k: jnp.take(data[k], idx, axis=0) for k in ("X", "I", "V", "D")
+                k: self._take_f32(data, k, idx) for k in ("X", "I", "V", "D")
             }
             return encode_sharded(self.model, params, batch)
 

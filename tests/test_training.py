@@ -527,3 +527,65 @@ class TestShardedResidentData:
             assert any(expect in line for line in logs), logs
             assert len(hist["train"]) == 1
             assert np.isfinite(hist["train"][0]["loss"])
+
+
+class TestUint8ResidentData:
+    """Binary one-hot planes live on device as uint8 (4x less upload /
+    resident HBM / gather traffic) and expand to f32 only after the in-jit
+    window gather; uint8->f32 of {0, 1} reproduces the exact values, so
+    training matches the all-f32 layout to fusion-reassociation tolerance."""
+
+    def test_binary_planes_upload_as_uint8(self, cfg):
+        flat = synthetic_flat(cfg)
+        tr = VAETrainer(cfg, mesh=make_mesh())
+        data = tr.prepare_device_data(flat)
+        for k in ("X", "Y", "I", "D", "C"):  # one-hot/binary by synthesis
+            assert data[k].dtype == jnp.uint8, k
+        for k in ("V", "S"):  # continuous planes must stay f32
+            assert data[k].dtype == jnp.float32, k
+
+    def test_split_bytes_count_uint8(self, cfg):
+        flat = synthetic_flat(cfg)
+        tr = VAETrainer(cfg, mesh=make_mesh())
+        n = tr.split_device_bytes(flat)
+        # binary planes at 1 byte/elt: X+Y+I+D+C elements once, V+S at 4
+        binary = sum(np.asarray(getattr(flat, k)).size
+                     for k in ("X", "Y", "I", "D", "C"))
+        full = sum(np.asarray(getattr(flat, k)).nbytes
+                   for k in ("X", "Y", "I", "D", "C"))
+        assert n < full  # strictly smaller than the all-f32 accounting
+        assert n >= binary
+
+    def test_matches_f32_resident(self, cfg, monkeypatch):
+        """2 epochs from uint8-resident data match the f32 layout to float
+        tolerance. The gathered VALUES are bit-identical (uint8->f32 of
+        {0,1} is exact); the inserted convert op shifts XLA fusion
+        boundaries, which re-associates downstream reductions at the last
+        float bit (observed 1e-7 rel) -- anything past that tolerance is a
+        real bug (wrong plane quantized, gather dtype leak)."""
+        flat = synthetic_flat(cfg)
+        results = []
+        for as_u8 in (True, False):
+            if not as_u8:
+                monkeypatch.setattr(
+                    VAETrainer, "_resident_uint8",
+                    staticmethod(lambda k, v: False),
+                )
+            tr = VAETrainer(cfg, mesh=make_mesh())
+            st = tr.init_state(seed=0)
+            data = tr.prepare_device_data(flat)
+            assert (data["X"].dtype == jnp.uint8) == as_u8
+            per_epoch = tr.run_epochs_device(
+                st, data, flat.num_windows, 2, shuffle=True
+            )
+            results.append((per_epoch, jax.tree_util.tree_leaves(st.params)))
+        (m_u8, p_u8), (m_f32, p_f32) = results
+        for e, (a, b) in enumerate(zip(m_u8, m_f32)):
+            for k in a:
+                np.testing.assert_allclose(
+                    a[k], b[k], rtol=1e-5, atol=1e-6, err_msg=f"epoch{e}:{k}"
+                )
+        for a, b in zip(p_u8, p_f32):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )

@@ -211,6 +211,10 @@ def main() -> int:
         data_s = {}
         for k in BATCH_KEYS + ("first_in_song", "song_id"):
             a = np.asarray(getattr(flat, k))
+            # mirror prepare_device_data's uint8 residency for the binary
+            # planes -- the production epoch program gathers 1-byte rows
+            if VAETrainer._resident_uint8(k, a):
+                a = a.astype(np.uint8)
             data_s[k] = jax.ShapeDtypeStruct(
                 (data_rows,) + a.shape[1:], a.dtype, sharding=data_sh
             )
