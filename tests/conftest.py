@@ -24,7 +24,7 @@ if "xla_cpu_collective_timeout_seconds" not in flags:
     # waits 7x a partition's pre-collective work before the others
     # arrive -- seconds-to-minutes for the big epoch programs. Raise the
     # terminate timeout; a real deadlock still aborts, just later.
-    flags = flags + " --xla_cpu_collective_timeout_seconds=1200"
+    flags = flags + " --xla_cpu_collective_timeout_seconds=1200 --xla_cpu_collective_call_warn_stuck_timeout_seconds=600 --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -32,18 +32,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent jit-compilation cache: repeat test runs skip recompiles. The
-# dir is keyed by the host CPU fingerprint: XLA:CPU cache entries from a
-# different host ABORT the process when loaded (utils/profiling.py
-# host_cpu_fingerprint), observed as suite-killing "Fatal Python error:
-# Aborted" when the VM migrated hosts.
-from midi_vae_tpu.utils.profiling import host_cpu_fingerprint  # noqa: E402
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    f"/tmp/midi_vae_tpu_jax_cache_{host_cpu_fingerprint()}",
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent jit-compilation cache on the CPU backend. It was enabled
+# here through round 3 (keyed by utils/profiling.host_cpu_fingerprint);
+# round 4 retired it after two independent failure modes on these
+# migrating VMs: (a) entries compiled on another host abort or DEADLOCK
+# on load even with cpuinfo-identical hosts (LLVM features come from
+# CPUID, which the VMM exposes differently), and (b) the XLA:CPU
+# serialization path itself (a full AOT re-compile) intermittently
+# deadlocks on WRITE -- all threads futex-wait at zero CPU and pytest
+# hangs forever in device_get. Suite compiles are CPU-cheap; determinism
+# is worth more. The TPU-side cache (enable_compilation_cache) is
+# unaffected.
 
 
 def tools_module(name: str):

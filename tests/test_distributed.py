@@ -18,7 +18,7 @@ WORKER = textwrap.dedent(
     """
     import os, sys
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 --xla_cpu_collective_timeout_seconds=1200")
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 --xla_cpu_collective_timeout_seconds=1200 --xla_cpu_collective_call_warn_stuck_timeout_seconds=600 --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     sys.path.insert(0, %(repo)r)
     import jax
 
