@@ -67,19 +67,26 @@ class MidiVAE:
         # trainer / generation context; None = plain single-program dispatch.
         self.mesh = None
         # True when the trainer's resident dataset is sharded over 'data'
-        # (the HBM-overflow layout): the epoch program then gathers batches
-        # from 'data'-sharded arrays, and XLA's SPMD partitioner hits an
-        # INTERNAL RET_CHECK (ReduceScatterCreator, layout {2,0,1} on the
-        # (N,T,1) velocity array) when that gather feeds a shard_map manual
-        # region. Sharded-data programs therefore take plain GSPMD with the
-        # scan-path RNNs (Mosaic kernels cannot appear under auto axes);
-        # capacity beats kernel speed in the overflow mode. Verified by
-        # tools/compile_topology.py --shard-data on a v5e-8 topology.
+        # (the HBM-overflow layout). The epoch program then gathers batches
+        # from 'data'-sharded arrays; that gather's all-reduce feeding the
+        # shard_map entry dynamic-slice trips a mis-rewrite in XLA's
+        # all-reduce->reduce-scatter fusion pass (INTERNAL RET_CHECK,
+        # wrong scatter dim under the degenerate {2,0,1} layout of the
+        # (B,T,1) velocity plane), so the TRAINER compiles sharded-data
+        # programs with that one pass disabled
+        # (VAETrainer._epoch_compiler_options:
+        # xla_tpu_enable_all_reduce_scatter_fusion=false) and the forward
+        # keeps the fused kernels under shard_map like every other DP
+        # layout. Verified by tools/compile_topology.py --shard-data on a
+        # v5e-8 topology: 12 Mosaic kernels, sharded-corpus argument sizes.
         self.sharded_data = False
         self.cell = get_cell(cfg.cell_type)
-        # test hook: run the whole-decode multi-head kernel in Pallas
-        # interpret mode so CPU tests can exercise the model-level dispatch
-        # glue (head collection, ordering, swapaxes) without TPU hardware
+        # test hook: run the FULL Pallas kernel tier (encoder layer kernels,
+        # decode-head kernels, the multi-head kernel, per-step cells) in
+        # interpret mode so CPU tests can exercise the complete kernel
+        # dispatch glue -- including kernels under the shard_map manual
+        # region (apply_sharded), the code path r4's real-topology bug
+        # lived in -- without TPU hardware
         self._interpret = False
 
     def _pallas_enabled(self) -> bool:
@@ -93,12 +100,6 @@ class MidiVAE:
             return False  # kernels implement exact-sigmoid gates only
         if cfg.use_pallas == "on":
             return True
-        if (
-            self.mesh is not None
-            and self.mesh.shape.get("data", 1) > 1
-            and self.sharded_data
-        ):
-            return False  # sharded-data epochs run plain GSPMD (see __init__)
         if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
             # tensor-parallel meshes: the dense layers are GSPMD-sharded
             # over 'model', and Mosaic kernels cannot appear under any auto
@@ -106,6 +107,11 @@ class MidiVAE:
             # (DP-only meshes keep the kernels via fully-manual shard_map,
             # see apply_sharded)
             return False
+        if self._interpret:
+            # CPU test hook: the full kernel dispatch tier runs with
+            # interpret-mode Pallas kernels, so tests exercise the
+            # kernels-under-shard_map glue without TPU hardware
+            return True
         if self.platform is not None:
             return self.platform == "tpu"
         import jax as _jax
@@ -276,6 +282,7 @@ class MidiVAE:
             enc["notes_rnn"], x, cfg.cell_type, cfg.lstm_activation,
             cfg.bidirectional, fused=fused, whole_scan=ws, fused_train=ftr,
             inference=inference, gate_activation=cfg.gate_activation,
+            interpret=self._interpret,
         )
         parts = [h]
         for name, b in branch_specs:
@@ -284,6 +291,7 @@ class MidiVAE:
                     enc[name], b, cfg.cell_type, cfg.lstm_activation,
                     fused=fused, whole_scan=ws, fused_train=ftr,
                     inference=inference, gate_activation=cfg.gate_activation,
+                    interpret=self._interpret,
                 )
             )
         if len(parts) > 1:
@@ -438,7 +446,9 @@ class MidiVAE:
             else:
                 from ..ops.fused_gru import make_fused_decoder_step
 
-            fused_step = make_fused_decoder_step(cfg.lstm_activation)
+            fused_step = make_fused_decoder_step(
+                cfg.lstm_activation, self._interpret
+            )
 
         def run_head(
             name: str,
@@ -468,6 +478,7 @@ class MidiVAE:
                         probs, logits = fused_lstm_decode_scan(
                             h["cells"], h["out"], states, start, length,
                             cfg.lstm_activation, out_activation,
+                            self._interpret,
                         )
                         return (
                             jnp.swapaxes(probs, 0, 1),
@@ -484,6 +495,7 @@ class MidiVAE:
                         probs, logits = fused_decode_scan(
                             h["cells"], h["out"], flat_states, start, length,
                             cfg.lstm_activation, out_activation,
+                            self._interpret,
                         )
                         return (
                             jnp.swapaxes(probs, 0, 1),
@@ -504,7 +516,7 @@ class MidiVAE:
                 flat_states = [s[0] for s in states]
                 probs, logits = gru_decode_train(
                     h["cells"], h["out"], flat_states, start, length,
-                    cfg.lstm_activation, out_activation,
+                    cfg.lstm_activation, out_activation, self._interpret,
                 )
                 return jnp.swapaxes(probs, 0, 1), jnp.swapaxes(logits, 0, 1)
             return decode_autoregressive(
@@ -748,7 +760,7 @@ def _data_manual(model: MidiVAE, n_rows: int):
     over 'data' only, leaving 'model' to GSPMD -- the kernels are then
     disabled (_pallas_enabled) and the scan path partitions cleanly."""
     mesh = model.mesh
-    if mesh is None or mesh.shape.get("data", 1) <= 1 or model.sharded_data:
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
         return None, None
     if n_rows % mesh.shape["data"] != 0:
         return None, None

@@ -231,23 +231,41 @@ class VAETrainer:
         # multi-process mesh, which jax rejects -- host-driven epochs there
         return jax.process_count() == 1
 
-    @staticmethod
-    def _resident_uint8(k: str, v: np.ndarray) -> bool:
+    # planes that are one-hot/binary BY CONSTRUCTION (tensorize.py: note
+    # rolls + silent column, instrument matrices in all 4 schemes, held
+    # categorical, composer one-hot); velocity V and signature S are
+    # continuous. Membership decides uint8 residency so the compiled
+    # program's input signature is a pure function of the CONFIG, never of
+    # corpus values -- a value-dependent choice would make AOT topology
+    # bundles signature-mismatch on corpora where e.g. a plane happens to
+    # be all-{0,1} (ADVICE r4).
+    _BINARY_PLANES = ("X", "Y", "I", "D", "C")
+
+    @classmethod
+    def _resident_uint8(cls, k: str, v: np.ndarray) -> bool:
         """True when the split array ``k`` should live on device as uint8.
 
-        The one-hot/binary planes (notes X/Y, instrument I, held D,
-        composer C -- exactly which depends on the config, so decide by
-        VALUE, not by name) carry only {0.0, 1.0}: uploading them as uint8
+        The binary planes carry only {0.0, 1.0}: uploading them as uint8
         and expanding to f32 AFTER the in-jit window gather is bit-exact
         (uint8->f32 conversion of 0/1 is exact) while cutting the
         host->device transfer, the resident HBM footprint, AND the
-        per-batch gather traffic 4x. Continuous planes (velocity V,
-        signature S) fail the value check and stay f32."""
-        return (
-            k in BATCH_KEYS
-            and v.dtype == np.float32
-            and bool(np.all((v == 0.0) | (v == 1.0)))
-        )
+        per-batch gather traffic 4x. The value scan is an ASSERTION (a
+        non-binary value in a schema-binary plane is an upstream bug that
+        uint8 truncation would silently corrupt), chunked to bound the
+        bool-temporary footprint on large corpora."""
+        if k not in cls._BINARY_PLANES or v.dtype != np.float32:
+            return False
+        flat_v = v.reshape(-1)
+        step = max(1, (16 << 20) // max(v.itemsize, 1))
+        for i in range(0, flat_v.size, step):
+            chunk = flat_v[i : i + step]
+            if not bool(np.all((chunk == 0.0) | (chunk == 1.0))):
+                raise ValueError(
+                    f"split plane {k!r} is one-hot/binary by construction "
+                    "but contains values outside {0.0, 1.0} -- refusing "
+                    "uint8 residency (upstream tensorization bug?)"
+                )
+        return True
 
     def prepare_device_data(self, flat: FlatSplit, shard: bool = False) -> dict:
         """Upload the full split to device memory once.
@@ -353,6 +371,27 @@ class VAETrainer:
         if d > 1 and need <= budget * d:
             return "sharded"
         return "host"
+
+    def _epoch_compiler_options(self) -> dict | None:
+        """Per-program XLA options for programs that gather batches from a
+        'data'-sharded resident corpus into the shard_map forward.
+
+        XLA's all-reduce->reduce-scatter fusion pass mis-rewrites the
+        gather's all-reduce + the shard_map entry dynamic-slice when the
+        array has a degenerate trailing dim with layout {2,0,1} (the
+        (B,T,1) velocity plane): it picks the wrong scatter dimension and
+        dies in an INTERNAL RET_CHECK (hlo_instruction.cc, "shape doesn't
+        match when replacing dynamic-slice... with fusion
+        calls=all-reduce-scatter"). Disabling that one fusion pass for
+        these programs keeps the correct AR+DS pair (a few MB of gather
+        traffic per step) and lets the fused Mosaic kernels run in the
+        HBM-overflow layout -- the mode that exists precisely because of
+        scale. TPU-only: the flag is a TPU compiler option."""
+        if not self.model.sharded_data:
+            return None
+        if self.mesh is None or self.mesh.devices.flat[0].platform != "tpu":
+            return None
+        return {"xla_tpu_enable_all_reduce_scatter_fusion": "false"}
 
     def _uses_z_cache(self) -> bool:
         """History latents come from the per-window z cache (updated inside
@@ -559,14 +598,17 @@ class VAETrainer:
         return zc
 
     def _seed_z_cache(self, params, data: dict):
-        if not hasattr(self, "_seed_z_jit"):
+        if getattr(self, "_seed_z_key", None) != self.model.sharded_data:
             def seed(params, data):
                 z_all = self._encode_all_z(params, data).astype(jnp.float32)
                 return jnp.concatenate(
                     [z_all, jnp.zeros((1, z_all.shape[-1]), jnp.float32)]
                 )
 
-            self._seed_z_jit = jax.jit(seed)
+            self._seed_z_jit = jax.jit(
+                seed, compiler_options=self._epoch_compiler_options()
+            )
+            self._seed_z_key = self.model.sharded_data
         return self._seed_z_jit(params, data)
 
     def _epoch_orders(
@@ -626,8 +668,12 @@ class VAETrainer:
         (the host loop pays the per-call tunnel floor once per BATCH)."""
         bs = self.cfg.batch_size
         order, mask = padded_batch_order(np.arange(num_windows), bs)
-        if not hasattr(self, "_device_eval_jit"):
-            self._device_eval_jit = jax.jit(self._device_eval_fn)
+        if getattr(self, "_device_eval_key", None) != self.model.sharded_data:
+            self._device_eval_jit = jax.jit(
+                self._device_eval_fn,
+                compiler_options=self._epoch_compiler_options(),
+            )
+            self._device_eval_key = self.model.sharded_data
         metrics = self._device_eval_jit(
             state.params, data, jnp.asarray(order), jnp.asarray(mask)
         )
@@ -672,6 +718,7 @@ class VAETrainer:
                     with_eval=with_eval,
                 ),
                 donate_argnums=(0, 1, 3),
+                compiler_options=self._epoch_compiler_options(),
             )
         if with_eval:
             eargs = (jnp.asarray(eval_flags), test_data, test_order, test_mask)
@@ -1060,7 +1107,13 @@ class VAETrainer:
             )
             test_order = jnp.asarray(order_np)
             test_mask = jnp.asarray(mask_np)
+        # stamp upload_s only after EVERY resident upload is on device --
+        # otherwise in-flight test-split uploads spill into dispatch_s/
+        # flush_s and the EVAL_REPORT residual accounting misattributes
         jax.block_until_ready(device_data)
+        if has_test:
+            jax.block_until_ready(test_device_data)
+            jax.block_until_ready((test_order, test_mask))
         timings["upload_s"] = time.time() - t0
 
         from .async_saver import AsyncCheckpointWriter

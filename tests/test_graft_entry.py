@@ -102,29 +102,55 @@ class TestRealTopologyAOT:
     one-chip environment can produce. Skipped where the TPU compile client
     is unavailable."""
 
-    @pytest.mark.slow
-    def test_v5e8_train_step_compiles_with_fused_kernels(self):
-        import json
-
-        try:
-            from jax.experimental import topologies
-
-            topologies.get_topology_desc(
-                platform="tpu", topology_name="v5e:2x4"
-            )
-        except Exception as e:  # pragma: no cover - env-dependent
-            pytest.skip(f"no TPU topology client: {e}")
+    @staticmethod
+    def _run_tool(*extra_args):
+        """Run compile_topology.py in a subprocess; skip when the TPU
+        topology client is unavailable THERE. Deliberately no in-parent
+        probe: importing the topology client initializes libtpu in the
+        pytest process, which then holds /tmp/libtpu_lockfile and starves
+        the child of the very client being probed."""
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         res = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "compile_topology.py"),
-             "--topology", "v5e:2x4", "--mesh", "data=8"],
+             "--topology", "v5e:2x4", "--mesh", "data=8", *extra_args],
             capture_output=True, text=True, timeout=1500, env=env, cwd=REPO,
         )
+        if res.returncode != 0 and (
+            "get_topology_desc" in res.stderr
+            or "initialize_pjrt_plugin" in res.stderr
+        ):
+            pytest.skip(
+                "no TPU topology client in subprocess: "
+                + res.stderr.strip().splitlines()[-1]
+            )
         assert res.returncode == 0, res.stdout + res.stderr[-3000:]
-        out = json.loads(res.stdout.strip().splitlines()[-1])
+        import json
+
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    @pytest.mark.slow
+    def test_v5e8_train_step_compiles_with_fused_kernels(self):
+        out = self._run_tool()
         step = out["programs"]["train_step"]
         # the FUSED kernels must be in the partitioned program (the r4
         # Mosaic-cannot-be-auto-partitioned regression), with the DP
         # gradient all-reduce emitted
         assert step["mosaic_kernels"] > 0, step
         assert step["collectives"]["all-reduce"] >= 1, step
+
+    @pytest.mark.slow
+    def test_v5e8_sharded_data_epoch_keeps_fused_kernels(self):
+        """The HBM-overflow layout (resident corpus sharded over 'data')
+        must keep the Mosaic kernels: the r4 dead end -- XLA's
+        all-reduce-scatter fusion pass RET_CHECKing on the batch gather
+        feeding the shard_map region -- is closed by compiling these
+        programs with that pass disabled
+        (VAETrainer._epoch_compiler_options). This is the standing gate
+        against both regressions: the pass mis-rewrite resurfacing, and
+        the dispatch silently falling back to scan-path RNNs."""
+        out = self._run_tool("--epoch", "--shard-data")
+        epoch = out["programs"]["chunked_epoch_sharded_data"]
+        assert epoch["mosaic_kernels"] > 0, epoch
+        assert epoch["compiler_options"] == {
+            "xla_tpu_enable_all_reduce_scatter_fusion": "false"
+        }, epoch

@@ -164,7 +164,7 @@ def main() -> int:
     results = {"topology": args.topology, "mesh": dict(axes),
                "n_chips": len(topo.devices), "programs": {}}
 
-    def record(name: str, compiled) -> None:
+    def record(name: str, compiled, options=None) -> None:
         hlo = compiled.as_text()
         mem = compiled.memory_analysis()
         entry = {
@@ -172,6 +172,8 @@ def main() -> int:
             # proof the FUSED kernels (not fallbacks) are in the program
             "mosaic_kernels": len(re.findall(r"tpu_custom_call", hlo)),
         }
+        if options:
+            entry["compiler_options"] = options
         if mem is not None:
             entry["per_chip_bytes"] = {
                 "arguments": int(getattr(mem, "argument_size_in_bytes", 0)),
@@ -243,9 +245,15 @@ def main() -> int:
             params_s, opt_s, rng_s, zc_s, data_s, orders_s, masks_s, hs_s,
             ef_s, {}, to_s, tm_s,
         )
+        # sharded-data programs need the trainer's workaround options (the
+        # all-reduce-scatter fusion pass mis-rewrite, see
+        # VAETrainer._epoch_compiler_options); topology devices report
+        # platform 'tpu', so the helper applies exactly as in production
+        options = tr._epoch_compiler_options()
         record(
             "chunked_epoch" + ("_sharded_data" if args.shard_data else ""),
-            lowered.compile(),
+            lowered.compile(compiler_options=options),
+            options,
         )
 
     js = json.dumps(results)
