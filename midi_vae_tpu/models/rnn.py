@@ -48,6 +48,7 @@ def encode_sequence(
     fused_train: bool = True,
     inference: bool = False,
     gate_activation: str = "sigmoid",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Run a stacked RNN over (B, T, D); return last layer's final state (B, H).
 
@@ -56,6 +57,9 @@ def encode_sequence(
     (vae_definition.py:455-461). ``bidirectional`` wraps the non-final
     layers in forward+backward passes with concat merge
     (vae_definition.py:447-453).
+
+    ``interpret``: run the Pallas kernels in interpret mode (CPU tests of
+    the kernel-dispatch glue, MidiVAE._interpret).
     """
     cell = get_cell(cell_type)
     # the Pallas kernels implement exact-sigmoid gates only
@@ -69,17 +73,17 @@ def encode_sequence(
         if bidirectional and not is_last:
             fwd = _scan_layer(
                 cell, p["fwd"], h, activation, True, fused, whole_scan,
-                fused_train, inference, gate_activation,
+                fused_train, inference, gate_activation, interpret,
             )
             bwd = _scan_layer(
                 cell, p["bwd"], h[:, ::-1, :], activation, True, fused,
-                whole_scan, fused_train, inference, gate_activation,
+                whole_scan, fused_train, inference, gate_activation, interpret,
             )[:, ::-1, :]
             h = jnp.concatenate([fwd, bwd], axis=-1)
         else:
             h = _scan_layer(
                 cell, p, h, activation, not is_last, fused, whole_scan,
-                fused_train, inference, gate_activation,
+                fused_train, inference, gate_activation, interpret,
             )
     return h
 
@@ -88,6 +92,7 @@ def _scan_layer(
     cell, p: Params, xs: jnp.ndarray, activation: str, return_sequences: bool,
     fused: bool = False, whole_scan: bool = False, fused_train: bool = True,
     inference: bool = False, gate_activation: str = "sigmoid",
+    interpret: bool = False,
 ):
     """One RNN layer over (B, T, D).
 
@@ -118,14 +123,14 @@ def _scan_layer(
 
             out = lstm_layer_infer_x(
                 jnp.swapaxes(xs, 0, 1), init[0], init[1], p["w"], p["b"],
-                p["u"], activation, return_sequences,
+                p["u"], activation, return_sequences, interpret,
             )
         else:
             from ..ops.fused_train import gru_layer_infer_x
 
             out = gru_layer_infer_x(
                 jnp.swapaxes(xs, 0, 1), init[0], p["w"], p["b"], p["u"],
-                activation, return_sequences,
+                activation, return_sequences, interpret,
             )
         if return_sequences:
             return jnp.swapaxes(out, 0, 1)
@@ -141,14 +146,14 @@ def _scan_layer(
 
             out = lstm_layer_train_x(
                 jnp.swapaxes(xs, 0, 1), init[0], init[1], p["w"], p["b"],
-                p["u"], activation, return_sequences,
+                p["u"], activation, return_sequences, interpret,
             )
         else:
             from ..ops.fused_train import gru_layer_train_x
 
             out = gru_layer_train_x(
                 jnp.swapaxes(xs, 0, 1), init[0], p["w"], p["b"], p["u"],
-                activation, return_sequences,
+                activation, return_sequences, interpret,
             )
         if return_sequences:
             return jnp.swapaxes(out, 0, 1)
@@ -163,14 +168,14 @@ def _scan_layer(
 
             out = fused_lstm_encoder_scan(
                 jnp.swapaxes(xp, 0, 1), init[0], init[1], p["u"], activation,
-                return_sequences,
+                return_sequences, interpret,
             )
         else:
             from ..ops.fused_decoder import fused_encoder_scan
 
             out = fused_encoder_scan(
                 jnp.swapaxes(xp, 0, 1), init[0], p["u"], activation,
-                return_sequences,
+                return_sequences, interpret,
             )
         if return_sequences:
             return jnp.swapaxes(out, 0, 1)
@@ -181,7 +186,9 @@ def _scan_layer(
 
         def step(states, xp_t):
             h, c = states
-            new_h, new_c = lstm_recurrent_step(xp_t, h, c, p["u"], activation)
+            new_h, new_c = lstm_recurrent_step(
+                xp_t, h, c, p["u"], activation, interpret
+            )
             return (new_h, new_c), (new_h if return_sequences else None)
 
     elif fused:
@@ -189,7 +196,7 @@ def _scan_layer(
 
         def step(states, xp_t):
             (h,) = states
-            new_h = gru_recurrent_step(xp_t, h, p["u"], activation)
+            new_h = gru_recurrent_step(xp_t, h, p["u"], activation, interpret)
             return (new_h,), (new_h if return_sequences else None)
 
     else:

@@ -200,13 +200,16 @@ def _gru_recurrent_reference(xp, h, u, act):
     return z * h + (1.0 - z) * hh
 
 
-def make_fused_decoder_step(activation: str = "tanh"):
+def make_fused_decoder_step(activation: str = "tanh", interpret: bool = False):
     """Adapter with the (params, x, states) -> (out, states) signature used
     by models/rnn.py decode_autoregressive(fused_step=...)."""
 
     def step(p, x, states):
         (h,) = states
-        new_h = gru_step(x, h, p["w"], p["u"], p["b"], activation=activation)
+        new_h = gru_step(
+            x, h, p["w"], p["u"], p["b"], activation=activation,
+            interpret=interpret,
+        )
         return new_h, (new_h,)
 
     return step

@@ -203,7 +203,7 @@ def _lstm_recurrent_bwd(activation, interpret, residuals, g):
 lstm_recurrent_step.defvjp(_lstm_recurrent_fwd, _lstm_recurrent_bwd)
 
 
-def make_fused_decoder_step(activation: str = "tanh"):
+def make_fused_decoder_step(activation: str = "tanh", interpret: bool = False):
     """Adapter with the (params, x, states) -> (out, states) signature used
     by models/rnn.py decode_autoregressive(fused_step=...). LSTM states are
     (h, c) tuples; the step output is h'."""
@@ -211,7 +211,8 @@ def make_fused_decoder_step(activation: str = "tanh"):
     def step(p, x, states):
         h, c = states
         new_h, new_c = lstm_step(
-            x, h, c, p["w"], p["u"], p["b"], activation=activation
+            x, h, c, p["w"], p["u"], p["b"], activation=activation,
+            interpret=interpret,
         )
         return new_h, (new_h, new_c)
 

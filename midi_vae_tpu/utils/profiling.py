@@ -123,15 +123,26 @@ def _x86_cpuid_blob() -> bytes:
         out = (ctypes.c_uint32 * 4)()
         blob = b""
         # the leaves LLVM's X86 host detection consumes: basic identity,
-        # feature leaves 1/7(.0/.1/.2)/D(.0/.1)/14/19/1C/24, hybrid 1A,
-        # and the extended-feature leaves
+        # feature leaves 1/7(.0/.1/.2)/D(.0/.1)/14/19/1C/24, and the
+        # extended-feature leaves. Per-CORE-variant leaves are excluded:
+        # leaf 0x1A (hybrid core type -- differs between P and E cores, so
+        # hashing it makes the fingerprint depend on which core runs the
+        # stub) is dropped, and leaf 1's EBX is zeroed before hashing (its
+        # bits 31:24 are the initial APIC ID of the EXECUTING logical CPU,
+        # bits 23:16 the topology-dependent logical-processor count) --
+        # otherwise the fingerprint flaps run-to-run on any multi-vCPU
+        # host and the persistent compile cache it keys silently always
+        # misses.
         leaves = [(0x0, 0), (0x1, 0), (0x6, 0), (0x7, 0), (0x7, 1), (0x7, 2),
-                  (0xD, 0), (0xD, 1), (0x14, 0), (0x19, 0), (0x1A, 0),
+                  (0xD, 0), (0xD, 1), (0x14, 0), (0x19, 0),
                   (0x1C, 0), (0x24, 0),
                   (0x80000000, 0), (0x80000001, 0), (0x80000008, 0)]
         for leaf, sub in leaves:
             fn(leaf, sub, ctypes.byref(out))
-            blob += struct.pack("<4I", *out)
+            words = list(out)
+            if (leaf, sub) == (0x1, 0):
+                words[1] = 0  # EBX: APIC id / logical CPU count, per-core
+            blob += struct.pack("<4I", *words)
         del fn
         return blob
     except Exception:

@@ -7,25 +7,21 @@ override it, so we force the platform through jax.config before any backend
 initialization.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # the platform the session was launched with, before this conftest forces
 # cpu -- lets tests reproduce the driver environment in subprocesses
 ORIG_JAX_PLATFORMS = os.environ.get("JAX_PLATFORMS")
 ORIG_XLA_FLAGS = os.environ.get("XLA_FLAGS")
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_collective_timeout_seconds" not in flags:
-    # XLA:CPU in-process collectives CHECK-fail ("AwaitAndLogIfStuck" ->
-    # SIGABRT) when the 8-way rendezvous takes longer than the default
-    # timeout. On a 1-core VM the 8 virtual partitions of a chunked-epoch
-    # program execute SERIALLY, so the first participant legitimately
-    # waits 7x a partition's pre-collective work before the others
-    # arrive -- seconds-to-minutes for the big epoch programs. Raise the
-    # terminate timeout; a real deadlock still aborts, just later.
-    flags = flags + " --xla_cpu_collective_timeout_seconds=1200 --xla_cpu_collective_call_warn_stuck_timeout_seconds=600 --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-os.environ["XLA_FLAGS"] = flags
+# import-light (no jax); the flag rationale lives in its module docstring
+from midi_vae_tpu.xla_cpu_env import merged_xla_flags  # noqa: E402
+
+os.environ["XLA_FLAGS"] = merged_xla_flags(
+    os.environ.get("XLA_FLAGS"), n_devices=8
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -17,9 +17,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = textwrap.dedent(
     """
     import os, sys
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 --xla_cpu_collective_timeout_seconds=1200 --xla_cpu_collective_call_warn_stuck_timeout_seconds=600 --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     sys.path.insert(0, %(repo)r)
+    from midi_vae_tpu.xla_cpu_env import merged_xla_flags
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = merged_xla_flags(None, n_devices=2)
     import jax
 
     jax.config.update("jax_platforms", "cpu")

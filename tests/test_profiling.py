@@ -22,11 +22,17 @@ class TestHostFingerprint:
         if platform.machine() != "x86_64":
             assert blob == b""
             return
-        # 16 leaves x 4 dwords; deterministic (same process, same CPU)
-        assert len(blob) == 256
+        # 15 leaves x 4 dwords (leaf 0x1A excluded: per-core-variant on
+        # hybrid parts); deterministic (same process, same CPU)
+        assert len(blob) == 240
         assert blob == _x86_cpuid_blob()
         # leaf 0 ebx/ecx/edx carry the vendor string -- non-zero on real HW
         assert any(blob[4:16])
+        # leaf 1 EBX (blob[16+4:16+8]) is zeroed: bits 31:24 are the initial
+        # APIC ID of the EXECUTING core, which would flap the fingerprint
+        # (and thus the persistent-cache key) across cores on multi-vCPU
+        # hosts
+        assert blob[20:24] == b"\x00\x00\x00\x00"
 
     def test_cpuid_feeds_fingerprint(self):
         """The fingerprint must CHANGE when CPUID output changes -- the
