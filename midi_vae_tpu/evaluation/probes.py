@@ -152,8 +152,15 @@ def plot_pitch_embedding(pitches, embedded, title: str, save_path: str) -> None:
 # Sampling-region Mahalanobis probe (vae_evaluation.py:1535-1649)
 # ---------------------------------------------------------------------------
 
-DEFAULT_SCALES = [1e-5, 1e-4, 1e-3, 1e-2, 0.1, 1.0, 10.0, 100.0, 1000.0, 10000.0]
-DEFAULT_LOCS = [0.0, 1e-4, 1e-3, 1e-2, 0.1, 1.0, 10.0, 100.0, 1000.0, 10000.0]
+# exactly the reference's grids, INCLUDING its duplicated trailing
+# 10000.0 (vae_evaluation.py:1550, :1602 -- 11 entries each; the curve
+# and the RNG consumption depend on the length, so the quirk is kept)
+DEFAULT_SCALES = [
+    1e-5, 1e-4, 1e-3, 1e-2, 0.1, 1.0, 10.0, 100.0, 1000.0, 10000.0, 10000.0,
+]
+DEFAULT_LOCS = [
+    0.0, 1e-4, 1e-3, 1e-2, 0.1, 1.0, 10.0, 100.0, 1000.0, 10000.0, 10000.0,
+]
 
 
 def signature_mahalanobis_for_samples(
@@ -171,10 +178,29 @@ def signature_mahalanobis_for_samples(
 
     vary='scale': z ~ N(0, setting); vary='loc': z ~ N(setting, z_std).
     Returns (means, stds) arrays over settings.
+
+    Reference-faithful decode conditioning (gated by the ``--probes``
+    differential, tools/ref_parity_check.py): each reference draw runs
+    through ``prepare_decoder_input(R, C=0, S=0)`` (vae_evaluation.py:
+    1563-1566) as its own ``decoder.predict`` call, so the
+    velocity-override previous-pitch chain resets per sample
+    (``independent_windows``). The per-setting draw is one ``rng.normal``
+    of shape (samples, latent): numpy's legacy gaussian cache persists
+    across calls, so this consumes the bit-identical stream the
+    reference's per-sample (1, latent) draws do. With
+    ``decoder_input_composer`` on, the decoder is conditioned on the
+    composer-0 one-hot -- the reference's intent, which its own code
+    cannot execute (``prepare_decoder_input`` does ``list.extend(C)``
+    with int C=0, a TypeError, vae_definition.py:838; the shipped
+    configs run both additional-input flags off, where the sides agree).
     """
     cfg = ctx.cfg
     rng = rng or np.random.RandomState()
     mean, cov = music.get_mean_and_cov_from_vector_list(all_signatures)
+    additional = ctx.additional_for(
+        0, np.zeros((1, cfg.signature_vector_length), np.float32),
+        samples_per_setting,
+    )
     means, stds = [], []
     for setting in locs_or_scales:
         if vary == "scale":
@@ -184,7 +210,8 @@ def signature_mahalanobis_for_samples(
         else:
             raise ValueError("vary must be 'scale' or 'loc'")
         Y, _, _, _, _ = ctx.decode_and_process(
-            zs.astype(np.float32), sample_method=sample_method, rng=rng
+            zs.astype(np.float32), additional=additional,
+            sample_method=sample_method, rng=rng, independent_windows=True,
         )
         distances = []
         for window in split_song_back_to_samples(Y, cfg.output_length):

@@ -229,6 +229,22 @@ def test_generation_assembly_matches_reference():
     assert summary["known_restructure"] >= 3
 
 
+def test_probes_match_reference():
+    """L5 differential parity for the last two evaluation blocks (VERDICT
+    r4 weak #7): chord/pitch latent-probe window construction (the
+    reference chord builder's doubly-shifted flood column must be
+    exercised and bit-predicted for every chord x octave), and the
+    sampling-region Mahalanobis loop with the decode oracle on both sides
+    -- mirrored RNG draws proven by identical generator end states, the
+    reference curves bit-equal to the held-note-bug emulation."""
+    summary = _run("--probes")
+    assert summary["ok"], summary
+    assert summary["MISMATCH"] == 0
+    assert summary["n_checks"] >= 200
+    assert summary["known_chord_flood"] >= 72  # 24 chords x 3 octaves
+    assert summary["exact"] >= 120
+
+
 def test_keras_checkpoint_io_matches_reference():
     """Keras-checkpoint I/O parity: the import/export weight schedule
     (midi_vae_tpu/utils/keras_h5.py) vs the EXECUTING VAE.create graph

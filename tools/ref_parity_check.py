@@ -3530,6 +3530,11 @@ class _OracleCtx:
             idx, cfg, independent_windows=independent_windows
         )
 
+    def additional_for(self, C, S, n):
+        from midi_vae_tpu.evaluation.generation import additional_rows
+
+        return additional_rows(self.cfg, C, S, n)
+
     def encode_song(self, X, I, V, D) -> np.ndarray:
         from midi_vae_tpu.data.batching import held_to_categorical, prepare_velocity
 
@@ -4163,6 +4168,321 @@ def check_generation(cfg, seed: int = 0) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# L5 latent-geometry probes: chord/pitch window construction + the
+# sampling-region Mahalanobis loop (the last two unverified vae_evaluation
+# blocks, VERDICT r4 weak #7)
+# ---------------------------------------------------------------------------
+
+def _chord_flood_column(chord, octave, cfg) -> int:
+    """EXACT emulation of the reference chord builder's leftover flood line
+    (vae_evaluation.py:1370-1371): after the step loop, ``pitch`` holds the
+    LAST assigned value ``12*octave + chord[step % max_voices] - low_crop``
+    -- low_crop already subtracted -- and ``pitch_index = pitch - low_crop``
+    subtracts it AGAIN, then ``X[:, pitch_index] = 1`` floods that
+    doubly-shifted column (negative indices wrap per numpy). Returns the
+    raw (possibly negative) index."""
+    pitch = None
+    for step in range(cfg.output_length):
+        if step % cfg.max_voices < len(chord):
+            pitch = 12 * octave + chord[step % cfg.max_voices] - cfg.low_crop
+    assert pitch is not None  # step 0 always assigns (0 < len(chord))
+    return pitch - cfg.low_crop
+
+
+def check_probes(cfg, seed: int = 0) -> dict:
+    """Differential parity for the last two L5 evaluation blocks.
+
+    1. Chord/pitch latent-probe WINDOW CONSTRUCTION (vae_evaluation.py:
+       1306-1526, :1651-1763): executes the reference's chord dictionaries
+       + ``get_input_list_for_chord_name`` / ``get_input_list_for_pitch``
+       (through the EXECUTING ``prepare_encoder_input_list``) by line range
+       and compares the full encoder input list against
+       ``evaluation.probes.chord_window`` / ``pitch_window`` run through
+       this framework's batch prep. The reference chord builder floods one
+       doubly-shifted column of X (see ``_chord_flood_column``); ours
+       builds the intended window, and every divergence must be
+       bit-predicted by the emulation (``known_chord_flood``).
+
+    2. Sampling-region Mahalanobis probe (:1530-1649): executes the
+       reference's scales loop (:1537-1585) and locs loop (:1602-1635)
+       with the decode ORACLE serving both sides (the reference gets it as
+       ``decoder.predict`` via _RefOracleDecoder; ours as an _OracleCtx
+       inside ``probes.signature_mahalanobis_for_samples``), numpy's
+       global RNG seeded identically -- the reference's 20 per-sample
+       (1, latent) draws and our one (20, latent) draw per setting consume
+       the bit-identical gaussian stream (the legacy generator's spare-
+       value cache persists across calls), which is PROVEN by comparing
+       the generator's end state on both sides. Every per-setting
+       mean/std must match; windows where the reference's held-note
+       deletion-during-iteration bug (data_class.py:129-135) distorts the
+       signature are bit-predicted via ``_ref_durations``
+       (``known_deviation``), and the reference curve must equal the
+       emulated prediction exactly.
+    """
+    from midi_vae_tpu.data.batching import held_to_categorical, prepare_velocity
+    from midi_vae_tpu.evaluation import probes as our_probes
+    from midi_vae_tpu.utils import music
+
+    vd = _load_vae_definition()
+    with tempfile.TemporaryDirectory() as workdir:
+        dc = load_reference_module("data_class", workdir)
+    for key, value in {
+        "max_voices": cfg.max_voices,
+        "SMALLEST_NOTE": cfg.smallest_note,
+        "low_crop": cfg.low_crop,
+        "high_crop": cfg.high_crop,
+    }.items():
+        setattr(dc, key, value)
+
+    counts = {
+        "exact": 0, "known_chord_flood": 0, "known_deviation": 0,
+        "MISMATCH": 0,
+    }
+    mismatches: list[str] = []
+
+    def record(ok: bool, label: str, known: str | None = None):
+        if ok:
+            counts["exact"] += 1
+        elif known is not None:
+            counts[known] += 1
+        else:
+            counts["MISMATCH"] += 1
+            mismatches.append(label)
+
+    def eq(r, o) -> bool:
+        r = np.asarray(r, dtype=np.float64)
+        o = np.asarray(o, dtype=np.float64)
+        return r.shape == o.shape and np.array_equal(r, o, equal_nan=True)
+
+    # ---- 1. chord/pitch window construction ------------------------------
+    _bind(vd, cfg, {})
+    ns = {
+        "np": np,
+        "vae_definition": vd,
+        "output_length": cfg.output_length,
+        "high_crop": cfg.high_crop,
+        "low_crop": cfg.low_crop,
+        "silent_dim": cfg.silent_dim,
+        "include_silent_note": cfg.include_silent_note,
+        "max_voices": cfg.max_voices,
+        "meta_instrument_dim": cfg.meta_instrument_dim,
+    }
+    _exec_eval_lines(1311, 1385, ns)  # chord dicts + builder
+    _exec_eval_lines(1656, 1678, ns)  # pitch_to_name + pitch builder
+
+    assert ns["maj_chord_dict"] == dict(our_probes.MAJ_CHORDS)
+    counts["exact"] += 1
+    assert ns["maj_min_chord_dict"] == dict(our_probes.MAJ_MIN_CHORDS)
+    counts["exact"] += 1
+
+    def our_encoder_list(X, I, V, D):
+        """The elements ctx.encode_song feeds the encoder
+        (generation.py _padded_encoder_batch), in the reference's
+        prepare_encoder_input_list order."""
+        n = X.shape[0]
+        D_cat = held_to_categorical(np.atleast_2d(D))
+        V3 = prepare_velocity(np.atleast_2d(V), D_cat, cfg)
+        elements = [X]
+        if cfg.meta_instrument:
+            elements.append(np.tile(I[None], (n, 1, 1)))
+        if cfg.meta_velocity:
+            elements.append(V3)
+        if cfg.meta_held_notes:
+            elements.append(D_cat)
+        return elements if len(elements) > 1 else elements[0]
+
+    for octave in (4, 5, 6):
+        for name, chord in our_probes.MAJ_MIN_CHORDS.items():
+            ref_list = ns["get_input_list_for_chord_name"](name, octave)
+            X, I, V, D = our_probes.chord_window(chord, octave, cfg)
+            Xp = X.copy()
+            Xp[0][:, _chord_flood_column(chord, octave, cfg)] = 1.0
+            ours_raw = our_encoder_list(X, I, V, D)
+            ours_flood = our_encoder_list(Xp, I, V, D)
+            tag = f"chord[{name} oct{octave}]"
+            if isinstance(ref_list, list):
+                exact = all(eq(r, o) for r, o in zip(ref_list, ours_raw)) \
+                    and len(ref_list) == len(ours_raw)
+                flood_ok = all(
+                    eq(r, o) for r, o in zip(ref_list, ours_flood)
+                ) and len(ref_list) == len(ours_flood)
+            else:
+                exact = eq(ref_list, ours_raw)
+                flood_ok = eq(ref_list, ours_flood)
+            record(exact, tag, known="known_chord_flood" if flood_ok else None)
+
+    for pitch in range(cfg.low_crop, cfg.high_crop):
+        ref_list = ns["get_input_list_for_pitch"](pitch)
+        X, I, V, D = our_probes.pitch_window(pitch, cfg)
+        ours_list = our_encoder_list(X, I, V, D)
+        if isinstance(ref_list, list):
+            ok = len(ref_list) == len(ours_list) and all(
+                eq(r, o) for r, o in zip(ref_list, ours_list)
+            )
+        else:
+            ok = eq(ref_list, ours_list)
+        record(ok, f"pitch[{pitch}]")
+        record(
+            ns["pitch_to_name"](pitch) == our_probes.pitch_to_name(pitch),
+            f"pitch_name[{pitch}]",
+        )
+
+    # ---- 2. sampling-region Mahalanobis probe ----------------------------
+    # flags the reference can actually execute (prepare_decoder_input
+    # crashes on int C when decoder_input_composer is on -- the shipped
+    # configs run both additional-input flags off, PARITY deviation notes)
+    scfg = _sweepgen_cfg(cfg).replace(meta_next_notes=False)
+    _bind(vd, scfg, {})
+    for key in ("max_voices", "low_crop", "high_crop"):
+        setattr(dc, key, getattr(scfg, key))
+
+    dec_oracle = _DecodeOracle(scfg)
+    rng0 = np.random.default_rng(seed)
+    all_S = [
+        rng0.standard_normal(scfg.signature_vector_length) for _ in range(12)
+    ]
+    z_std_train = float(rng0.uniform(0.5, 2.0))
+
+    sns = {
+        "np": np,
+        "data_class": dc,
+        "vae_definition": vd,
+        "decoder": _RefOracleDecoder(dec_oracle, scfg),
+        "all_S": [s.copy() for s in all_S],
+        "z_std_train": z_std_train,
+        "signature_vector_length": scfg.signature_vector_length,
+        "latent_dim": scfg.latent_dim,
+        "output_length": scfg.output_length,
+        "max_voices": scfg.max_voices,
+        "batch_size": scfg.batch_size,
+        "sample_method": "argmax",  # vae_evaluation.py:137
+    }
+    _exec_eval_lines(591, 594, sns)  # split_song_back_to_samples
+    np.random.seed(seed + 7)
+    with np.errstate(all="ignore"):
+        _exec_eval_lines(1537, 1585, sns)  # scales loop
+        _exec_eval_lines(1602, 1635, sns)  # locs loop
+    ref_state = np.random.get_state()
+
+    # our side: the REAL probes entry point, same seed, oracle context
+    ctx = _OracleCtx(scfg, dec_oracle, None)
+    np.random.seed(seed + 7)
+    with np.errstate(all="ignore"):
+        our_scale_m, our_scale_s = our_probes.signature_mahalanobis_for_samples(
+            ctx, np.asarray(all_S), list(sns["scales"]), z_std_train,
+            vary="scale", rng=np.random,
+        )
+        our_loc_m, our_loc_s = our_probes.signature_mahalanobis_for_samples(
+            ctx, np.asarray(all_S), list(sns["locs"]), z_std_train,
+            vary="loc", rng=np.random,
+        )
+    our_state = np.random.get_state()
+    state_ok = len(ref_state) == len(our_state) and all(
+        np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
+        for a, b in zip(ref_state, our_state)
+    )
+    record(state_ok, "rng end-state (draw sequences mirrored call-for-call)")
+
+    # original-distance header (vae_evaluation.py:1539-1548) vs our math
+    mean_sig, cov_sig = music.get_mean_and_cov_from_vector_list(
+        np.asarray(all_S)
+    )
+    our_orig = [
+        music.mahalanobis_distance(s, mean_sig, cov_sig) for s in all_S
+    ]
+    record(eq(sns["mean_original_distance"], np.mean(our_orig)),
+           "mean_original_distance")
+    record(eq(sns["std_original_distance"], np.std(our_orig)),
+           "std_original_distance")
+
+    # per-curve comparison, with the reference's held-note signature bug
+    # bit-predicted: re-derive the decoded windows deterministically and
+    # build the EMULATED reference distances alongside ours
+    def emulated_curves(settings, vary):
+        means_ref_pred, means_ours = [], []
+        stds_ref_pred, stds_ours = [], []
+        deviating = 0
+        for setting in settings:
+            if vary == "scale":
+                zs = np.random.normal(
+                    0.0, setting, size=(20, scfg.latent_dim))
+            else:
+                zs = np.random.normal(
+                    setting, z_std_train, size=(20, scfg.latent_dim))
+            Y, _, _, _, _ = ctx.decode_and_process(
+                zs.astype(np.float32), sample_method="argmax",
+                independent_windows=True,
+            )
+            d_ours, d_ref = [], []
+            for window in np.split(Y, 20):
+                poly = music.monophonic_to_khot_pianoroll(
+                    window, scfg.max_voices
+                )
+                sig = music.signature_from_pianoroll(
+                    poly, low_crop=scfg.low_crop
+                )
+                song = [
+                    tuple(int(x) + scfg.low_crop for x in np.nonzero(st)[0])
+                    for st in poly
+                ]
+                durations = _ref_durations(song)
+                sig_ref = list(sig)
+                sig_ref[0] = len(durations) / len(song)
+                sig_ref[11:15] = music.get_statistics_on_list(
+                    durations, scale=1.0
+                )
+                if not eq(sig, sig_ref):
+                    deviating += 1
+                d_ours.append(
+                    music.mahalanobis_distance(sig, mean_sig, cov_sig))
+                d_ref.append(
+                    music.mahalanobis_distance(
+                        np.asarray(sig_ref), mean_sig, cov_sig))
+            means_ours.append(np.mean(d_ours))
+            stds_ours.append(np.std(d_ours))
+            means_ref_pred.append(np.mean(d_ref))
+            stds_ref_pred.append(np.std(d_ref))
+        return means_ours, stds_ours, means_ref_pred, stds_ref_pred, deviating
+
+    np.random.seed(seed + 7)
+    with np.errstate(all="ignore"):
+        sm_o, ss_o, sm_r, ss_r, dev_s = emulated_curves(sns["scales"], "scale")
+        lm_o, ls_o, lm_r, ls_r, dev_l = emulated_curves(sns["locs"], "loc")
+
+    # our probes fn must equal the straightforward re-derivation
+    record(eq(our_scale_m, sm_o) and eq(our_scale_s, ss_o),
+           "our scales curve self-consistent")
+    record(eq(our_loc_m, lm_o) and eq(our_loc_s, ls_o),
+           "our locs curve self-consistent")
+    # the reference curves must equal the EMULATED prediction bit-for-bit
+    record(eq(sns["mean_distances_for_each_scale"], sm_r)
+           and eq(sns["std_distances_for_each_scale"], ss_r),
+           "reference scales curve == emulated prediction")
+    record(eq(sns["mean_distances_for_each_loc"], lm_r)
+           and eq(sns["std_distances_for_each_loc"], ls_r),
+           "reference locs curve == emulated prediction")
+    # and where no deviation window exists, ours == reference directly
+    if dev_s == 0:
+        record(eq(sns["mean_distances_for_each_scale"], our_scale_m),
+               "scales ours == ref (no deviation windows)")
+    else:
+        counts["known_deviation"] += dev_s
+    if dev_l == 0:
+        record(eq(sns["mean_distances_for_each_loc"], our_loc_m),
+               "locs ours == ref (no deviation windows)")
+    else:
+        counts["known_deviation"] += dev_l
+
+    return {
+        "surface": "probes",
+        "n_checks": sum(counts.values()),
+        **counts,
+        "mismatches": mismatches[:20],
+        "ok": counts["MISMATCH"] == 0,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -4262,6 +4582,13 @@ def main() -> int:
              "nearest-z chaining (vae_evaluation.py:713-887, :1823-1896)",
     )
     ap.add_argument(
+        "--probes", action="store_true",
+        help="differential check of the chord/pitch latent-probe window "
+             "construction (vae_evaluation.py:1306-1526, :1651-1763) and "
+             "the sampling-region Mahalanobis loop (:1530-1649) with "
+             "mirrored RNG draws",
+    )
+    ap.add_argument(
         "--kerasio", action="store_true",
         help="differential check of the Keras-checkpoint I/O schedule "
              "(midi_vae_tpu/utils/keras_h5.py) vs the executing VAE.create "
@@ -4313,6 +4640,8 @@ def main() -> int:
         result = check_sweepstats(cfg, seed=args.seed)
     elif args.generation:
         result = check_generation(cfg, seed=args.seed)
+    elif args.probes:
+        result = check_probes(cfg, seed=args.seed)
     elif args.sampling:
         result = check_sampling(cfg, seed=args.seed)
     elif args.adversarial:
