@@ -130,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
             kind_dir = os.path.join(args.classifiers, kind)
             if os.path.isdir(kind_dir):
                 judges[kind] = make_judge(*load_classifier(kind_dir))
+    elif args.bundle is not None:
+        # sealed judges, if the bundle carries them
+        # (export_serving.py --classifiers): the whole transfer-and-judge
+        # pipeline then runs from sealed programs, no model builds
+        judges = ctx.judges
+        if judges:
+            print(f"judging with sealed programs: {sorted(judges)}")
 
     def judge_windows(Y_song, I_pred, V_flat, label, C_target):
         """Mean per-judge confidence that the windows are class C_target

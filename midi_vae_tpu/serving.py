@@ -16,9 +16,14 @@ this module exports the three serving programs a deployed MIDI-VAE needs --
                         vae_evaluation.py:2448-2625 semantics)
 
 -- as serialized ``jax.export`` artifacts (StableHLO) with the parameters
-BAKED IN as constants. A bundle directory is self-contained: one blob per
-program per batch bucket, the run's ``config.json``, and a
-``manifest.json`` recording shapes, platforms, and versions. Loading
+BAKED IN as constants, plus (optionally) the three style-classifier
+JUDGES of vae_evaluation.py:75-117 sealed the same way
+(``export_classifier_judges``: per-kind softmax predict programs + the
+0.999-0.5-weighted ensemble at load time), so the full
+transfer-and-judge pipeline runs from sealed artifacts alone. A bundle
+directory is self-contained: one blob per program per batch bucket, the
+run's ``config.json``, and a ``manifest.json`` recording shapes,
+platforms, and versions. Loading
 needs only jax -- no model classes, no checkpoint handling, no
 Python-side weight state -- and calls run the exact compiled computation
 that was exported (Pallas kernels included when exported on/for TPU).
@@ -171,6 +176,88 @@ def export_serving_bundle(
     return manifest
 
 
+def export_classifier_judges(
+    classifiers: dict,
+    bundle_dir: str,
+    batch_size: int | Sequence[int] = 256,
+    platforms: list[str] | None = None,
+) -> dict[str, Any]:
+    """Seal trained style-classifier judges into an EXISTING serving bundle.
+
+    ``classifiers``: kind -> (StyleClassifier, params) for any subset of
+    {'pitch', 'velocity', 'instrument'} (the three judges of
+    /root/reference/vae_evaluation.py:75-117). Each judge's softmax
+    ``predict`` is AOT-exported per batch bucket with the weights baked in
+    (``judge_<kind>@<B>.jaxexport``); the per-kind ClassifierSpec is
+    recorded in the manifest so the loader can replay the HOST-side input
+    preprocessing (velocity transforms) without the model classes. With
+    judges sealed, ``transfer --bundle`` runs the full
+    transfer-and-judge pipeline from sealed artifacts alone -- no
+    checkpoint restore, no model builds. Returns the updated manifest."""
+    import dataclasses
+
+    import jax
+    from jax import export as jexport
+
+    manifest_path = os.path.join(bundle_dir, _MANIFEST)
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"{bundle_dir!r} has no manifest -- export the VAE bundle "
+            "first (export_serving_bundle)"
+        )
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    cfg = Config.load(os.path.join(bundle_dir, "config.json"))
+    buckets = sorted(
+        {int(b) for b in (
+            [batch_size] if isinstance(batch_size, int) else batch_size
+        )}
+    )
+    kw = {"platforms": platforms} if platforms else {}
+    dev = jax.devices()[0]
+
+    judges_manifest: dict[str, Any] = {}
+    for kind, (model, params) in classifiers.items():
+        spec = model.spec
+        row_dims = {
+            "pitch": (cfg.output_length, spec.input_dim),
+            "velocity": (cfg.output_length, 1),
+            "instrument": (cfg.max_voices, spec.input_dim),
+        }
+        if kind not in row_dims:
+            raise ValueError(f"unknown judge kind {kind!r}")
+        p = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32), params
+            ),
+            dev,
+        )
+
+        def predict_fn(x, _m=model, _p=p):
+            return _m.predict(_p, x)
+
+        sizes: dict[str, int] = {}
+        for B in buckets:
+            arg = jax.ShapeDtypeStruct((B, *row_dims[kind]), np.float32)
+            exp = jexport.export(jax.jit(predict_fn), **kw)(arg)
+            blob = exp.serialize()
+            fname = f"judge_{kind}@{B}.jaxexport"
+            with open(os.path.join(bundle_dir, fname), "wb") as f:
+                f.write(blob)
+            sizes[fname] = len(blob)
+        judges_manifest[kind] = {
+            "row_dims": list(row_dims[kind]),
+            "spec": dataclasses.asdict(spec),
+            "blob_bytes": sizes,
+        }
+
+    manifest["judges"] = judges_manifest
+    manifest["judge_batch_sizes"] = buckets
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 class ServingBundle:
     """A loaded bundle: sealed compiled programs, numpy in/out.
 
@@ -211,6 +298,18 @@ class ServingBundle:
                 path = os.path.join(bundle_dir, f"{name}@{B}.jaxexport")
                 with open(path, "rb") as f:
                     self._fns[(name, B)] = jexport.deserialize(f.read())
+        # sealed classifier judges (export_classifier_judges), if present
+        self._judge_meta = self.manifest.get("judges", {})
+        self.judge_batch_sizes = [
+            int(b) for b in self.manifest.get("judge_batch_sizes", [])
+        ]
+        for kind in self._judge_meta:
+            for B in self.judge_batch_sizes:
+                path = os.path.join(bundle_dir, f"judge_{kind}@{B}.jaxexport")
+                with open(path, "rb") as f:
+                    self._fns[(f"judge_{kind}", B)] = jexport.deserialize(
+                        f.read()
+                    )
 
     @property
     def max_batch(self) -> int:
@@ -362,6 +461,65 @@ class ServingBundle:
             H[1:] = switched[:-1]
             idx = self.decode_argmax(switched, H, A)
         return sampling.process_argmax_outputs(idx, cfg), switched
+
+    # -- sealed classifier judges --------------------------------------
+
+    @property
+    def judges(self) -> dict:
+        """kind -> padded numpy predict callable over the SEALED judge
+        programs -- the same judge surface ``models.classifier.make_judge``
+        builds from live models (the transfer CLI and evaluation harness
+        consume either interchangeably). Empty dict when the bundle was
+        exported without judges."""
+        from .models.classifier import ClassifierSpec
+
+        out = {}
+        for kind, meta in self._judge_meta.items():
+            spec = ClassifierSpec(**meta["spec"])
+
+            def predict(x, _kind=kind, _spec=spec, _dims=meta["row_dims"]):
+                x = np.asarray(_spec.preprocess_inputs(x), np.float32)
+                if list(x.shape[1:]) != list(_dims):
+                    raise ValueError(
+                        f"judge_{_kind}: expected trailing dims {_dims}, "
+                        f"got {list(x.shape[1:])}"
+                    )
+                top = self.judge_batch_sizes[-1]
+                chunks = []
+                # rows are independent: chunk over the top bucket
+                for i in range(0, x.shape[0], top):
+                    part = x[i: i + top]
+                    n = part.shape[0]
+                    B = next(b for b in self.judge_batch_sizes if n <= b)
+                    probs = self._fns[(f"judge_{_kind}", B)].call(
+                        self._pad_rows(part, B)
+                    )
+                    chunks.append(np.asarray(probs)[:n])
+                return np.concatenate(chunks, axis=0)
+
+            out[kind] = predict
+        return out
+
+    def ensemble_prediction(self, pitch_x, instrument_x, velocity_x):
+        """The reference's 3-judge ensemble (vae_evaluation.py:110-117)
+        over the sealed programs: weighted mean of the per-judge softmax
+        probabilities (weights 0.999-0.5 each)."""
+        from .models.classifier import ensemble_prediction
+
+        judges = self.judges
+        missing = {"pitch", "instrument", "velocity"} - set(judges)
+        if missing:
+            raise RuntimeError(
+                f"bundle lacks sealed judges {sorted(missing)}; re-export "
+                "with tools/export_serving.py --classifiers"
+            )
+        return np.asarray(
+            ensemble_prediction(
+                judges["pitch"](pitch_x),
+                judges["instrument"](instrument_x),
+                judges["velocity"](velocity_x),
+            )
+        )
 
     def decode_and_process(
         self, z, history=None, additional=None, sample_method: str = "argmax",

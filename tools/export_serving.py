@@ -32,6 +32,11 @@ def main() -> None:
                     help="lowering platforms (default: current backend)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on host CPU (skip TPU init)")
+    ap.add_argument("--classifiers", default=None,
+                    help="classifier run dir (classify.py --output): also "
+                         "seal the pitch/velocity/instrument judges into "
+                         "the bundle, so transfer --bundle judges from "
+                         "sealed programs alone")
     args = ap.parse_args()
 
     if args.cpu:
@@ -55,6 +60,24 @@ def main() -> None:
         import shutil
 
         shutil.copy(stats, os.path.join(args.out, "signature_stats.npz"))
+    if args.classifiers:
+        from midi_vae_tpu.serving import export_classifier_judges
+        from midi_vae_tpu.training.classifier_trainer import load_classifier
+
+        judges = {}
+        for kind in ("pitch", "velocity", "instrument"):
+            kind_dir = os.path.join(args.classifiers, kind)
+            if os.path.isdir(kind_dir):
+                judges[kind] = load_classifier(kind_dir)
+        if not judges:
+            raise SystemExit(
+                f"no classifier run dirs under {args.classifiers!r} "
+                "(expected pitch/ velocity/ instrument/)"
+            )
+        manifest = export_classifier_judges(
+            judges, args.out, batch_size=args.batch,
+            platforms=args.platforms,
+        )
     print(json.dumps({"bundle": os.path.abspath(args.out), **manifest}))
 
 
