@@ -86,7 +86,20 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--held-notes", action="store_true",
                     help="also enable the held-notes head (dks=[1,2])")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="extra Config overrides (e.g. lstm_size=512) -- "
+                         "the r5 HBM-bound-geometry A/B cells")
     args = ap.parse_args()
+
+    import ast
+
+    overrides = {}
+    for kv in getattr(args, "set"):
+        k, v = kv.split("=", 1)
+        try:
+            overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v
 
     import jax
 
@@ -96,7 +109,7 @@ def main() -> None:
     for name, flag in (("f32", False), ("bf16", True)):
         cfg = Config(batch_size=args.batch,
                      meta_held_notes=bool(args.held_notes),
-                     decode_residual_bf16=flag)
+                     decode_residual_bf16=flag, **overrides)
         rigs[name] = setup(cfg)
         window(*rigs[name], iters=3)  # warmup / compile
         losses[name] = one_step_loss(rigs[name][0], rigs[name][2], seed=7)
