@@ -71,6 +71,7 @@ class TestClassifier:
         assert ev["confusion"].shape == (2, 2)
         assert ev["confusion"].sum() == len(x)
 
+    @pytest.mark.slow
     def test_chunked_device_epochs_match_host_loop(self):
         """run_epochs_device (E epochs, one jitted call) must match E
         sequential host-batched run_epoch calls when the shuffle is off."""
@@ -105,6 +106,7 @@ class TestClassifier:
                 np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-6
             )
 
+    @pytest.mark.slow
     def test_fit_chunked_cadence(self, tmp_path):
         spec = self.spec()
         trainer = ClassifierTrainer(spec)

@@ -208,6 +208,7 @@ class TestGenerationContext:
         for a, b in zip(out, ref):
             np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.slow
     def test_generation_context_on_mesh(self, tiny_setup):
         """Serving over a device mesh: DP (8x1) and DP+TP (4x2) contexts must
         reproduce the single-device encode/transfer outputs (GSPMD partitions
@@ -255,6 +256,7 @@ class TestGenerationContext:
 
 
 class TestHarness:
+    @pytest.mark.slow
     def test_full_run_writes_artifacts(self, tiny_setup, tmp_path):
         from midi_vae_tpu.evaluation import EvalSections, Evaluator
 

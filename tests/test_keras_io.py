@@ -302,6 +302,7 @@ class TestParamsTxt:
         assert f("weights.h5") is None
 
 
+@pytest.mark.slow
 class TestImporterCLI:
     def test_import_then_evaluate_loadable(self, tmp_path):
         """End to end: a reference-layout checkpoint + params.txt import

@@ -64,6 +64,30 @@ FLAG_MATRIX = [
 ]
 
 
+class TestFlagMatrixSmoke:
+    """Fast-tier representative of the 15-config flag matrix below: the
+    default config + the everything-on config. The full matrix runs in
+    the slow tier."""
+
+    @pytest.mark.parametrize(
+        "overrides",
+        [{}, {"meta_held_notes": True, "meta_next_notes": True,
+              "signature_decoder": True, "latent_dim": 32}],
+    )
+    def test_forward_and_loss_finite(self, overrides):
+        cfg = small_test_config(**overrides)
+        model = MidiVAE(cfg)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = make_batch(cfg)
+        loss, metrics = jax.jit(
+            lambda p, b: loss_and_metrics(model, p, b, jax.random.PRNGKey(1), 0.01)
+        )(params, batch)
+        assert jnp.isfinite(loss)
+        for k, v in metrics.items():
+            assert jnp.isfinite(v), k
+
+
+@pytest.mark.slow
 class TestFlagMatrix:
     @pytest.mark.parametrize("overrides", FLAG_MATRIX)
     def test_forward_and_loss_finite(self, overrides):
@@ -106,6 +130,7 @@ class TestFlagMatrix:
         assert abs(float(m_x["notes_loss"]) - expected) > 1e-3
 
 
+@pytest.mark.slow
 class TestGradients:
     def test_grad_reaches_all_params(self):
         cfg = small_test_config()
@@ -238,6 +263,7 @@ class TestOverfit:
         assert acc > 0.95, f"failed to overfit: notes_acc={acc}"
 
 
+@pytest.mark.slow
 class TestComputeDtype:
     def test_bf16_forward_close_to_f32(self):
         cfg32 = small_test_config()
@@ -314,6 +340,7 @@ class TestReviewFixes:
         )
 
 
+@pytest.mark.slow
 class TestGateActivation:
     def test_hard_sigmoid_trains_and_disables_pallas(self):
         """gate_activation='hard_sigmoid' (bit-faithful Keras-2.0.8 gates,

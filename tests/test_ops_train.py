@@ -19,6 +19,7 @@ from midi_vae_tpu.ops.fused_decoder import (
 )
 
 
+@pytest.mark.slow
 class TestGRULayerTrain:
     def _data(self, T=7, B=4, H=16):
         rng = np.random.RandomState(0)
@@ -73,6 +74,7 @@ class TestGRULayerTrain:
         assert ft._train_vmem_ok(256, 256)
 
 
+@pytest.mark.slow
 class TestGRUDecodeTrain:
     @pytest.mark.parametrize(
         "n_layers,D,out_act",
@@ -124,6 +126,7 @@ class TestGRUDecodeTrain:
         assert ft._dec_train_vmem_ok(256, 61, 256, 2)
 
 
+@pytest.mark.slow
 class TestModelLevelTrainKernels:
     @pytest.mark.parametrize(
         "enc,dec", [(True, False), (False, True), (True, True)]
@@ -169,6 +172,7 @@ class TestModelLevelTrainKernels:
             )
 
 
+@pytest.mark.slow
 class TestLSTMLayerTrain:
     def _data(self, T=7, B=4, H=16):
         rng = np.random.RandomState(0)
@@ -331,6 +335,7 @@ class TestLSTMLayerTrainX:
         assert ft._lstm_x_train_vmem_ok(256, 256, 256)
 
 
+@pytest.mark.slow
 class TestGRUStack2TrainX:
     """2-layer encoder-stack kernel (kept as an op; the model uses the
     per-layer dispatch -- measured equal end-to-end)."""
@@ -378,6 +383,7 @@ class TestGRUStack2TrainX:
             )
 
 
+@pytest.mark.slow
 class TestBf16TrainKernels:
     """bf16 variants of the fused-train kernels (interpret mode).
 
@@ -474,6 +480,7 @@ class TestBf16TrainKernels:
             )
 
 
+@pytest.mark.slow
 class TestMultiheadDecodeTrain:
     """Fused multi-head decode: 2-layer primary + K 1-layer heads in one
     kernel pair (interpret mode vs the per-head reference scans)."""
@@ -588,6 +595,7 @@ class TestMultiheadDecodeTrain:
             )
 
 
+@pytest.mark.slow
 class TestMultibranchEncodeTrain:
     """Fused multi-branch encode: 2-layer notes stack + K independent
     1-layer branches (incl. one SHORTER than the stack) in one kernel pair
@@ -695,6 +703,7 @@ class TestMultiheadModelDispatch:
                 )
 
 
+@pytest.mark.slow
 class TestBf16NarrowHeadGates:
     """bf16 + degenerate-K (D<8) projections hit Mosaic's mixed-type
     broadcast ('vector.broadcast' verification error at reference scale) --
@@ -832,6 +841,7 @@ class TestDtypeAwareVmemBudgets:
         assert not ft._x_train_vmem_ok(self.B, 61, 512, 2)
 
 
+@pytest.mark.slow
 class TestWideTwoPassTrain:
     """Wide-model two-pass training backward (fused_train 'wide' mode):
     a batch-tiled Pallas kernel emits only the per-step gate grads da_cat
@@ -1016,6 +1026,7 @@ class TestWideTwoPassTrain:
         assert ft._btile(96, lambda bt: bt <= 30) == 24  # non-power-of-two B
 
 
+@pytest.mark.slow
 class TestWideDecodeTrain:
     """Wide two-pass decode-head backward: pass-1 kernel emits dlogits +
     per-layer gate grads on a batch-tiled grid; weight grads reduce as flat

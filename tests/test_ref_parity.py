@@ -44,6 +44,7 @@ def test_adversarial_battery_matches_reference():
     assert summary["known_flood"] >= 1
 
 
+@pytest.mark.slow
 def test_fuzz_corpus_matches_reference():
     """Randomized tensorizer fuzzing vs the executing reference: random
     tempo maps, grids, chords, sub-quantum notes, long ties, drums, and
@@ -56,6 +57,7 @@ def test_fuzz_corpus_matches_reference():
     assert summary["MISMATCH"] == 0
 
 
+@pytest.mark.slow
 def test_fuzz_config_matrix_matches_reference():
     """The fuzz corpus through every tensorizer config variant (voices,
     quantization grid, crops, silent note, velocity threshold, instrument
@@ -102,6 +104,7 @@ def test_batchprep_matches_reference():
     assert summary["exact"] >= 250
 
 
+@pytest.mark.slow
 def test_sampling_matches_reference():
     """L3 differential parity: the EXECUTING vae_definition.py output
     decoding vs evaluation.sampling (argmax method), incl. the velocity
@@ -169,6 +172,7 @@ def test_training_trajectory_matches_reference():
     assert summary["worst_param_rel"] < 1e-4
 
 
+@pytest.mark.slow
 def test_classifiers_match_reference():
     """Style-classifier differential parity: the reference's GRU-stack ->
     Dense-softmax judge graph (pitch/velocity/instrument geometries,
@@ -181,6 +185,7 @@ def test_classifiers_match_reference():
     assert summary["n_checks"] >= 60
 
 
+@pytest.mark.slow
 def test_evalmetrics_match_reference():
     """L5 differential parity: the evaluation harness's metric bookkeeping
     (ensemble weighting, frankenstein harmonicity baselines, per-class
@@ -198,6 +203,7 @@ def test_evalmetrics_match_reference():
     assert summary["known_deviation"] >= 1
 
 
+@pytest.mark.slow
 def test_sweepstats_match_reference():
     """L5 differential parity: the latent-sweep machinery -- value grid,
     strength/probability/direction (incl. the reference's single-element
@@ -213,6 +219,7 @@ def test_sweepstats_match_reference():
     assert summary["exact"] >= 300
 
 
+@pytest.mark.slow
 def test_generation_assembly_matches_reference():
     """L5 differential parity: generation-section assembly -- chosen-song
     interpolation medleys (selection draws mirrored, bridge interpolation,
@@ -229,6 +236,7 @@ def test_generation_assembly_matches_reference():
     assert summary["known_restructure"] >= 3
 
 
+@pytest.mark.slow
 def test_probes_match_reference():
     """L5 differential parity for the last two evaluation blocks (VERDICT
     r4 weak #7): chord/pitch latent-probe window construction (the
@@ -245,6 +253,7 @@ def test_probes_match_reference():
     assert summary["exact"] >= 120
 
 
+@pytest.mark.slow
 def test_keras_checkpoint_io_matches_reference():
     """Keras-checkpoint I/O parity: the import/export weight schedule
     (midi_vae_tpu/utils/keras_h5.py) vs the EXECUTING VAE.create graph
@@ -259,6 +268,7 @@ def test_keras_checkpoint_io_matches_reference():
     assert summary["match"] >= 1400
 
 
+@pytest.mark.slow
 def test_fuzz_folder_import_matches_reference(tmp_path):
     """Folder-level differential over a RANDOMIZED fuzz corpus: stratified
     seed-42 split membership/order, equal_mini_songs rebalance, and every
@@ -280,6 +290,7 @@ def test_fuzz_folder_import_matches_reference(tmp_path):
         assert fl["ok"], fl
 
 
+@pytest.mark.slow
 def test_generated_corpus_matches_reference(tmp_path):
     corpus = tmp_path / "corpus"
     gen = subprocess.run(
@@ -303,6 +314,7 @@ def test_generated_corpus_matches_reference(tmp_path):
         assert fl["ref_test"] == fl["our_test"]
 
 
+@pytest.mark.slow
 def test_classifier_training_trajectory_matches_reference():
     """Classifier leg of the trajectory differential (VERDICT r3 weak #3):
     4 actual optimizer steps of the executing reference classifier graph

@@ -141,6 +141,7 @@ class TestServingBundle:
         with pytest.raises(ValueError, match="trailing dims"):
             b.encode(bad)
 
+    @pytest.mark.slow
     def test_cli_export(self, tmp_path):
         from midi_vae_tpu.training import VAETrainer
         from midi_vae_tpu.training import checkpoint as ckpt
@@ -280,6 +281,7 @@ class TestBundleValidationAndSongAPI:
         np.testing.assert_allclose(sw_b, sw_l, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestSealedJudges:
     """Sealed classifier judges (serving.export_classifier_judges): the
     three style judges of vae_evaluation.py:75-117 exported into the

@@ -41,6 +41,7 @@ class TestTrainer:
         with pytest.raises(ValueError, match="devices"):
             make_mesh(n_data=16, n_model=2)
 
+    @pytest.mark.slow
     def test_padded_batch_mask_neutral(self, cfg):
         """Metrics from a full batch == metrics from the same data padded."""
         model = MidiVAE(cfg)
@@ -77,6 +78,7 @@ class TestTrainer:
         np.testing.assert_allclose(H[2], z[1], rtol=1e-5)
         assert np.all(H[3] == 0)  # song boundary
 
+    @pytest.mark.slow
     def test_fit_and_checkpoint_roundtrip(self, cfg, tmp_path):
         trainer = VAETrainer(cfg, mesh=make_mesh())
         state = trainer.init_state(seed=0)
@@ -98,6 +100,7 @@ class TestTrainer:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
+    @pytest.mark.slow
     def test_evaluate_device_matches_host(self, cfg):
         """The one-dispatch device evaluation (in-jit history encode pass +
         batch scan) must reproduce the host evaluate loop."""
@@ -113,6 +116,7 @@ class TestTrainer:
                 m_dev[k], m_host[k], rtol=2e-5, atol=1e-6, err_msg=k
             )
 
+    @pytest.mark.slow
     def test_resume_preserves_history(self, cfg, tmp_path):
         """Resuming must keep the pre-resume training record in history.json
         and must not duplicate the final checkpoint save."""
@@ -144,6 +148,7 @@ class TestTrainer:
         with open(os.path.join(out, "history.json")) as f:
             assert json.load(f)["epoch"] == [0, 1, 2, 3]
 
+    @pytest.mark.slow
     def test_tensor_parallel_compiles(self, cfg):
         """DP+TP: 4x2 mesh, gate dims sharded over 'model'; one step runs."""
         mesh = make_mesh(n_model=2)
@@ -153,6 +158,7 @@ class TestTrainer:
         m = trainer.run_epoch(state, flat, shuffle=False).means()
         assert np.isfinite(m["loss"])
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self, cfg):
         """The same seed must give (near-)identical first-epoch metrics on a
         1-device and an 8-device mesh -- DP is a pure layout change."""
@@ -169,6 +175,7 @@ class TestTrainer:
                 results[0][k], results[1][k], rtol=1e-3, err_msg=k
             )
 
+    @pytest.mark.slow
     def test_dp_multi_epoch_trajectory_matches(self, cfg):
         """Beyond the first epoch: a full 3-epoch training TRAJECTORY (losses
         and final parameters) must match between a 1-device and an 8-device
@@ -192,6 +199,7 @@ class TestTrainer:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
             )
 
+    @pytest.mark.slow
     def test_device_epoch_matches_host_loop(self, cfg):
         """The device-resident epoch must reproduce the host-batched loop
         exactly (same rng chain, same batch order) when history is off."""
@@ -211,6 +219,7 @@ class TestTrainer:
         for k in m_host:
             np.testing.assert_allclose(m_dev[k], m_host[k], rtol=2e-4, err_msg=k)
 
+    @pytest.mark.slow
     def test_chunked_epochs_match_sequential(self, cfg):
         """run_epochs_device (E epochs in ONE jitted call) must reproduce E
         sequential run_epoch_device calls bit-for-bit (same rng chain) when
@@ -249,6 +258,7 @@ class TestTrainer:
                 np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
             )
 
+    @pytest.mark.slow
     def test_chunked_epochs_match_sequential_shuffled(self, cfg):
         """With shuffle ON: epoch e's order is a pure function of
         (cfg.seed, e), so ANY chunking produces the identical trajectory
@@ -274,6 +284,7 @@ class TestTrainer:
                     np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
                 )
 
+    @pytest.mark.slow
     def test_fit_chunked_cadence(self, cfg, tmp_path):
         """fit() with sparse test/save cadence chunks epochs between
         boundaries and still records every epoch + the right test epochs."""
@@ -292,6 +303,7 @@ class TestTrainer:
         restored = trainer.restore(out)
         assert restored.epoch == 7
 
+    @pytest.mark.slow
     def test_device_epoch_with_history(self, cfg):
         trainer = VAETrainer(cfg, mesh=make_mesh())
         state = trainer.init_state(seed=0)
@@ -303,6 +315,7 @@ class TestTrainer:
         assert m["loss"] < m0["loss"]
 
 
+@pytest.mark.slow
 class TestHistoryZCache:
     """history_from_train_z: the device-epoch H comes from a per-window z
     cache updated inside each train step instead of a per-epoch whole-split
@@ -371,6 +384,7 @@ class TestHistoryZCache:
         )
 
 
+@pytest.mark.slow
 class TestDeviceEpochFullConfigSpace:
     """meta_next_notes and the decoder additional input now run on the
     device-resident epoch path via in-jit gathers -- parity with the
@@ -445,6 +459,7 @@ class TestShardedResidentData:
     different-but-equivalent programs that differ in reduction
     association at the last float bit."""
 
+    @pytest.mark.slow
     def test_sharded_matches_replicated_bitexact(self, cfg):
         """3 chunked epochs over sharded resident data (N=12 windows padded
         to 16 over the 8-way axis) must match the replicated layout to
@@ -475,6 +490,7 @@ class TestShardedResidentData:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
 
+    @pytest.mark.slow
     def test_sharded_with_z_cache_history(self, cfg):
         """history_from_train_z scatters into the z cache inside the step;
         the padded dustbin row must keep sharded == replicated (to float
@@ -514,6 +530,7 @@ class TestShardedResidentData:
         tr.hbm_budget = None  # unknown budget -> pre-guard behavior
         assert tr.choose_device_data_mode(flat, None) is not None
 
+    @pytest.mark.slow
     def test_fit_auto_fallback_and_shard(self, cfg, tmp_path):
         """fit() must route an oversized corpus through the sharded layout,
         and a doubly-oversized one through host-driven epochs -- with log
@@ -611,6 +628,7 @@ class TestUint8ResidentData:
         assert n < full  # strictly smaller than the all-f32 accounting
         assert n >= binary
 
+    @pytest.mark.slow
     def test_matches_f32_resident(self, cfg, monkeypatch):
         """2 epochs from uint8-resident data match the f32 layout to float
         tolerance. The gathered VALUES are bit-identical (uint8->f32 of
