@@ -257,6 +257,37 @@ class TestGenerationContext:
 
 class TestHarness:
     @pytest.mark.slow
+    def test_sampling_regions_section(self, tiny_setup, tmp_path):
+        """The sampling-region Mahalanobis section end to end through the
+        harness (the probe loop itself is differentially gated by
+        ref_parity_check --probes): the reference's 11-entry scales/locs
+        grids (duplicate trailing 10000.0, vae_evaluation.py:1550/:1602),
+        finite curves, artifacts written."""
+        from midi_vae_tpu.evaluation import EvalSections, Evaluator
+
+        cfg, model, params, ds = tiny_setup
+        out = str(tmp_path / "eval")
+        evaluator = Evaluator(cfg, params, ds, out, classifiers=None, seed=0)
+        sections = EvalSections(
+            evaluate_autoencoding_and_stuff=False,
+            mix_with_previous=False,
+            switch_styles=False,
+            evaluate_different_sampling_regions=True,
+        )
+        results = evaluator.run(sections, log_fn=lambda s: None)
+        for key, grid in (("sampling_region_scales", "scales"),
+                          ("sampling_region_locs", "locs")):
+            entry = results[key]
+            assert len(entry[grid]) == 11  # reference grid incl. duplicate
+            assert entry[grid][-1] == entry[grid][-2] == 10000.0
+            assert np.all(np.isfinite(entry["means"]))
+            assert np.all(np.isfinite(entry["stds"]))
+        import os
+
+        assert os.path.exists(os.path.join(out, "aaa_signature_scales.png"))
+        assert os.path.exists(os.path.join(out, "aaa_signature_locs.png"))
+
+    @pytest.mark.slow
     def test_full_run_writes_artifacts(self, tiny_setup, tmp_path):
         from midi_vae_tpu.evaluation import EvalSections, Evaluator
 
