@@ -256,7 +256,8 @@ class VAETrainer:
         if k not in cls._BINARY_PLANES or v.dtype != np.float32:
             return False
         flat_v = v.reshape(-1)
-        step = max(1, (16 << 20) // max(v.itemsize, 1))
+        # ~16 MB of f32 per chunk -> bool temporaries stay ~8 MB
+        step = max(1, (16 << 20) // max(v.itemsize, 1) // 4)
         for i in range(0, flat_v.size, step):
             chunk = flat_v[i : i + step]
             if not bool(np.all((chunk == 0.0) | (chunk == 1.0))):
