@@ -190,7 +190,15 @@ def export_classifier_judges(
     ``predict`` is AOT-exported per batch bucket with the weights baked in
     (``judge_<kind>@<B>.jaxexport``); the per-kind ClassifierSpec is
     recorded in the manifest so the loader can replay the HOST-side input
-    preprocessing (velocity transforms) without the model classes. With
+    preprocessing (velocity transforms) without the model classes.
+
+    Shapes are static: sequence-kind judges are sealed at the DECODED
+    window length (``cfg.output_length`` -- the transfer-and-judge use
+    case the bundle serves). In a config where ``input_length !=
+    output_length``, judging raw ENCODER windows needs the live
+    ``make_judge`` surface instead (the live RNN handles any T); the
+    loader rejects mismatched trailing dims with a clear error. The
+    shipped reference configs have the two lengths equal. With
     judges sealed, ``transfer --bundle`` runs the full
     transfer-and-judge pipeline from sealed artifacts alone -- no
     checkpoint restore, no model builds. Returns the updated manifest."""
@@ -484,6 +492,9 @@ class ServingBundle:
                         f"judge_{_kind}: expected trailing dims {_dims}, "
                         f"got {list(x.shape[1:])}"
                     )
+                if x.shape[0] == 0:
+                    # make_judge parity: empty in -> empty (0, k) out
+                    return np.zeros((0, _spec.num_classes), np.float32)
                 top = self.judge_batch_sizes[-1]
                 chunks = []
                 # rows are independent: chunk over the top bucket

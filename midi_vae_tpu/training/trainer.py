@@ -256,8 +256,9 @@ class VAETrainer:
         if k not in cls._BINARY_PLANES or v.dtype != np.float32:
             return False
         flat_v = v.reshape(-1)
-        # ~16 MB of f32 per chunk -> bool temporaries stay ~8 MB
-        step = max(1, (16 << 20) // max(v.itemsize, 1) // 4)
+        # 16 MB of f32 (4M elements) per chunk -> the 1-byte bool
+        # temporaries stay ~8 MB per chunk
+        step = max(1, (16 << 20) // max(v.itemsize, 1))
         for i in range(0, flat_v.size, step):
             chunk = flat_v[i : i + step]
             if not bool(np.all((chunk == 0.0) | (chunk == 1.0))):
@@ -293,9 +294,10 @@ class VAETrainer:
         arrays["first_in_song"] = np.asarray(flat.first_in_song)
         arrays["song_id"] = np.asarray(flat.song_id)
         d = self.mesh.shape.get(pmesh.DATA_AXIS, 1) if self.mesh is not None else 1
-        # flip the model's dispatch mode (trace-time static; the epoch jits
-        # key on it): sharded-data programs take plain GSPMD, see
-        # MidiVAE.__init__ sharded_data
+        # flip the model's layout mode (trace-time static; the epoch jit
+        # cache keys on it, and _epoch_compiler_options applies the
+        # all-reduce-scatter-fusion workaround when set -- see
+        # MidiVAE.__init__ sharded_data)
         self.model.sharded_data = bool(shard and d > 1)
         if not shard or d <= 1:
             return {k: jnp.asarray(v) for k, v in arrays.items()}

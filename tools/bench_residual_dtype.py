@@ -100,6 +100,10 @@ def main() -> None:
             overrides[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
             overrides[k] = v
+    if "decode_residual_bf16" in overrides:
+        raise SystemExit(
+            "decode_residual_bf16 is the A/B axis itself; do not --set it"
+        )
 
     import jax
 
@@ -107,9 +111,12 @@ def main() -> None:
 
     rigs, losses = {}, {}
     for name, flag in (("f32", False), ("bf16", True)):
-        cfg = Config(batch_size=args.batch,
-                     meta_held_notes=bool(args.held_notes),
-                     decode_residual_bf16=flag, **overrides)
+        # --set wins over the dedicated flags (--batch / --held-notes)
+        base = dict(batch_size=args.batch,
+                    meta_held_notes=bool(args.held_notes),
+                    decode_residual_bf16=flag)
+        base.update(overrides)
+        cfg = Config(**base)
         rigs[name] = setup(cfg)
         window(*rigs[name], iters=3)  # warmup / compile
         losses[name] = one_step_loss(rigs[name][0], rigs[name][2], seed=7)

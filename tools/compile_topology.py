@@ -192,8 +192,10 @@ def main() -> int:
 
     # ---- 2. the chunked-epoch program (the production dispatch) ----
     if args.epoch:
-        # mirror prepare_device_data's dispatch-mode flip (sharded-data
-        # epochs run plain GSPMD; see MidiVAE.sharded_data)
+        # mirror prepare_device_data's layout-mode flip (sharded-data
+        # epochs keep the shard_map kernels and compile with the
+        # all-reduce-scatter-fusion workaround; see MidiVAE.sharded_data
+        # and VAETrainer._epoch_compiler_options)
         tr.model.sharded_data = bool(
             args.shard_data and mesh.shape[pmesh.DATA_AXIS] > 1
         )
