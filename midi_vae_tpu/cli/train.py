@@ -13,21 +13,11 @@ Resume:  python train.py --source data/original --output runs/jvp --resume
 from __future__ import annotations
 
 import argparse
-import ast
 import sys
 
+from ..config import parse_overrides
 
-def parse_overrides(pairs: list[str]) -> dict:
-    out = {}
-    for pair in pairs:
-        if "=" not in pair:
-            raise SystemExit(f"--set expects key=value, got {pair!r}")
-        k, v = pair.split("=", 1)
-        try:
-            out[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            out[k] = v
-    return out
+__all__ = ["main", "parse_overrides"]
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -15,6 +15,7 @@ Configs serialize to/from JSON, replacing both ``settings.py`` and the
 
 from __future__ import annotations
 
+import ast
 import dataclasses
 import json
 from dataclasses import dataclass, field
@@ -453,6 +454,25 @@ class Config:
 
     def replace(self, **kwargs: Any) -> "Config":
         return dataclasses.replace(self, **kwargs)
+
+
+def parse_overrides(pairs: list[str]) -> dict[str, Any]:
+    """Parse repeated ``--set KEY=VALUE`` flags into Config kwargs.
+
+    Values are Python literals where possible (``lstm_size=512``,
+    ``compute_dtype='bfloat16'``), bare strings otherwise
+    (``compute_dtype=bfloat16`` works too). The single shared
+    implementation behind every CLI and tool that accepts ``--set``."""
+    out: dict[str, Any] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise SystemExit(f"--set expects key=value, got {pair!r}")
+        k, v = pair.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
 
 
 def small_test_config(**overrides: Any) -> Config:

@@ -425,8 +425,12 @@ class TestSealedJudges:
     def test_zero_row_judge_matches_make_judge_surface(self, judged_bundle):
         """Empty input -> (0, k) result, same as the live make_judge
         surface (a song that produced no windows must not crash)."""
-        cfg, _, out, _ = judged_bundle
+        from midi_vae_tpu.models.classifier import make_judge
+
+        cfg, classifiers, out, _ = judged_bundle
         b = serving.load_serving_bundle(out)
         empty = np.zeros((0, cfg.output_length, cfg.input_dim), np.float32)
         probs = b.judges["pitch"](empty)
-        assert probs.shape == (0, cfg.num_classes)
+        live = np.asarray(make_judge(*classifiers["pitch"])(empty))
+        assert probs.shape == live.shape == (0, cfg.num_classes)
+        assert probs.dtype == live.dtype

@@ -41,7 +41,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import ast
 import json
 import sys
 import time
@@ -126,13 +125,9 @@ def main() -> int:
                     help="skip the per-step cost-model compile (faster)")
     args = ap.parse_args()
 
-    overrides = {}
-    for kv in getattr(args, "set"):
-        k, v = kv.split("=", 1)
-        try:
-            overrides[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            overrides[k] = v
+    from midi_vae_tpu.config import parse_overrides
+
+    overrides = parse_overrides(getattr(args, "set"))
 
     from midi_vae_tpu.utils.profiling import enable_compilation_cache
 

@@ -91,15 +91,9 @@ def main() -> None:
                          "the r5 HBM-bound-geometry A/B cells")
     args = ap.parse_args()
 
-    import ast
+    from midi_vae_tpu.config import parse_overrides
 
-    overrides = {}
-    for kv in getattr(args, "set"):
-        k, v = kv.split("=", 1)
-        try:
-            overrides[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            overrides[k] = v
+    overrides = parse_overrides(getattr(args, "set"))
     if "decode_residual_bf16" in overrides:
         raise SystemExit(
             "decode_residual_bf16 is the A/B axis itself; do not --set it"
@@ -109,7 +103,7 @@ def main() -> None:
 
     from midi_vae_tpu.config import Config
 
-    rigs, losses = {}, {}
+    rigs, losses, cfgs = {}, {}, {}
     for name, flag in (("f32", False), ("bf16", True)):
         # --set wins over the dedicated flags (--batch / --held-notes)
         base = dict(batch_size=args.batch,
@@ -117,6 +111,7 @@ def main() -> None:
                     decode_residual_bf16=flag)
         base.update(overrides)
         cfg = Config(**base)
+        cfgs[name] = cfg
         rigs[name] = setup(cfg)
         window(*rigs[name], iters=3)  # warmup / compile
         losses[name] = one_step_loss(rigs[name][0], rigs[name][2], seed=7)
@@ -129,7 +124,8 @@ def main() -> None:
     n_chips = len(jax.devices())
     rates = {}
     for k, dt in best.items():
-        rates[k] = args.batch * 64 / dt / n_chips
+        # note-steps from the ACTUAL config (--set may override geometry)
+        rates[k] = cfgs[k].batch_size * cfgs[k].output_length / dt / n_chips
         print(
             json.dumps(
                 {

@@ -28,7 +28,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import ast
 import collections
 import json
 import os
@@ -76,13 +75,9 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    overrides = {}
-    for kv in getattr(args, "set"):
-        k, v = kv.split("=", 1)
-        try:
-            overrides[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            overrides[k] = v
+    from midi_vae_tpu.config import parse_overrides
+
+    overrides = parse_overrides(getattr(args, "set"))
 
     import functools
 

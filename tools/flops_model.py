@@ -145,15 +145,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = ap.parse_args()
-    import ast
+    from midi_vae_tpu.config import parse_overrides
 
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            overrides[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            overrides[k] = v
+    overrides = parse_overrides(args.set)
     cfg = Config(**overrides)
     parts = forward_flops(cfg)
     out = {

@@ -147,15 +147,9 @@ def main() -> None:
     )
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = ap.parse_args()
-    overrides = {}
-    for kv in getattr(args, "set"):
-        k, v = kv.split("=", 1)
-        try:
-            import ast
+    from midi_vae_tpu.config import parse_overrides
 
-            overrides[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            overrides[k] = v
+    overrides = parse_overrides(getattr(args, "set"))
     if args.epoch:
         trace_dir, steps = capture_epoch(args.steps, overrides)
     else:
