@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     ds = import_midi_from_folder(args.source, cfg, cache_dir=args.cache, workers=args.workers)
     print(f"train songs: {ds.train_set_size}  test songs: {ds.test_set_size}")
 
-    state = ckpt.restore_checkpoint(args.model, args.epoch)
+    state = ckpt.restore_vae_state(args.model, args.epoch)
     print(f"restored model at epoch {state['epoch']}")
 
     classifiers = {}

@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = cfg.replace(temperature=args.temperature)
     if args.sample_method:
         cfg = cfg.replace(sample_method=args.sample_method)
-    state = ckpt.restore_checkpoint(args.model, args.epoch)
+    state = ckpt.restore_vae_state(args.model, args.epoch)
     model = MidiVAE(cfg)
     ctx = generation.GenerationContext(cfg, model, state["params"])
     rng = np.random.RandomState(args.seed)

@@ -115,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         from midi_vae_tpu.training import checkpoint as ckpt
 
         cfg = ckpt.load_config(args.model)
-        state = ckpt.restore_checkpoint(args.model, args.epoch)
+        state = ckpt.restore_vae_state(args.model, args.epoch)
         model = MidiVAE(cfg)
         ctx = GenerationContext(cfg, model, state["params"])
         run_dir = args.model

@@ -70,6 +70,19 @@ def _encoder_shapes(cfg: Config, B: int) -> dict[str, tuple]:
     return shapes
 
 
+def _export_platform(platforms: list[str] | None) -> str | None:
+    """Model platform to build the export graphs for.
+
+    Pallas kernels only lower for TPU: exporting from a TPU-backend
+    process with ``platforms=['cpu']`` (or any mixed list) must take the
+    jnp paths or jax.export dies with "Only interpret mode is supported
+    on CPU backend". None = follow the current backend (the model
+    default)."""
+    if not platforms:
+        return None
+    return "tpu" if all(p == "tpu" for p in platforms) else "cpu"
+
+
 def export_serving_bundle(
     cfg: Config,
     params,
@@ -95,7 +108,7 @@ def export_serving_bundle(
     )
     from .models.vae import MidiVAE
 
-    model = MidiVAE(cfg)
+    model = MidiVAE(cfg, platform=_export_platform(platforms))
     buckets = sorted(
         {int(b) for b in (
             [batch_size] if isinstance(batch_size, int) else batch_size
@@ -223,10 +236,17 @@ def export_classifier_judges(
     )
     kw = {"platforms": platforms} if platforms else {}
     dev = jax.devices()[0]
+    plat = _export_platform(platforms)
 
     judges_manifest: dict[str, Any] = {}
     for kind, (model, params) in classifiers.items():
         spec = model.spec
+        if plat is not None and model.platform != plat:
+            # retarget the graph at the LOWERING platform (kernels vs jnp
+            # paths), not whatever platform the live model was built for
+            from .models.classifier import StyleClassifier
+
+            model = StyleClassifier(spec, platform=plat)
         row_dims = {
             "pitch": (cfg.output_length, spec.input_dim),
             "velocity": (cfg.output_length, 1),

@@ -102,5 +102,31 @@ def restore_checkpoint(
     return state
 
 
+def restore_vae_state(ckpt_dir: str, epoch: int | None = None) -> dict:
+    """Template-checked restore for the inference CLIs (generate /
+    transfer / evaluate): builds the training-state template from the
+    run's config.json (params via ``MidiVAE.init_params``, optimizer
+    state via ``make_optimizer(cfg).init``) so orbax validates structure
+    and dtypes instead of the structureless restore it warns is UNSAFE.
+    Returns the restored state dict (``params``/``opt_state``/``epoch``/
+    ``rng``)."""
+    import jax
+
+    from ..models.vae import MidiVAE
+
+    # local import: trainer imports this module at its own top level
+    from .trainer import make_optimizer
+
+    cfg = load_config(ckpt_dir)
+    params = MidiVAE(cfg).init_params(jax.random.PRNGKey(0))
+    template = {
+        "params": params,
+        "opt_state": make_optimizer(cfg).init(params),
+        "epoch": np.asarray(0),
+        "rng": jax.random.PRNGKey(0),
+    }
+    return restore_checkpoint(ckpt_dir, epoch, template)
+
+
 def load_config(ckpt_dir: str) -> Config:
     return Config.load(os.path.join(ckpt_dir, "config.json"))

@@ -422,6 +422,53 @@ class TestSealedJudges:
         with pytest.raises(RuntimeError, match="sealed judges"):
             b.ensemble_prediction(None, None, None)
 
+    def test_export_platform_routing_rule(self):
+        """Pallas kernels only lower for TPU: any non-tpu lowering target
+        must force the jnp graphs (regression for the cross-platform
+        export crash: a TPU-backend process exporting --platforms cpu
+        dispatched real kernels into the CPU lowering)."""
+        from midi_vae_tpu.serving import _export_platform
+
+        assert _export_platform(None) is None
+        assert _export_platform([]) is None
+        assert _export_platform(["tpu"]) == "tpu"
+        assert _export_platform(["cpu"]) == "cpu"
+        assert _export_platform(["tpu", "cpu"]) == "cpu"
+
+    def test_judges_export_retargets_model_platform(self, bundle, tmp_path):
+        """Sealing a judge for --platforms cpu from a live classifier that
+        was built for TPU compute must rebuild the graph at the lowering
+        platform: the TPU-built model dispatches real Pallas kernels,
+        which cannot lower for CPU (the pre-fix crash, reproducible on
+        the CPU suite because StyleClassifier keys Pallas off its
+        platform argument alone)."""
+        from midi_vae_tpu.models.classifier import (
+            ClassifierSpec,
+            StyleClassifier,
+            make_judge,
+        )
+
+        cfg, _, params, _, _ = bundle
+        out = str(tmp_path / "retarget")
+        serving.export_serving_bundle(
+            cfg, params, out, batch_size=[4], platforms=["cpu"]
+        )
+        spec = ClassifierSpec.for_kind("pitch", cfg, lstm_size=8, num_layers=1)
+        live_tpu = StyleClassifier(spec, platform="tpu")
+        p = live_tpu.init_params(jax.random.PRNGKey(3))
+        serving.export_classifier_judges(
+            {"pitch": (live_tpu, p)}, out, batch_size=[4], platforms=["cpu"]
+        )
+        b = serving.load_serving_bundle(out)
+        x = np.random.default_rng(0).random(
+            (3, cfg.output_length, cfg.input_dim)
+        ).astype(np.float32)
+        probs = b.judges["pitch"](x)
+        ref = np.asarray(
+            make_judge(StyleClassifier(spec, platform="cpu"), p)(x)
+        )
+        np.testing.assert_allclose(probs, ref, atol=1e-5)
+
     def test_zero_row_judge_matches_make_judge_surface(self, judged_bundle):
         """Empty input -> (0, k) result, same as the live make_judge
         surface (a song that produced no windows must not crash)."""

@@ -48,7 +48,7 @@ def main() -> None:
     from midi_vae_tpu.training import checkpoint as ckpt
 
     cfg = ckpt.load_config(args.model)
-    state = ckpt.restore_checkpoint(args.model, args.epoch)
+    state = ckpt.restore_vae_state(args.model, args.epoch)
     manifest = export_serving_bundle(
         cfg, state["params"], args.out,
         batch_size=args.batch, platforms=args.platforms,
