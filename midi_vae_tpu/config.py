@@ -461,13 +461,21 @@ def parse_overrides(pairs: list[str]) -> dict[str, Any]:
 
     Values are Python literals where possible (``lstm_size=512``,
     ``compute_dtype='bfloat16'``), bare strings otherwise
-    (``compute_dtype=bfloat16`` works too). The single shared
-    implementation behind every CLI and tool that accepts ``--set``."""
+    (``compute_dtype=bfloat16`` works too). Keys are validated against
+    the Config fields so a typo fails with the field name instead of a
+    ``Config.__init__`` traceback. The single shared implementation
+    behind every CLI and tool that accepts ``--set``."""
+    valid = {f.name for f in dataclasses.fields(Config)}
     out: dict[str, Any] = {}
     for pair in pairs:
         if "=" not in pair:
             raise SystemExit(f"--set expects key=value, got {pair!r}")
         k, v = pair.split("=", 1)
+        if k not in valid:
+            raise SystemExit(
+                f"--set: unknown Config field {k!r} (see MIGRATION.md "
+                "for the settings.py -> Config field map)"
+            )
         try:
             out[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):

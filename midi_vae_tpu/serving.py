@@ -299,7 +299,13 @@ class ServingBundle:
         import jax
         from jax import export as jexport
 
-        with open(os.path.join(bundle_dir, _MANIFEST)) as f:
+        manifest_path = os.path.join(bundle_dir, _MANIFEST)
+        if not os.path.exists(manifest_path):
+            raise FileNotFoundError(
+                f"{bundle_dir!r} has no manifest.json -- is this a serving "
+                "bundle (tools/export_serving.py --out)?"
+            )
+        with open(manifest_path) as f:
             self.manifest = json.load(f)
         fmt = int(self.manifest.get("bundle_format", 1))
         if fmt > BUNDLE_FORMAT:

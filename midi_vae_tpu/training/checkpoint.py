@@ -129,4 +129,10 @@ def restore_vae_state(ckpt_dir: str, epoch: int | None = None) -> dict:
 
 
 def load_config(ckpt_dir: str) -> Config:
-    return Config.load(os.path.join(ckpt_dir, "config.json"))
+    path = os.path.join(ckpt_dir, "config.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no config.json under {ckpt_dir!r} -- is this a run directory "
+            "(train.py --output)?"
+        )
+    return Config.load(path)

@@ -57,6 +57,20 @@ class TestConfig:
         with pytest.raises(ValueError):
             Config(cell_type="Transformer")
 
+    def test_parse_overrides(self):
+        """The shared --set parser: literal values, bare strings, clean
+        errors on malformed pairs and unknown Config fields."""
+        from midi_vae_tpu.config import parse_overrides
+
+        assert parse_overrides([]) == {}
+        assert parse_overrides(
+            ["lstm_size=512", "compute_dtype=bfloat16", "beta=0.1"]
+        ) == {"lstm_size": 512, "compute_dtype": "bfloat16", "beta": 0.1}
+        with pytest.raises(SystemExit, match="key=value"):
+            parse_overrides(["lstm_size"])
+        with pytest.raises(SystemExit, match="unknown Config field"):
+            parse_overrides(["no_such_flag=1"])
+
     def test_classes_string_normalized(self):
         """--set classes=style1,style2 reaches Config as a plain string;
         tuple() would silently iterate it into 13 one-character classes.
