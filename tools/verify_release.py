@@ -39,6 +39,7 @@ class Check:
         self.timeout = timeout
         self.validate = validate  # (stdout) -> error string or None
         self.env = env
+        self.measured = ""  # last JSON line of a passing JSON-emitting check
 
     def run(self) -> tuple[bool, float, str]:
         t0 = time.perf_counter()
@@ -60,6 +61,11 @@ class Check:
             err = self.validate(proc.stdout)
             if err:
                 return False, dt, err
+            # surface WHAT was measured, not just that it validated
+            try:
+                self.measured = json.dumps(last_json(proc.stdout))
+            except Exception:
+                self.measured = ""
         return True, dt, ""
 
 
@@ -217,6 +223,8 @@ def main() -> int:
         mark = "PASS" if ok else "FAIL"
         print(f"  {mark}  {dt:7.1f}s  {c.name}")
         print(f"        $ {' '.join(c.cmd)}")
+        if c.measured:
+            print(f"        {c.measured}")
         if err:
             print(f"        {err}")
         failed += 0 if ok else 1
