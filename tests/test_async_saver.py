@@ -1,0 +1,106 @@
+"""AsyncCheckpointWriter: FIFO ordering, barriers, and failure semantics.
+
+The background writer keeps checkpoint saves off the training critical
+path (trainer._queue_save); a training run must NOT silently lose its
+checkpoints, so the error contract -- first failure re-raised at the next
+submit/wait/close, later jobs skipped fail-fast -- is load-bearing and
+was previously only exercised implicitly through happy-path training
+runs.
+"""
+
+import threading
+import time
+
+import pytest
+
+from midi_vae_tpu.training.async_saver import AsyncCheckpointWriter
+
+
+class TestHappyPath:
+    def test_jobs_run_fifo(self):
+        w = AsyncCheckpointWriter()
+        order = []
+        gate = threading.Event()
+
+        def first():
+            gate.wait(5)
+            order.append(1)
+
+        w.submit(first)
+        w.submit(lambda: order.append(2))
+        w.submit(lambda: order.append(3))
+        gate.set()
+        w.wait()
+        assert order == [1, 2, 3]
+        w.close()
+
+    def test_wait_is_a_barrier(self):
+        w = AsyncCheckpointWriter()
+        done = []
+
+        def slow():
+            time.sleep(0.2)
+            done.append(True)
+
+        w.submit(slow)
+        w.wait()
+        assert done == [True]
+        w.close()
+
+    def test_close_drains_pending_jobs(self):
+        w = AsyncCheckpointWriter()
+        ran = []
+        for i in range(5):
+            w.submit(lambda i=i: ran.append(i))
+        w.close()
+        assert ran == list(range(5))
+
+
+class TestFailureContract:
+    def test_wait_reraises_first_failure(self):
+        w = AsyncCheckpointWriter()
+        w.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+        with pytest.raises(RuntimeError, match="async checkpoint write"):
+            w.wait()
+        w.close()
+
+    def test_jobs_after_failure_are_skipped(self):
+        # fail fast: a save after a failed save must not run (it would
+        # produce a newer-looking checkpoint after a hole in the history)
+        w = AsyncCheckpointWriter()
+        ran = []
+        w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+        w.submit(lambda: ran.append("should not run"))
+        with pytest.raises(RuntimeError):
+            w.wait()
+        assert ran == []
+        w.close()
+
+    def test_submit_raises_prior_failure_eagerly(self):
+        w = AsyncCheckpointWriter()
+        w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+        # let the worker consume the failing job
+        time.sleep(0.2)
+        with pytest.raises(RuntimeError):
+            w.submit(lambda: None)
+        w.close()
+
+    def test_error_is_raised_once_then_cleared(self):
+        w = AsyncCheckpointWriter()
+        w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+        with pytest.raises(RuntimeError):
+            w.wait()
+        # the writer is usable again after the error was surfaced
+        ran = []
+        w.submit(lambda: ran.append(True))
+        w.wait()
+        assert ran == [True]
+        w.close()
+
+    def test_cause_is_preserved(self):
+        w = AsyncCheckpointWriter()
+        w.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+        with pytest.raises(RuntimeError) as exc_info:
+            w.wait()
+        assert isinstance(exc_info.value.__cause__, OSError)
+        w.close()
