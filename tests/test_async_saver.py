@@ -66,11 +66,21 @@ class TestFailureContract:
 
     def test_jobs_after_failure_are_skipped(self):
         # fail fast: a save after a failed save must not run (it would
-        # produce a newer-looking checkpoint after a hole in the history)
+        # produce a newer-looking checkpoint after a hole in the history).
+        # Both submits happen BEFORE the gate opens, so the worker cannot
+        # consume the failing job between them (submit() would then raise
+        # instead of wait() -- a race, not the contract under test).
         w = AsyncCheckpointWriter()
         ran = []
-        w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+        gate = threading.Event()
+
+        def failing():
+            gate.wait(5)
+            raise ValueError("boom")
+
+        w.submit(failing)
         w.submit(lambda: ran.append("should not run"))
+        gate.set()
         with pytest.raises(RuntimeError):
             w.wait()
         assert ran == []
@@ -79,10 +89,16 @@ class TestFailureContract:
     def test_submit_raises_prior_failure_eagerly(self):
         w = AsyncCheckpointWriter()
         w.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
-        # let the worker consume the failing job
-        time.sleep(0.2)
+        # poll: the error surfaces at SOME later submit (worker timing is
+        # not observable from outside; no-op submits before the worker
+        # records the failure just run or get skipped)
+        deadline = time.time() + 10
         with pytest.raises(RuntimeError):
-            w.submit(lambda: None)
+            while True:
+                w.submit(lambda: None)
+                if time.time() > deadline:
+                    pytest.fail("prior failure never surfaced at submit()")
+                time.sleep(0.01)
         w.close()
 
     def test_error_is_raised_once_then_cleared(self):

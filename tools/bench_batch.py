@@ -128,6 +128,8 @@ def main() -> int:
     from midi_vae_tpu.config import parse_overrides
 
     overrides = parse_overrides(getattr(args, "set"))
+    if "batch_size" in overrides:
+        raise SystemExit("--batches sweeps batch_size; do not --set it")
 
     from midi_vae_tpu.utils.profiling import enable_compilation_cache
 
@@ -162,6 +164,7 @@ def main() -> int:
             "steps": epochs * steps_per_epoch, "cost": cost,
             "flops": train_step_flops(cfg),
             "modes": decode_head_modes(cfg),
+            "out_len": cfg.output_length,
         })
         print(f"built B={bs}: {epochs} epochs/call = "
               f"{epochs * steps_per_epoch} steps, modes={runs[-1]['modes']},"
@@ -189,7 +192,8 @@ def main() -> int:
     for r in runs:
         bs = r["bs"]
         dt = best[bs]
-        note_steps = r["epochs"] * r["nw"] * 64
+        # note-steps from the ACTUAL config (--set may override geometry)
+        note_steps = r["epochs"] * r["nw"] * r["out_len"]
         tflops = r["flops"] * r["steps"] / dt / 1e12
         entry = {
             "note_steps_per_s": round(note_steps / dt, 1),

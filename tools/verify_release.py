@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shlex
 import subprocess
 import sys
 import time
@@ -58,7 +59,12 @@ class Check:
             tail = (proc.stdout + proc.stderr).strip().splitlines()[-3:]
             return False, dt, f"rc={proc.returncode}: " + " | ".join(tail)
         if self.validate is not None:
-            err = self.validate(proc.stdout)
+            # a validator crash (missing JSON, unexpected shape) is a FAIL
+            # for THIS check, never an abort of the whole runner
+            try:
+                err = self.validate(proc.stdout)
+            except Exception as e:
+                return False, dt, f"validator error: {e!r}"
             if err:
                 return False, dt, err
             # surface WHAT was measured, not just that it validated
@@ -87,7 +93,12 @@ def _bench_ok(stdout: str) -> str | None:
 
 def _parity_ok(stdout: str) -> str | None:
     d = last_json(stdout)
-    if not d.get("ok") or d.get("MISMATCH", 1) != 0:
+    if not d.get("ok"):
+        return f"differential not ok: {d}"
+    # reference-absent environments: ref_parity_check reports
+    # {"ok": true, "skipped": ...} with no MISMATCH key -- a skip is not
+    # a failure (the measured line shows it was skipped)
+    if d.get("MISMATCH", 0) != 0:
         return f"differential mismatch: {d}"
     return None
 
@@ -222,7 +233,7 @@ def main() -> int:
     for c, ok, dt, err in results:
         mark = "PASS" if ok else "FAIL"
         print(f"  {mark}  {dt:7.1f}s  {c.name}")
-        print(f"        $ {' '.join(c.cmd)}")
+        print(f"        $ {shlex.join(c.cmd)}")
         if c.measured:
             print(f"        {c.measured}")
         if err:
